@@ -1,0 +1,119 @@
+"""Analyzer chains: StandardAnalyzer parity plus a SQL-checkable simple chain.
+
+StandardAnalyzer = StandardTokenizer -> (StandardFilter: no-op) ->
+LowerCaseFilter -> StopFilter(33 English stopwords), reference
+``lucene/analysis/common/src/java/org/apache/lucene/analysis/standard/
+StandardAnalyzer.java:84-97``.
+
+- LowerCaseFilter lowercases per *codepoint* with Java's simple 1:1 mapping
+  (``Character.toLowerCase(int)``, CharacterUtils.java:111-122) — not
+  full-string casing. Python's single-codepoint ``str.lower()`` equals the
+  simple mapping except where full lowering is multi-char (U+0130 dotted
+  capital I), special-cased to match Java.
+- StopFilter drops the 33-word English stop set (StopAnalyzer.java:42-48)
+  and accumulates dropped positions into the next token's position
+  increment (FilteringTokenFilter.java:34-58) — "position holes".
+
+SimpleAnalyzer is a deliberately SQL-expressible chain (lowercase then split
+on ``[^a-z0-9]+``) used only for the DuckDB-checkable operator suite; it has
+no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from .tokenizer import DEFAULT_MAX_TOKEN_LENGTH, StandardTokenizer
+
+#: StopAnalyzer.ENGLISH_STOP_WORDS_SET (StopAnalyzer.java:42-48), 33 words.
+ENGLISH_STOP_WORDS = frozenset([
+    "a", "an", "and", "are", "as", "at", "be", "but", "by",
+    "for", "if", "in", "into", "is", "it",
+    "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with",
+])
+
+# Java Character.toLowerCase uses the simple (1:1) lowercase mapping; the only
+# codepoint whose Python full lowering is multi-char and differs: U+0130.
+_SIMPLE_LOWER_SPECIAL = {"İ": "i"}
+
+
+def java_lowercase(token: str) -> str:
+    """Per-codepoint simple lowercase, matching Java Character.toLowerCase."""
+    if token.isascii():
+        return token.lower()
+    out = []
+    for ch in token:
+        special = _SIMPLE_LOWER_SPECIAL.get(ch)
+        if special is not None:
+            out.append(special)
+            continue
+        low = ch.lower()
+        out.append(low if len(low) == 1 else ch)
+    return "".join(out)
+
+
+class StandardAnalyzer:
+    """The reference's default analysis chain, position-increment faithful.
+
+    ``analyze(text)`` returns ``(terms, positions)`` where ``positions`` are
+    absolute token positions (first token at the value of its increment - 1,
+    i.e. position = cumulative sum of increments - 1, matching Lucene's
+    FieldInvertState position accounting).
+    """
+
+    def __init__(self, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+                 stopwords: frozenset[str] | None = ENGLISH_STOP_WORDS):
+        self.tokenizer = StandardTokenizer(max_token_length)
+        self.stopwords = stopwords if stopwords is not None else frozenset()
+
+    def analyze(self, text: str) -> tuple[list[str], list[int]]:
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = -1
+        stop = self.stopwords
+        for raw in self.tokenizer.tokenize(text):
+            pos += 1
+            term = java_lowercase(raw)
+            if term in stop:
+                continue
+            terms.append(term)
+            positions.append(pos)
+        return terms, positions
+
+    def analyze_terms(self, text: str) -> list[str]:
+        """Terms only (query-side convenience)."""
+        return self.analyze(text)[0]
+
+
+_SIMPLE_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+class SimpleAnalyzer:
+    """lower(text) split on [^a-z0-9]+ — exactly expressible in DuckDB SQL as
+    ``unnest(string_split_regex(lower(text), '[^a-z0-9]+'))`` with empty
+    strings removed. Used by the SQL-checked operator suite only."""
+
+    def __init__(self):
+        pass
+
+    def analyze(self, text: str) -> tuple[list[str], list[int]]:
+        terms = [t for t in _SIMPLE_SPLIT.split(text.lower()) if t]
+        return terms, list(range(len(terms)))
+
+    def analyze_terms(self, text: str) -> list[str]:
+        return self.analyze(text)[0]
+
+
+@lru_cache(maxsize=8)
+def get_analyzer(name: str = "standard"):
+    """Analyzer registry (analysis SPI analog, TokenizerFactory.java)."""
+    if name == "standard":
+        return StandardAnalyzer()
+    if name == "standard_nostop":
+        return StandardAnalyzer(stopwords=None)
+    if name == "simple":
+        return SimpleAnalyzer()
+    raise KeyError(f"unknown analyzer: {name!r}")
