@@ -1,0 +1,61 @@
+"""BM25 scoring, float32-faithful to the reference Okapi variant.
+
+Reference math (``lucene/core/src/java/org/apache/lucene/search/similarities/
+BM25Similarity.java``):
+
+- idf        = (float) ln(1 + (docCount - df + 0.5) / (df + 0.5))     (:71-74)
+- avgdl      = (float) (sumTotalTermFreq / (double) docCount)         (:86-97)
+- cache[v]   = k1 * ((1 - b) + b * NORM_TABLE[v] / avgdl)             (:213-217)
+- weight     = idf * boost; weightValue = weight * (k1 + 1)           (:238,296)
+- score(d,f) = weightValue * f / (f + cache[norm_byte[d]])            (:243-245)
+
+defaults k1 = 1.2, b = 0.75 (:61-69). All per-element arithmetic is float32
+(Java float); idf's inner expression is computed in float64 then cast, same
+as Java's ``(float) Math.log(double)``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..util.smallfloat import NORM_TABLE
+
+K1 = np.float32(1.2)
+B = np.float32(0.75)
+
+
+def idf(doc_freq: int, doc_count: int) -> np.float32:
+    """float32 idf; inner math in float64 like Java."""
+    return np.float32(math.log(1 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5)))
+
+
+def avg_field_length(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    if sum_total_term_freq <= 0:
+        return np.float32(1.0)
+    return np.float32(sum_total_term_freq / float(doc_count))
+
+
+def norm_cache(avgdl: np.float32, k1: np.float32 = K1, b: np.float32 = B) -> np.ndarray:
+    """cache[v] = k1 * ((1-b) + b * decodeNorm(v) / avgdl), float32[256]."""
+    one = np.float32(1.0)
+    return (k1 * ((one - b) + b * NORM_TABLE / np.float32(avgdl))).astype(np.float32)
+
+
+def score_freqs(
+    freqs: np.ndarray,
+    norm_bytes: np.ndarray,
+    cache: np.ndarray,
+    weight_value: np.float32,
+) -> np.ndarray:
+    """Vectorized BM25DocScorer.score: weightValue * f / (f + cache[norm])."""
+    f = freqs.astype(np.float32)
+    norm = cache[norm_bytes.astype(np.int64)]
+    return (np.float32(weight_value) * f / (f + norm)).astype(np.float32)
+
+
+def weight_value(idf_value: np.float32, boost: float = 1.0,
+                 k1: np.float32 = K1) -> np.float32:
+    """weight = idf * boost; weightValue = weight * (k1 + 1)."""
+    return np.float32(np.float32(idf_value) * np.float32(boost) * (k1 + np.float32(1.0)))
