@@ -1,0 +1,465 @@
+"""Distributed inverted-index build: the Ray-Data-native indexing pipeline.
+
+Re-expresses the reference indexing chain (SURVEY.md §3.1,
+``IndexWriter.addDocument`` -> DWPT -> TermsHash -> FreqProx -> codec flush)
+as streaming Dataset stages:
+
+1.  ``read_parquet`` (columns pruned) -> optional global sort by
+    ``(conv_id, turn_idx)`` -> **doc_id assignment** (rank in the stable
+    ordering — the determinism invariant, stronger than the reference's
+    thread-timing-dependent docID order, DocumentsWriterPerThreadPool.java:27-37).
+2.  **Tokenize + SPIMI runs**: an actor pool (``map_batches`` over zero-copy
+    Arrow, analyzer compiled once per actor — the Analyzer-reuse analog,
+    Analyzer.java:135-168) emits one row per document with its per-term
+    postings; runs are spilled to Parquet (the DWPT flush analog) so the
+    three downstream consumers (stats, norms, postings) each re-read only
+    the columns they need, and so a restarted build resumes past
+    tokenization.
+3.  **Global statistics**: docCount / sumTotalTermFreq via a partial-per-batch
+    + global-sum aggregate (IndexSearcher.collectionStatistics analog).
+4.  **Term shuffle + segment encode**: explode runs into posting rows, then
+    ``groupby("doc_shard").map_groups`` — the one all-to-all exchange —
+    sorts each shard's postings by (term, doc_id) and block-encodes them
+    (segment.py). Sharding is by contiguous doc_id range (SolrCloud
+    doc-routing analog, HashBasedRouter.java:27-50), which bounds every
+    term's per-shard posting list by the shard's doc count — the heavy-term
+    skew control: a stopword-adjacent term's 10^12-doc posting list is
+    split across shards by construction, and shard segments are encoded
+    independently (mtree-merge-style, MapReduceIndexerTool.java:330-338).
+5.  **Manifest**: written last, atomically, listing every shard with doc/term
+    counts and lineage (segments_N generation protocol,
+    SegmentInfos.java:55-140). ``resume=True`` skips completed shards and
+    reuses completed runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..analysis import get_analyzer
+from ..search import bm25
+from ..util.smallfloat import encode_norm
+from . import segment
+
+MANIFEST_NAME = "manifest.json"
+
+
+# --------------------------------------------------------------------------
+# stage 1: doc_id assignment
+# --------------------------------------------------------------------------
+
+@ray.remote
+def _block_meta(block: pa.Table):
+    """(num_rows, first_key, last_key, strictly_sorted_within) per block."""
+    n = block.num_rows
+    if n == 0:
+        return n, None, None, True
+    conv = np.asarray(block.column("conv_id").to_pylist(), dtype=object)
+    turn = block.column("turn_idx").to_numpy(zero_copy_only=False)
+    first = (conv[0], int(turn[0]))
+    last = (conv[-1], int(turn[-1]))
+    ok = bool(np.all(
+        (conv[1:] > conv[:-1])
+        | ((conv[1:] == conv[:-1]) & (turn[1:] > turn[:-1]))))
+    return n, first, last, ok
+
+
+@ray.remote
+def _add_doc_ids(block: pa.Table, offset: int, docs_per_shard: int) -> pa.Table:
+    n = block.num_rows
+    doc_id = np.arange(offset, offset + n, dtype=np.int64)
+    block = block.append_column("doc_id", pa.array(doc_id, type=pa.int64()))
+    return block.append_column(
+        "doc_shard", pa.array(doc_id // docs_per_shard, type=pa.int32()))
+
+
+def assign_doc_ids(ds: rd.Dataset, docs_per_shard: int,
+                   verify_order: bool = True) -> tuple[rd.Dataset, int]:
+    """Attach ``doc_id`` = rank under the (conv_id, turn_idx) ordering.
+
+    Ray Data has no zipWithIndex, so this drops to the documented raw-Ray
+    escape hatch: materialize the (already sorted) dataset, prefix-sum the
+    per-block row counts (block count ~ 10^6 at 10^12 rows — trivial on the
+    driver), and add the id column per block. Blocks stay in the object
+    store throughout (zero-copy refs); nothing is pulled to the driver.
+
+    With ``verify_order`` the per-block key ranges are checked to be sorted
+    within and across blocks — the "stable (conv_id, turn_idx) ordering"
+    invariant asserted before indexing.
+    """
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    metas = ray.get([_block_meta.remote(r) for r in refs])
+    counts = [m[0] for m in metas]
+    if verify_order:
+        prev_last = None
+        for i, (n, first, last, sorted_within) in enumerate(metas):
+            if n == 0:
+                continue
+            if not sorted_within:
+                raise ValueError(f"input block {i} is not sorted by (conv_id, turn_idx)")
+            if prev_last is not None and first < prev_last:
+                raise ValueError(
+                    f"input blocks out of order at block {i}: {first} < {prev_last}")
+            prev_last = last
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    total = int(offsets[-1])
+    new_refs = [
+        _add_doc_ids.remote(r, int(offsets[i]), docs_per_shard)
+        for i, r in enumerate(refs)
+    ]
+    return rd.from_arrow_refs(new_refs), total
+
+
+# --------------------------------------------------------------------------
+# stage 2: tokenize into SPIMI runs (actor pool)
+# --------------------------------------------------------------------------
+
+class TokenizeStage:
+    """Actor-pool callable: text -> per-doc postings row.
+
+    Output row: doc_id, doc_shard, conv_id, turn_idx, doc_len, norm_byte,
+    terms (list<string>, first-occurrence order), freqs (list<int32>),
+    pos_flat (list<int32>, positions concatenated in term order).
+    """
+
+    def __init__(self, analyzer_name: str = "standard"):
+        self.analyzer = get_analyzer(analyzer_name)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        analyze = self.analyzer.analyze
+
+        doc_lens = np.empty(len(texts), dtype=np.int32)
+        term_counts = np.empty(len(texts), dtype=np.int64)
+        all_terms: list[str] = []
+        all_freqs: list[int] = []
+        all_pos: list[int] = []
+        for i, text in enumerate(texts):
+            terms, positions = analyze(text or "")
+            doc_lens[i] = len(terms)
+            per_term: dict[str, list[int]] = {}
+            for t, p in zip(terms, positions):
+                per_term.setdefault(t, []).append(p)
+            term_counts[i] = len(per_term)
+            for t, plist in per_term.items():
+                all_terms.append(t)
+                all_freqs.append(len(plist))
+                all_pos.extend(plist)
+
+        term_offs = np.concatenate(([0], np.cumsum(term_counts))).astype(np.int64)
+        freqs_arr = np.asarray(all_freqs, dtype=np.int64)
+        pos_counts = np.zeros(len(texts), dtype=np.int64)
+        # positions per doc = sum of its freqs
+        if len(freqs_arr):
+            pos_counts = np.diff(np.concatenate(([0], np.cumsum(freqs_arr)))[term_offs])
+        pos_offs = np.concatenate(([0], np.cumsum(pos_counts))).astype(np.int64)
+
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "doc_shard": batch.column("doc_shard"),
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "doc_len": pa.array(doc_lens, type=pa.int32()),
+            "norm_byte": pa.array(
+                encode_norm(np.maximum(doc_lens, 1)), type=pa.uint8()),
+            "terms": pa.LargeListArray.from_arrays(
+                term_offs, pa.array(all_terms, type=pa.string())),
+            "freqs": pa.LargeListArray.from_arrays(
+                term_offs, pa.array(freqs_arr, type=pa.int32())),
+            "pos_flat": pa.LargeListArray.from_arrays(
+                pos_offs, pa.array(np.asarray(all_pos, dtype=np.int32), type=pa.int32())),
+        })
+
+
+# --------------------------------------------------------------------------
+# stage 4: explode runs -> posting rows, encode per shard
+# --------------------------------------------------------------------------
+
+def _explode_runs(batch: pa.Table) -> pa.Table:
+    """Per-doc rows -> per-(doc, term) posting rows, fully vectorized."""
+    terms_col = batch.column("terms").combine_chunks()
+    freqs_col = batch.column("freqs").combine_chunks()
+    pos_col = batch.column("pos_flat").combine_chunks()
+
+    term_counts = terms_col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_terms = terms_col.flatten()
+    flat_freqs = freqs_col.flatten()
+    flat_pos = pos_col.flatten()
+
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    shards = batch.column("doc_shard").to_numpy(zero_copy_only=False)
+    norms = batch.column("norm_byte").to_numpy(zero_copy_only=False)
+
+    rep_doc = np.repeat(doc_ids, term_counts)
+    rep_shard = np.repeat(shards, term_counts)
+    rep_norm = np.repeat(norms, term_counts)
+
+    # positions per posting: split flat per-doc positions by freqs
+    freqs_np = flat_freqs.to_numpy(zero_copy_only=False).astype(np.int64)
+    pos_offsets = np.concatenate(([0], np.cumsum(freqs_np)))
+    positions = pa.LargeListArray.from_arrays(
+        pos_offsets, pa.array(
+            flat_pos.to_numpy(zero_copy_only=False).astype(np.int32),
+            type=pa.int32()))
+
+    return pa.table({
+        "doc_shard": pa.array(rep_shard, type=pa.int32()),
+        "term": flat_terms,
+        "doc_id": pa.array(rep_doc, type=pa.int64()),
+        "freq": pa.array(freqs_np, type=pa.int64()),
+        "positions": positions,
+        "norm_byte": pa.array(rep_norm, type=pa.uint8()),
+    })
+
+
+class SegmentWriter:
+    """map_groups fn over groupby(doc_shard): encode + write one shard.
+
+    Writes atomically (temp dir + rename); a shard directory containing
+    ``_SUCCESS`` is skipped on resume, making the shuffle restartable at
+    shard granularity.
+    """
+
+    def __init__(self, index_dir: str, docs_per_shard: int, avgdl: float):
+        self.index_dir = index_dir
+        self.docs_per_shard = docs_per_shard
+        self.cache = bm25.norm_cache(np.float32(avgdl))
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _manifest_row_table([])
+        shard_id = int(group.column("doc_shard")[0].as_py())
+        shard_dir = Path(self.index_dir) / "shards" / f"shard={shard_id:05d}"
+        if (shard_dir / "_SUCCESS").exists():
+            row = json.loads((shard_dir / "_SUCCESS").read_text())
+            return _manifest_row_table([row])
+
+        sort_idx = pa.compute.sort_indices(
+            group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")])
+        group = group.take(sort_idx)
+
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        freqs = group.column("freq").to_numpy(zero_copy_only=False)
+        norm_bytes = group.column("norm_byte").to_numpy(zero_copy_only=False)
+        pos_list = group.column("positions").combine_chunks()
+        pos_flat = pos_list.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+
+        base = shard_id * self.docs_per_shard
+        table = segment.encode_shard_postings(
+            terms, doc_ids, freqs, pos_flat, norm_bytes, base, self.cache)
+
+        tmp = Path(tempfile.mkdtemp(dir=str(shard_dir.parent.parent),
+                                    prefix=f".shard{shard_id}-"))
+        try:
+            pq.write_table(table, tmp / "terms.parquet")
+            shard_dir.parent.mkdir(parents=True, exist_ok=True)
+            if shard_dir.exists():
+                shutil.rmtree(shard_dir)
+            row = {
+                "shard_id": shard_id,
+                "doc_lo": base,
+                "doc_hi": base + self.docs_per_shard,
+                "term_count": int(table.num_rows),
+                "posting_count": int(len(doc_ids)),
+                "doc_count": int(len(np.unique(doc_ids))),
+            }
+            (tmp / "_SUCCESS").write_text(json.dumps(row))
+            os.rename(tmp, shard_dir)
+        finally:
+            if tmp.exists() and tmp != shard_dir:
+                shutil.rmtree(tmp, ignore_errors=True)
+        return _manifest_row_table([row])
+
+
+def _write_segment_group(group: pa.Table, index_dir: str, docs_per_shard: int,
+                         avgdl: float) -> pa.Table:
+    """Module-level map_groups fn (GroupedData requires a __name__)."""
+    return SegmentWriter(index_dir, docs_per_shard, avgdl)(group)
+
+
+def _manifest_row_table(rows: list[dict]) -> pa.Table:
+    return pa.table({
+        "shard_id": pa.array([r["shard_id"] for r in rows], type=pa.int64()),
+        "doc_lo": pa.array([r["doc_lo"] for r in rows], type=pa.int64()),
+        "doc_hi": pa.array([r["doc_hi"] for r in rows], type=pa.int64()),
+        "term_count": pa.array([r["term_count"] for r in rows], type=pa.int64()),
+        "posting_count": pa.array([r["posting_count"] for r in rows], type=pa.int64()),
+        "doc_count": pa.array([r["doc_count"] for r in rows], type=pa.int64()),
+    })
+
+
+# --------------------------------------------------------------------------
+# stage 3: global statistics (partial per batch + tiny global sum)
+# --------------------------------------------------------------------------
+
+def _partial_stats(batch: pa.Table) -> pa.Table:
+    doc_len = batch.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "num_docs": pa.array([len(doc_len)], type=pa.int64()),
+        "doc_count": pa.array([int((doc_len > 0).sum())], type=pa.int64()),
+        "sum_ttf": pa.array([int(doc_len.sum())], type=pa.int64()),
+    })
+
+
+def compute_stats(runs: rd.Dataset) -> dict:
+    partials = runs.map_batches(_partial_stats, batch_format="pyarrow")
+    agg = partials.sum(["num_docs", "doc_count", "sum_ttf"])
+    return {
+        "num_docs": int(agg["sum(num_docs)"]),
+        "doc_count": int(agg["sum(doc_count)"]),
+        "sum_total_term_freq": int(agg["sum(sum_ttf)"]),
+    }
+
+
+# --------------------------------------------------------------------------
+# the build driver
+# --------------------------------------------------------------------------
+
+def build_index(
+    source: str | rd.Dataset,
+    index_dir: str,
+    *,
+    num_shards: int | None = None,
+    docs_per_shard: int | None = None,
+    analyzer: str = "standard",
+    batch_size: int = 4096,
+    concurrency: int | None = None,
+    assume_sorted: bool = True,
+    resume: bool = False,
+    keep_runs: bool = False,
+) -> dict:
+    """Build a sharded inverted index; returns the manifest dict."""
+    t0 = time.time()
+    index_path = Path(index_dir)
+    index_path.mkdir(parents=True, exist_ok=True)
+    if not resume:
+        for stale in ("shards", "norms", "runs"):
+            shutil.rmtree(index_path / stale, ignore_errors=True)
+        (index_path / "_NORMS_SUCCESS").unlink(missing_ok=True)
+        (index_path / MANIFEST_NAME).unlink(missing_ok=True)
+
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+
+    runs_dir = index_path / "runs"
+    runs_done = runs_dir / "_RUNS_SUCCESS"
+    params_file = index_path / "_BUILD_PARAMS.json"
+
+    if resume and runs_done.exists() and params_file.exists():
+        # tokenized runs already on disk: skip read + assign + tokenize
+        docs_per_shard = json.loads(params_file.read_text())["docs_per_shard"]
+        total_docs = json.loads(params_file.read_text())["total_docs"]
+        actual_shards = max(1, -(-total_docs // docs_per_shard))
+    else:
+        if isinstance(source, str):
+            ds = rd.read_parquet(source, columns=["conv_id", "turn_idx", "text"])
+        else:
+            ds = ds_select(source)
+        if not assume_sorted:
+            ds = ds.sort(["conv_id", "turn_idx"])
+
+        total_docs = ds.count()
+        if docs_per_shard is None:
+            num_shards = num_shards or 8
+            docs_per_shard = max(1, -(-total_docs // num_shards))
+        actual_shards = max(1, -(-total_docs // docs_per_shard))
+        params_file.write_text(json.dumps(
+            {"docs_per_shard": int(docs_per_shard), "total_docs": int(total_docs)}))
+
+        ds, _ = assign_doc_ids(ds, docs_per_shard, verify_order=assume_sorted)
+
+        if runs_dir.exists():
+            shutil.rmtree(runs_dir)
+        tokenized = ds.map_batches(
+            TokenizeStage,
+            fn_constructor_kwargs={"analyzer_name": analyzer},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+        tokenized.write_parquet(str(runs_dir))
+        runs_done.touch()
+
+    # stats (column-pruned read of the runs)
+    stats = compute_stats(
+        rd.read_parquet(str(runs_dir), columns=["doc_len"]))
+    avgdl = float(bm25.avg_field_length(
+        stats["sum_total_term_freq"], max(stats["doc_count"], 1)))
+
+    # norms + docmap, partitioned by shard for query-side range loads
+    norms_dir = index_path / "norms"
+    if not (resume and (index_path / "_NORMS_SUCCESS").exists()):
+        if norms_dir.exists():
+            shutil.rmtree(norms_dir)
+        rd.read_parquet(
+            str(runs_dir),
+            columns=["doc_id", "doc_shard", "conv_id", "turn_idx",
+                     "doc_len", "norm_byte"],
+        ).write_parquet(str(norms_dir), partition_cols=["doc_shard"])
+        (index_path / "_NORMS_SUCCESS").touch()
+
+    # the term shuffle: explode -> groupby(doc_shard) -> encode + write
+    runs = rd.read_parquet(
+        str(runs_dir),
+        columns=["doc_id", "doc_shard", "norm_byte", "terms", "freqs", "pos_flat"])
+    postings = runs.map_batches(_explode_runs, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    import functools
+
+    writer = functools.partial(
+        _write_segment_group, index_dir=str(index_path),
+        docs_per_shard=int(docs_per_shard), avgdl=avgdl)
+    manifest_rows = (
+        postings.groupby("doc_shard")
+        .map_groups(writer, batch_format="pyarrow")
+        .take_all()
+    )
+
+    shards = sorted(manifest_rows, key=lambda r: r["shard_id"])
+    manifest = {
+        "version": 1,
+        "created_unix": time.time(),
+        "build_seconds": time.time() - t0,
+        "params": {
+            "analyzer": analyzer,
+            "docs_per_shard": int(docs_per_shard),
+            "num_shards": int(actual_shards),
+            "block_size": segment.BLOCK_SIZE,
+            "k1": float(bm25.K1),
+            "b": float(bm25.B),
+        },
+        "stats": {**stats, "avgdl": avgdl},
+        "shards": [
+            {k: int(v) for k, v in r.items()} for r in shards
+        ],
+    }
+    tmp_manifest = index_path / (MANIFEST_NAME + ".tmp")
+    tmp_manifest.write_text(json.dumps(manifest, indent=1))
+    os.replace(tmp_manifest, index_path / MANIFEST_NAME)
+
+    if not keep_runs:
+        shutil.rmtree(runs_dir, ignore_errors=True)
+    return manifest
+
+
+def ds_select(ds: rd.Dataset) -> rd.Dataset:
+    return ds.select_columns(["conv_id", "turn_idx", "text"])
+
+
+def read_manifest(index_dir: str) -> dict:
+    return json.loads((Path(index_dir) / MANIFEST_NAME).read_text())

@@ -1,0 +1,208 @@
+"""Segment format: per-shard term table with block-encoded posting lists.
+
+Ray-native re-expression of the reference segment layout
+(``lucene/core/src/java/org/apache/lucene/codecs/lucene50/
+Lucene50PostingsFormat.java:99-140`` file map; 128-int blocks :398): one
+Parquet file per doc-shard holding one row per term:
+
+    term:            string (sorted ascending within the shard)
+    df, ttf:         int64 — docFreq / totalTermFreq (Terms.java:97-119)
+    doc_ids_enc:     binary — LEB128 deltas (first value relative to the
+                     shard's base doc_id)
+    freqs_enc:       binary — LEB128 freqs, aligned with doc_ids
+    positions_enc:   binary — per-doc delta-encoded positions, concatenated
+                     in doc order (counts given by freqs)
+    skip_last_docs:  binary — LEB128 deltas of last doc_id per 128-doc block
+                     (MultiLevelSkipListWriter.java:42-54 semantics, single
+                     level)
+    skip_doc_offs:   binary — LEB128 deltas of byte offsets into doc_ids_enc
+                     at each block start
+    block_max_impact: binary — float32 per block: max of
+                     freq/(freq + cache[norm]) over the block's postings —
+                     block-max metadata for rank-preserving WAND-style
+                     skipping (goes beyond the reference snapshot, which
+                     pre-dates block-max; required by the north star)
+
+A companion ``norms.parquet`` per shard holds (doc_id, norm_byte, doc_len,
+conv_id, turn_idx) for the shard's contiguous doc_id range.
+
+Encoding is vectorized across ALL terms of a shard at once: deltas with
+per-term resets, one varint pass over the concatenation, then per-term byte
+slicing from the value-offset cumsum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..util import varint
+
+BLOCK_SIZE = 128
+
+
+def _delta_with_resets(values: np.ndarray, starts_mask: np.ndarray,
+                       base: np.ndarray | int) -> np.ndarray:
+    """values -> deltas, restarting at positions where starts_mask is True.
+
+    ``base`` is subtracted at each restart (scalar or per-element array).
+    """
+    deltas = np.empty_like(values)
+    deltas[1:] = values[1:] - values[:-1]
+    if len(values):
+        deltas[0] = values[0]
+    if isinstance(base, np.ndarray):
+        deltas[starts_mask] = values[starts_mask] - base[starts_mask]
+    else:
+        deltas[starts_mask] = values[starts_mask] - base
+    return deltas
+
+
+def _varint_lengths(vals: np.ndarray) -> np.ndarray:
+    nb = np.ones(len(vals), dtype=np.int64)
+    v = vals.astype(np.uint64)
+    for i in range(1, 10):
+        nb += v >= (np.uint64(1) << np.uint64(7 * i))
+    return nb
+
+
+def _slice_encoded(enc: bytes, value_byte_offsets: np.ndarray,
+                   group_value_offsets: np.ndarray) -> list[bytes]:
+    """Split one big varint buffer into per-group byte strings."""
+    mv = memoryview(enc)
+    out = []
+    for i in range(len(group_value_offsets) - 1):
+        a = value_byte_offsets[group_value_offsets[i]]
+        b = value_byte_offsets[group_value_offsets[i + 1]]
+        out.append(bytes(mv[a:b]))
+    return out
+
+
+def encode_shard_postings(
+    terms: np.ndarray,            # object array, sorted; defines grouping
+    doc_ids: np.ndarray,          # int64, sorted within term
+    freqs: np.ndarray,            # int64/int32
+    pos_flat: np.ndarray,         # int32 flat positions (doc-major)
+    norm_bytes: np.ndarray,       # uint8 aligned with doc_ids
+    shard_base: int,
+    cache: np.ndarray,            # float32[256] BM25 norm cache (for block max)
+) -> pa.Table:
+    """Encode one shard's postings (sorted by term, doc_id) into a term table."""
+    n = len(doc_ids)
+    if n == 0:
+        return pa.table({
+            "term": pa.array([], type=pa.string()),
+            "df": pa.array([], type=pa.int64()),
+            "ttf": pa.array([], type=pa.int64()),
+            "doc_ids_enc": pa.array([], type=pa.large_binary()),
+            "freqs_enc": pa.array([], type=pa.large_binary()),
+            "positions_enc": pa.array([], type=pa.large_binary()),
+            "skip_last_docs": pa.array([], type=pa.large_binary()),
+            "skip_doc_offs": pa.array([], type=pa.large_binary()),
+            "block_max_impact": pa.array([], type=pa.large_binary()),
+        })
+
+    doc_ids = doc_ids.astype(np.int64)
+    freqs = freqs.astype(np.int64)
+
+    # term boundaries over the sorted (term, doc_id) rows
+    starts_mask = np.empty(n, dtype=bool)
+    starts_mask[0] = True
+    starts_mask[1:] = terms[1:] != terms[:-1]
+    term_starts = np.nonzero(starts_mask)[0]
+    term_offsets = np.concatenate((term_starts, [n]))
+    uniq_terms = terms[term_starts]
+    df = np.diff(term_offsets)
+    ttf = np.add.reduceat(freqs, term_starts)
+
+    # --- doc id deltas (first of each term relative to shard_base) ---
+    doc_deltas = _delta_with_resets(doc_ids, starts_mask, shard_base)
+    doc_lens = _varint_lengths(doc_deltas)
+    doc_byte_offs = np.concatenate(([0], np.cumsum(doc_lens)))
+    doc_enc = varint.encode(doc_deltas.astype(np.uint64))
+    doc_ids_enc = _slice_encoded(doc_enc, doc_byte_offs, term_offsets)
+
+    # --- freqs ---
+    freq_lens = _varint_lengths(freqs)
+    freq_byte_offs = np.concatenate(([0], np.cumsum(freq_lens)))
+    freq_enc = varint.encode(freqs.astype(np.uint64))
+    freqs_enc = _slice_encoded(freq_enc, freq_byte_offs, term_offsets)
+
+    # --- positions: delta within each (term, doc) posting ---
+    npos = len(pos_flat)
+    if npos:
+        pos_flat = pos_flat.astype(np.int64)
+        pos_doc_starts = np.zeros(npos, dtype=bool)
+        posting_pos_offsets = np.concatenate(([0], np.cumsum(freqs)))
+        pos_doc_starts[posting_pos_offsets[:-1]] = True
+        pos_deltas = _delta_with_resets(pos_flat, pos_doc_starts, 0)
+        pos_lens = _varint_lengths(pos_deltas)
+        pos_byte_offs = np.concatenate(([0], np.cumsum(pos_lens)))
+        pos_enc = varint.encode(pos_deltas.astype(np.uint64))
+        # per-term ranges in position-value space
+        term_pos_offsets = posting_pos_offsets[term_offsets]
+        positions_enc = _slice_encoded(pos_enc, pos_byte_offs, term_pos_offsets)
+    else:
+        positions_enc = [b""] * len(uniq_terms)
+
+    # --- block metadata: 128-doc blocks per term + block-max impact ---
+    impacts = (freqs.astype(np.float32) /
+               (freqs.astype(np.float32) + cache[norm_bytes.astype(np.int64)]))
+    skip_last_docs: list[bytes] = []
+    skip_doc_offs: list[bytes] = []
+    block_max: list[bytes] = []
+    for i in range(len(uniq_terms)):
+        a, b = term_offsets[i], term_offsets[i + 1]
+        block_bounds = np.arange(a, b, BLOCK_SIZE)
+        last_idx = np.minimum(block_bounds + BLOCK_SIZE, b) - 1
+        skip_last_docs.append(varint.encode_deltas(doc_ids[last_idx]))
+        offs = doc_byte_offs[block_bounds] - doc_byte_offs[a]
+        skip_doc_offs.append(varint.encode_deltas(offs))
+        bmax = np.maximum.reduceat(impacts[a:b], block_bounds - a)
+        block_max.append(bmax.astype(np.float32).tobytes())
+
+    return pa.table({
+        "term": pa.array(uniq_terms.astype(object), type=pa.string()),
+        "df": pa.array(df, type=pa.int64()),
+        "ttf": pa.array(ttf, type=pa.int64()),
+        "doc_ids_enc": pa.array(doc_ids_enc, type=pa.large_binary()),
+        "freqs_enc": pa.array(freqs_enc, type=pa.large_binary()),
+        "positions_enc": pa.array(positions_enc, type=pa.large_binary()),
+        "skip_last_docs": pa.array(skip_last_docs, type=pa.large_binary()),
+        "skip_doc_offs": pa.array(skip_doc_offs, type=pa.large_binary()),
+        "block_max_impact": pa.array(block_max, type=pa.large_binary()),
+    })
+
+
+def decode_doc_ids(doc_ids_enc: bytes, shard_base: int) -> np.ndarray:
+    deltas = varint.decode(doc_ids_enc)
+    if deltas.size:
+        deltas[0] += shard_base
+    return np.cumsum(deltas)
+
+
+def decode_freqs(freqs_enc: bytes) -> np.ndarray:
+    return varint.decode(freqs_enc)
+
+
+def decode_positions(positions_enc: bytes, freqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (flat absolute positions, per-doc offsets into it)."""
+    deltas = varint.decode(positions_enc)
+    offsets = np.concatenate(([0], np.cumsum(freqs)))
+    if deltas.size == 0:
+        return deltas, offsets
+    abs_pos = np.cumsum(deltas)
+    # subtract the running total at each doc start to restore per-doc cumsum
+    doc_starts = offsets[:-1]
+    base = np.zeros(len(deltas), dtype=np.int64)
+    base[doc_starts[1:]] = abs_pos[doc_starts[1:] - 1]
+    abs_pos = abs_pos - np.maximum.accumulate(base)
+    return abs_pos, offsets
+
+
+def decode_block_max(block_max_impact: bytes) -> np.ndarray:
+    return np.frombuffer(block_max_impact, dtype=np.float32)
+
+
+def decode_skip_last_docs(skip_last_docs: bytes) -> np.ndarray:
+    return varint.decode_deltas(skip_last_docs)

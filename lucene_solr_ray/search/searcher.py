@@ -1,0 +1,254 @@
+"""Query engine over the sharded segment layout.
+
+- ``ShardSearcher``: in-process search over one doc-shard (terms table +
+  norms loaded once, term -> row dict — the stand-in for the FST term
+  dictionary, BlockTreeTermsWriter.java:174-189). Scoring is vectorized
+  float32 BM25 (SURVEY.md §3.2) using *global* term statistics supplied by
+  the coordinator (Solr ExactStatsCache analog — required for
+  rank-identity with a single-node index).
+- ``IndexSearcher``: drives N shards (in-process or via a Ray actor pool,
+  see actors.py), two-phase: (1) gather per-shard docFreq for the query's
+  terms, sum to global stats; (2) scatter scoring, k-way merge of per-shard
+  top-k by (score desc, doc_id asc) — equivalent to TopDocs.merge's
+  (score, shardIndex, hit index) tie-break because shards own ascending
+  disjoint doc_id ranges (TopDocs.java:199-215).
+
+Boolean semantics: BooleanWeight sum-of-clause scores, MUST intersection
+(ConjunctionDISI leapfrog -> vectorized sorted-array intersection), SHOULD
+union (exhaustive scored disjunction — the reference snapshot has no WAND),
+MUST_NOT exclusion (ReqExclScorer -> sorted-array difference). Clause
+scores accumulate in clause order in float32, matching the oracle.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..index import segment
+from . import bm25
+from .query import BooleanQuery, MatchNoDocs, PhraseQuery, Query, TermQuery, parse_query
+
+
+def collect_terms(q: Query) -> set[str]:
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, PhraseQuery):
+        return set(q.terms)
+    if isinstance(q, BooleanQuery):
+        out: set[str] = set()
+        for c in q.clauses():
+            out |= collect_terms(c)
+        return out
+    return set()
+
+
+class ShardSearcher:
+    """Search over one shard; all postings/norms held in memory."""
+
+    def __init__(self, index_dir: str, shard_id: int, manifest: dict | None = None):
+        index_path = Path(index_dir)
+        if manifest is None:
+            manifest = json.loads((index_path / "manifest.json").read_text())
+        self.shard_id = shard_id
+        params = manifest["params"]
+        stats = manifest["stats"]
+        self.docs_per_shard = params["docs_per_shard"]
+        self.base = shard_id * self.docs_per_shard
+        self.doc_count = stats["doc_count"]
+        self.avgdl = np.float32(stats["avgdl"])
+        self.cache = bm25.norm_cache(self.avgdl)
+
+        terms_file = index_path / "shards" / f"shard={shard_id:05d}" / "terms.parquet"
+        if terms_file.exists():
+            t = pq.read_table(terms_file)
+            self._terms = {term: i for i, term in enumerate(t.column("term").to_pylist())}
+            self._df = t.column("df").to_numpy(zero_copy_only=False)
+            self._ttf = t.column("ttf").to_numpy(zero_copy_only=False)
+            self._doc_enc = t.column("doc_ids_enc").to_pylist()
+            self._freq_enc = t.column("freqs_enc").to_pylist()
+            self._pos_enc = t.column("positions_enc").to_pylist()
+        else:  # empty shard
+            self._terms = {}
+            self._df = np.empty(0, dtype=np.int64)
+            self._ttf = np.empty(0, dtype=np.int64)
+            self._doc_enc = []
+            self._freq_enc = []
+            self._pos_enc = []
+
+        norms_part = index_path / "norms" / f"doc_shard={shard_id}"
+        self.norms = np.zeros(self.docs_per_shard, dtype=np.uint8)
+        if norms_part.exists():
+            nt = pq.read_table(norms_part, columns=["doc_id", "norm_byte"])
+            ids = nt.column("doc_id").to_numpy(zero_copy_only=False)
+            vals = nt.column("norm_byte").to_numpy(zero_copy_only=False)
+            self.norms[ids - self.base] = vals
+
+    # --- phase 1: local term stats ---
+    def local_df(self, terms: list[str]) -> dict[str, int]:
+        return {t: int(self._df[self._terms[t]]) for t in terms if t in self._terms}
+
+    # --- postings access ---
+    def _postings(self, term: str):
+        i = self._terms.get(term)
+        if i is None:
+            return None
+        docs = segment.decode_doc_ids(self._doc_enc[i], self.base)
+        freqs = segment.decode_freqs(self._freq_enc[i])
+        return docs, freqs, i
+
+    # --- phase 2: scoring with global stats ---
+    def _score_term(self, q: TermQuery, df_map: dict[str, int]):
+        p = self._postings(q.term)
+        if p is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        docs, freqs, _ = p
+        w = bm25.weight_value(
+            bm25.idf(df_map.get(q.term, 0), self.doc_count), q.boost)
+        scores = bm25.score_freqs(freqs, self.norms[docs - self.base], self.cache, w)
+        return docs, scores
+
+    def _score_phrase(self, q: PhraseQuery, df_map: dict[str, int]):
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        plists = []
+        for t in q.terms:
+            p = self._postings(t)
+            if p is None:
+                return empty
+            plists.append(p)
+        # conjunction over doc ids, tracking row indices per term
+        docs = plists[0][0]
+        idxs = [np.arange(len(docs))]
+        for d2, _, _ in plists[1:]:
+            docs, ia, ib = np.intersect1d(docs, d2, assume_unique=True,
+                                          return_indices=True)
+            idxs = [ix[ia] for ix in idxs]
+            idxs.append(ib)
+        if len(docs) == 0:
+            return empty
+        # decode positions lazily, only for terms in this phrase
+        pos_data = []
+        for (d, f, row), ix in zip(plists, idxs):
+            flat, offs = segment.decode_positions(self._pos_enc[row], f)
+            pos_data.append((flat, offs, ix))
+        rel = q.positions
+        phrase_freqs = np.zeros(len(docs), dtype=np.int64)
+        flat0, offs0, ix0 = pos_data[0]
+        for j in range(len(docs)):
+            p0 = flat0[offs0[ix0[j]]:offs0[ix0[j] + 1]]
+            mask = np.ones(len(p0), dtype=bool)
+            for t_i in range(1, len(pos_data)):
+                flat_i, offs_i, ix_i = pos_data[t_i]
+                pi = flat_i[offs_i[ix_i[j]]:offs_i[ix_i[j] + 1]]
+                mask &= np.isin(p0 - rel[0] + rel[t_i], pi)
+                if not mask.any():
+                    break
+            phrase_freqs[j] = int(mask.sum())
+        keep = phrase_freqs > 0
+        docs = docs[keep]
+        pf = phrase_freqs[keep]
+        sum_idf = np.float32(0.0)
+        for t in q.terms:
+            sum_idf = np.float32(
+                sum_idf + bm25.idf(df_map.get(t, 0), self.doc_count))
+        w = bm25.weight_value(sum_idf, q.boost)
+        scores = bm25.score_freqs(pf, self.norms[docs - self.base], self.cache, w)
+        return docs, scores
+
+    def _score_clause(self, q: Query, df_map: dict[str, int]):
+        if isinstance(q, TermQuery):
+            return self._score_term(q, df_map)
+        if isinstance(q, PhraseQuery):
+            return self._score_phrase(q, df_map)
+        if isinstance(q, BooleanQuery):
+            return self._score_boolean(q, df_map)
+        if isinstance(q, MatchNoDocs):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        raise TypeError(f"unsupported query node: {type(q)}")
+
+    def _score_boolean(self, q: BooleanQuery, df_map: dict[str, int]):
+        must = [self._score_clause(c, df_map) for c in q.must]
+        should = [self._score_clause(c, df_map) for c in q.should]
+        if must:
+            docs, scores = must[0]
+            scores = scores.copy()
+            for d2, s2 in must[1:]:
+                docs, ia, ib = np.intersect1d(docs, d2, assume_unique=True,
+                                              return_indices=True)
+                scores = (scores[ia] + s2[ib]).astype(np.float32)
+            for d2, s2 in should:
+                pos = np.searchsorted(d2, docs)
+                pos_ok = pos < len(d2)
+                hit = np.zeros(len(docs), dtype=bool)
+                hit[pos_ok] = d2[pos[pos_ok]] == docs[pos_ok]
+                add = np.zeros(len(docs), dtype=np.float32)
+                add[hit] = s2[pos[hit]]
+                scores = (scores + add).astype(np.float32)
+        else:
+            all_docs = np.unique(np.concatenate([d for d, _ in should])) \
+                if should else np.empty(0, dtype=np.int64)
+            scores = np.zeros(len(all_docs), dtype=np.float32)
+            for d2, s2 in should:
+                idx = np.searchsorted(all_docs, d2)
+                scores[idx] = (scores[idx] + s2).astype(np.float32)
+            docs = all_docs
+        for c in q.must_not:
+            d2, _ = self._score_clause(c, df_map)
+            if len(d2):
+                keep = ~np.isin(docs, d2, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
+        return docs, scores
+
+    def search(self, query: Query, df_map: dict[str, int], k: int = 10):
+        """Top-k (doc_id, score) for this shard."""
+        docs, scores = self._score_clause(query, df_map)
+        if len(docs) == 0:
+            return []
+        if len(docs) > k:
+            # partial selection; keep every doc tied with the k-th score so
+            # the lower-doc_id tie-break stays exact, then sort the slice
+            kth = scores[np.argpartition(-scores, k - 1)[k - 1]]
+            cand = scores >= kth
+            docs, scores = docs[cand], scores[cand]
+        order = np.lexsort((docs, -scores.astype(np.float32)))[:k]
+        return [(int(docs[i]), np.float32(scores[i])) for i in order]
+
+
+class IndexSearcher:
+    """Single-process searcher over all shards (tests / small indexes)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = str(index_dir)
+        self.manifest = json.loads(
+            (Path(index_dir) / "manifest.json").read_text())
+        shard_ids = [s["shard_id"] for s in self.manifest["shards"]]
+        self.shards = [
+            ShardSearcher(self.index_dir, sid, self.manifest) for sid in sorted(shard_ids)
+        ]
+        self.analyzer_name = self.manifest["params"]["analyzer"]
+
+    def parse(self, text: str) -> Query:
+        from ..analysis import get_analyzer
+
+        return parse_query(text, get_analyzer(self.analyzer_name))
+
+    def global_df(self, query: Query) -> dict[str, int]:
+        terms = sorted(collect_terms(query))
+        df: dict[str, int] = {}
+        for sh in self.shards:
+            for t, d in sh.local_df(terms).items():
+                df[t] = df.get(t, 0) + d
+        return df
+
+    def search(self, query: Query | str, k: int = 10):
+        if isinstance(query, str):
+            query = self.parse(query)
+        df_map = self.global_df(query)
+        hits: list[tuple[int, np.float32]] = []
+        for sh in self.shards:
+            hits.extend(sh.search(query, df_map, k))
+        hits.sort(key=lambda h: (-float(h[1]), h[0]))
+        return hits[:k]

@@ -16,6 +16,10 @@ if str(REPO_ROOT) not in sys.path:
 def ray_session():
     import ray
 
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
     if not ray.is_initialized():
         ray.init(
             address="local",

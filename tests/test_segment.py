@@ -1,0 +1,97 @@
+"""Segment codec roundtrips: encode a shard's postings, decode, compare."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.index import segment
+from lucene_solr_ray.search import bm25
+
+
+def build_inputs(rng, n_terms=40, n_docs=500, base=1000):
+    """Random sorted (term, doc_id) postings with positions."""
+    rows = []
+    for t in range(n_terms):
+        term = f"term{t:03d}"
+        df = int(rng.integers(1, n_docs))
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)) + base
+        for d in docs:
+            freq = int(rng.integers(1, 5))
+            pos = np.sort(rng.choice(200, size=freq, replace=False))
+            rows.append((term, int(d), freq, pos))
+    terms = np.array([r[0] for r in rows], dtype=object)
+    doc_ids = np.array([r[1] for r in rows], dtype=np.int64)
+    freqs = np.array([r[2] for r in rows], dtype=np.int64)
+    pos_flat = np.concatenate([r[3] for r in rows]).astype(np.int64)
+    norm_bytes = (doc_ids % 200 + 20).astype(np.uint8)
+    return terms, doc_ids, freqs, pos_flat, norm_bytes
+
+
+@pytest.fixture(scope="module")
+def encoded():
+    rng = np.random.default_rng(7)
+    terms, doc_ids, freqs, pos_flat, norm_bytes = build_inputs(rng)
+    cache = bm25.norm_cache(np.float32(10.0))
+    table = segment.encode_shard_postings(
+        terms, doc_ids, freqs, pos_flat, norm_bytes, shard_base=1000, cache=cache)
+    return table, (terms, doc_ids, freqs, pos_flat, norm_bytes, cache)
+
+
+def test_term_stats(encoded):
+    table, (terms, doc_ids, freqs, _, _, _) = encoded
+    t = table.to_pydict()
+    assert t["term"] == sorted(set(terms))
+    for i, term in enumerate(t["term"]):
+        mask = terms == term
+        assert t["df"][i] == int(mask.sum())
+        assert t["ttf"][i] == int(freqs[mask].sum())
+
+
+def test_doc_id_roundtrip(encoded):
+    table, (terms, doc_ids, freqs, _, _, _) = encoded
+    t = table.to_pydict()
+    for i, term in enumerate(t["term"]):
+        mask = terms == term
+        out = segment.decode_doc_ids(t["doc_ids_enc"][i], shard_base=1000)
+        np.testing.assert_array_equal(out, doc_ids[mask])
+        np.testing.assert_array_equal(
+            segment.decode_freqs(t["freqs_enc"][i]), freqs[mask])
+
+
+def test_positions_roundtrip(encoded):
+    table, (terms, doc_ids, freqs, pos_flat, _, _) = encoded
+    t = table.to_pydict()
+    # reconstruct per-posting position slices
+    bounds = np.concatenate(([0], np.cumsum(freqs)))
+    for i, term in enumerate(t["term"]):
+        idxs = np.nonzero(terms == term)[0]
+        f = freqs[idxs]
+        flat, offs = segment.decode_positions(t["positions_enc"][i], f)
+        expected = np.concatenate([pos_flat[bounds[j]:bounds[j + 1]] for j in idxs])
+        np.testing.assert_array_equal(flat, expected)
+        np.testing.assert_array_equal(offs, np.concatenate(([0], np.cumsum(f))))
+
+
+def test_block_metadata(encoded):
+    table, (terms, doc_ids, freqs, _, norm_bytes, cache) = encoded
+    t = table.to_pydict()
+    for i, term in enumerate(t["term"]):
+        mask = terms == term
+        docs = doc_ids[mask]
+        last = segment.decode_skip_last_docs(t["skip_last_docs"][i])
+        nblocks = (len(docs) + segment.BLOCK_SIZE - 1) // segment.BLOCK_SIZE
+        assert len(last) == nblocks
+        assert last[-1] == docs[-1]
+        impacts = (freqs[mask].astype(np.float32) /
+                   (freqs[mask].astype(np.float32) + cache[norm_bytes[mask].astype(np.int64)]))
+        bmax = segment.decode_block_max(t["block_max_impact"][i])
+        assert len(bmax) == nblocks
+        assert bmax[0] == impacts[:segment.BLOCK_SIZE].max()
+
+
+def test_empty_shard():
+    cache = bm25.norm_cache(np.float32(1.0))
+    t = segment.encode_shard_postings(
+        np.array([], dtype=object), np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64), np.array([], dtype=np.int64),
+        np.array([], dtype=np.uint8), 0, cache)
+    assert t.num_rows == 0
