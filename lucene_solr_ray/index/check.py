@@ -1,0 +1,96 @@
+"""check_index: full-index invariant validation (CheckIndex analog,
+``lucene/core/src/java/org/apache/lucene/index/CheckIndex.java``).
+
+Validates, per shard: terms sorted and unique; doc_ids strictly ascending
+within each posting list and inside the shard's [doc_lo, doc_hi) range;
+df == decoded list length; ttf == sum of freqs; per-doc positions strictly
+ascending with counts matching freqs; skip/block metadata consistent.
+Globally: manifest stats equal the per-shard sums, and the norms docmap
+covers every doc_id exactly once.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from . import segment
+
+
+def check_index(index_dir: str) -> dict:
+    """Raises AssertionError on any violation; returns a summary report."""
+    index_path = Path(index_dir)
+    manifest = json.loads((index_path / "manifest.json").read_text())
+    docs_per_shard = manifest["params"]["docs_per_shard"]
+
+    total_postings = 0
+    total_terms = 0
+    sum_ttf = 0
+    for sh in manifest["shards"]:
+        sid = sh["shard_id"]
+        base = sid * docs_per_shard
+        t = pq.read_table(index_path / "shards" / f"shard={sid:05d}" / "terms.parquet")
+        terms = t.column("term").to_pylist()
+        assert terms == sorted(terms), f"shard {sid}: terms not sorted"
+        assert len(set(terms)) == len(terms), f"shard {sid}: duplicate terms"
+        assert len(terms) == sh["term_count"], f"shard {sid}: term_count mismatch"
+        df = t.column("df").to_numpy(zero_copy_only=False)
+        ttf = t.column("ttf").to_numpy(zero_copy_only=False)
+        postings_here = 0
+        for i in range(len(terms)):
+            docs = segment.decode_doc_ids(t.column("doc_ids_enc")[i].as_py(), base)
+            freqs = segment.decode_freqs(t.column("freqs_enc")[i].as_py())
+            assert len(docs) == df[i], f"shard {sid} term {terms[i]}: df != list length"
+            assert len(freqs) == df[i]
+            assert np.all(np.diff(docs) > 0), \
+                f"shard {sid} term {terms[i]}: doc_ids not strictly ascending"
+            assert docs[0] >= base and docs[-1] < base + docs_per_shard, \
+                f"shard {sid} term {terms[i]}: doc_id outside shard range"
+            assert int(freqs.sum()) == int(ttf[i]), \
+                f"shard {sid} term {terms[i]}: ttf != sum(freqs)"
+            assert np.all(freqs > 0)
+            pos_flat, offs = segment.decode_positions(
+                t.column("positions_enc")[i].as_py(), freqs)
+            assert len(pos_flat) == int(freqs.sum())
+            for j in range(len(docs)):
+                p = pos_flat[offs[j]:offs[j + 1]]
+                assert np.all(np.diff(p) > 0) and np.all(p >= 0), \
+                    f"shard {sid} term {terms[i]} doc {docs[j]}: bad positions"
+            last = segment.decode_skip_last_docs(t.column("skip_last_docs")[i].as_py())
+            nblocks = (len(docs) + segment.BLOCK_SIZE - 1) // segment.BLOCK_SIZE
+            assert len(last) == nblocks and last[-1] == docs[-1]
+            bmax = segment.decode_block_max(t.column("block_max_impact")[i].as_py())
+            assert len(bmax) == nblocks and np.all(bmax > 0)
+            postings_here += len(docs)
+        assert postings_here == sh["posting_count"], f"shard {sid}: posting_count"
+        total_postings += postings_here
+        total_terms += len(terms)
+        sum_ttf += int(ttf.sum())
+
+    # norms / docmap coverage
+    norms = pads.dataset(str(index_path / "norms"), format="parquet",
+                         partitioning="hive").to_table(
+        columns=["doc_id", "doc_len"])
+    doc_ids = np.sort(norms.column("doc_id").to_numpy(zero_copy_only=False))
+    stats = manifest["stats"]
+    assert len(doc_ids) == stats["num_docs"], "docmap row count != num_docs"
+    np.testing.assert_array_equal(doc_ids, np.arange(len(doc_ids)),
+                                  err_msg="doc_ids not a dense 0..N-1 range")
+    doc_len = norms.column("doc_len").to_numpy(zero_copy_only=False)
+    assert int(doc_len.sum()) == stats["sum_total_term_freq"], \
+        "sum(doc_len) != sumTotalTermFreq"
+    assert int((doc_len > 0).sum()) == stats["doc_count"]
+    assert sum_ttf == stats["sum_total_term_freq"], \
+        "sum of term ttf != sumTotalTermFreq"
+
+    return {
+        "shards": len(manifest["shards"]),
+        "terms": total_terms,
+        "postings": total_postings,
+        "docs": int(len(doc_ids)),
+        "status": "ok",
+    }
