@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline — synthesize tiny transcripts, build the
+  sharded inverted index, serve a BM25 query batch from an actor pool.
+- ``queries()``: one entry per implemented operator from SURVEY.md §2 and
+  the training-data-pipeline additions; each callable takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL per SQL-expressible query
+  (column names match exactly). Full-text / sketch operators are
+  rows-only checked here and rank/score-verified against the
+  single-process oracle in pytest.
 """
 
 from __future__ import annotations
@@ -18,27 +18,166 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_STOPWORDS_SQL = (
+    "('a','an','and','are','as','at','be','but','by','for','if','in','into',"
+    "'is','it','no','not','of','on','or','such','that','the','their','then',"
+    "'there','these','they','this','to','was','will','with')"
+)
+
+_TOKS = ("SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))"
+         " AS term FROM documents")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from lucene_solr_ray.pipelines.fulltext import transcripts_flagship
+
+    return transcripts_flagship("tiny")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_solr_ray.pipelines import dedup, fulltext, knn, relational, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # facets / aggregates (SURVEY.md §2.6)
+        "facet_lang": relational.facet_lang,
+        "facet_source_lang": relational.facet_source_lang,
+        "stats_events": relational.stats_events,
+        "rollup_lineitem": relational.rollup_lineitem,
+        "distinct_users_events": relational.distinct_users_events,
+        # sorts / top-k / grouping (§2.7)
+        "topk_orders": relational.topk_orders,
+        "collapse_orders": relational.collapse_orders,
+        "group_topk_orders": relational.group_topk_orders,
+        # scalar expressions / range queries (§2.9)
+        "select_expr_lineitem": relational.select_expr_lineitem,
+        "range_filter_events": relational.range_filter_events,
+        # set ops / dedup (§2.8)
+        "merge_union_events": relational.merge_union_events,
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_overlap_pairs": dedup.ngram_overlap_pairs,
+        # joins (§2.5)
+        "hashjoin_orders_customer": relational.hashjoin_orders_customer,
+        "innerjoin_lineitem_orders": relational.innerjoin_lineitem_orders,
+        "leftouter_customer_orders": relational.leftouter_customer_orders,
+        "semijoin_customers": relational.semijoin_customers,
+        "antijoin_customers": relational.antijoin_customers,
+        # index-build statistics in SQL-checkable form (§2.6 last row)
+        "term_df_simple": textstats.term_df_simple,
+        "doc_token_counts": textstats.doc_token_counts,
+        "quality_scores": textstats.quality_scores,
+        # similarity search
+        "knn_cosine": knn.knn_cosine,
+        # full-text + sketches (non-SQL-expressible: rows-only here,
+        # oracle-diffed in pytest)
+        "bm25_topk_docs": fulltext.bm25_topk_docs,
+        "minhash_neardup": dedup.minhash_neardup,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "lang_id": textstats.lang_id,
+        "doc_fingerprints": textstats.fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "facet_lang":
+            "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+        "facet_source_lang":
+            "SELECT source, lang, count(*) AS cnt FROM documents "
+            "GROUP BY source, lang",
+        "stats_events":
+            "SELECT event_type, count(*) AS cnt, min(value) AS min_value, "
+            "max(value) AS max_value, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY event_type",
+        "rollup_lineitem":
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "distinct_users_events":
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type",
+        "topk_orders":
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+        "collapse_orders":
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+            ") AS rn FROM orders) WHERE rn = 1",
+        "group_topk_orders":
+            "SELECT o_custkey, o_orderkey FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+            ") AS rn FROM orders) WHERE rn <= 2",
+        "select_expr_lineitem":
+            "SELECT l_orderkey, l_linenumber, "
+            "round(l_extendedprice * (1 - l_discount), 4) AS revenue, "
+            "l_quantity * 2 AS qty2 FROM lineitem "
+            "WHERE l_shipdate < TIMESTAMP '1997-01-01'",
+        "range_filter_events":
+            "SELECT event_type, count(*) AS cnt, "
+            "round(sum(value), 2) AS sum_value FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22' "
+            "AND value >= 10.0 GROUP BY event_type",
+        "merge_union_events":
+            "SELECT event_id, event_type, round(value, 4) AS value "
+            "FROM events WHERE event_type = 'click' "
+            "UNION ALL "
+            "SELECT event_id, event_type, round(value, 4) AS value "
+            "FROM events WHERE event_type = 'error'",
+        "exact_dedup":
+            "SELECT md5(text) AS sig, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY md5(text)",
+        "ngram_overlap_pairs":
+            "WITH t AS (SELECT DISTINCT doc_id, term FROM (" + _TOKS + ") "
+            "WHERE term <> '' AND doc_id < 20), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS n_inter FROM t a JOIN t b ON a.term = b.term "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, "
+            "coalesce(i.n_inter, 0) AS n_inter, "
+            "s1.n + s2.n - coalesce(i.n_inter, 0) AS n_union "
+            "FROM sizes s1 JOIN sizes s2 ON s1.doc_id < s2.doc_id "
+            "LEFT JOIN inter i ON i.doc_a = s1.doc_id AND i.doc_b = s2.doc_id",
+        "hashjoin_orders_customer":
+            "SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice "
+            "FROM orders JOIN customer ON o_custkey = c_custkey",
+        "innerjoin_lineitem_orders":
+            "SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, "
+            "round(l_extendedprice * (1 - l_discount), 4) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+        "leftouter_customer_orders":
+            "SELECT c_custkey, c_name, count(o_orderkey) AS n_orders "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey, c_name",
+        "semijoin_customers":
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 420000)",
+        "antijoin_customers":
+            "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 420000)",
+        "term_df_simple":
+            "SELECT term, count(*) AS df, sum(tf) AS ttf FROM ("
+            "SELECT doc_id, term, count(*) AS tf FROM (" + _TOKS + ") "
+            "WHERE term <> '' GROUP BY doc_id, term) GROUP BY term",
+        "doc_token_counts":
+            "SELECT doc_id, count(*) AS n_tokens FROM (" + _TOKS + ") "
+            "WHERE term <> '' GROUP BY doc_id",
+        "quality_scores":
+            "WITH t2 AS (SELECT doc_id, count(*) AS n_tokens, "
+            "sum(CASE WHEN term IN " + _STOPWORDS_SQL + " THEN 1 ELSE 0 END) "
+            "AS n_stopwords, "
+            "round(sum(length(term)) * 1.0 / count(*), 4) AS mean_token_len "
+            "FROM (" + _TOKS + ") WHERE term <> '' GROUP BY doc_id) "
+            "SELECT d.doc_id, length(d.text) AS n_chars, "
+            "coalesce(t2.n_tokens, 0) AS n_tokens, "
+            "coalesce(t2.n_stopwords, 0) AS n_stopwords, "
+            "coalesce(t2.mean_token_len, 0.0) AS mean_token_len "
+            "FROM documents d LEFT JOIN t2 ON d.doc_id = t2.doc_id",
+        "knn_cosine":
+            "SELECT vec_id, round(sim, 6) AS sim FROM ("
+            "SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]"
+            ") AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10)",
+    }

@@ -1,0 +1,94 @@
+"""Full-text pipelines over the test tables: the flagship engine applied to
+the ``documents`` table and the synthesized transcripts."""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..index.build import build_index, read_manifest
+from ..search.searcher import IndexSearcher
+
+#: query set exercising term/boolean/phrase shapes over the documents vocab
+DOC_QUERIES = (
+    "table", "hash join", "query AND plan", "scan OR merge",
+    '"group by"', "+filter -window", "data pipeline batch",
+    "zzznotfound", "the value",
+)
+
+
+def _docs_index_dir(sf_dir: str) -> str:
+    key = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    return f"/tmp/lsr_cache/docs_index_{key}"
+
+
+def docs_index(sf_dir: str, num_shards: int = 4) -> str:
+    """Build (once, cached) the inverted index over documents.text.
+
+    doc_id order: documents are keyed ``conv_id = f"doc-{doc_id:08d}"``,
+    turn_idx = 0, so the engine's rank-assigned doc_id equals the table's
+    doc_id (zero-padded lexicographic order == numeric order).
+    """
+    out = _docs_index_dir(sf_dir)
+    if not (Path(out) / "manifest.json").exists():
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def to_schema(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            return pa.table({
+                "conv_id": pa.array([f"doc-{i:08d}" for i in ids]),
+                "turn_idx": pa.array([0] * len(ids), type=pa.int32()),
+                "text": batch.column("text"),
+            })
+
+        ds = docs.map_batches(to_schema, batch_format="pyarrow")
+        build_index(ds, out, num_shards=num_shards, assume_sorted=False)
+    return out
+
+
+def bm25_topk_docs(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 top-k for the fixed query set (rows-only correctness check;
+    rank/score identity vs the oracle is asserted in pytest)."""
+    idx = docs_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    rows = []
+    for q in DOC_QUERIES:
+        for rank, (doc_id, score) in enumerate(searcher.search(q, k=k)):
+            rows.append((q, rank, doc_id, float(score)))
+    return pa.table({
+        "query": pa.array([r[0] for r in rows]),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "score": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
+def transcripts_flagship(size: str = "tiny", k: int = 10) -> pd.DataFrame:
+    """The flagship pipeline: synthesize transcripts, build the sharded
+    index, serve a query batch from the actor pool, return ranked hits."""
+    from ..data.transcripts import transcripts_path
+    from ..search.actors import DistributedSearcher
+
+    src = transcripts_path(size)
+    out = f"/tmp/lsr_cache/transcripts_index_{size}"
+    if not (Path(out) / "manifest.json").exists():
+        build_index(src, out, num_shards=4)
+
+    queries = ["ray", "data index", "ray AND data", '"ray data"',
+               "+index -error", "engine scale batch"]
+    dist = DistributedSearcher(out, num_actors=2)
+    try:
+        results = dist.search_batch(queries, k=k)
+    finally:
+        dist.close()
+    rows = []
+    for q, hits in zip(queries, results):
+        for rank, (doc_id, score) in enumerate(hits):
+            rows.append((q, rank, doc_id, float(score)))
+    return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])

@@ -1,0 +1,265 @@
+"""Relational / streaming-expression operators over the test tables.
+
+Each function is the Ray-Data re-expression of a reference operator
+(SURVEY.md §2.6-§2.9); each has a matching ANSI-SQL oracle in
+``__ray_entry__.oracle_sql``. Computed columns are named identically in
+both. Float aggregates are rounded half-away-from-zero (DuckDB ROUND
+semantics) at a precision safely above double-accumulation noise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .joins import anti_join, broadcast_hash_join, partitioned_hash_join, semi_join
+from .util import read, round_col
+
+
+# --- facets (SimpleFacets.java:102-417; JSON facet aggs, search/facet/) ---
+
+def facet_lang(sf_dir: str):
+    """Field facet counts: documents by lang."""
+    return (read(sf_dir, "documents", ["lang"])
+            .groupby("lang").aggregate(Count(alias_name="cnt")))
+
+
+def facet_source_lang(sf_dir: str):
+    """Nested bucket facet: documents by (source, lang)."""
+    return (read(sf_dir, "documents", ["source", "lang"])
+            .groupby(["source", "lang"]).aggregate(Count(alias_name="cnt")))
+
+
+# --- stats component (StatsComponent.java / StatsValuesFactory.java) ---
+
+def stats_events(sf_dir: str):
+    """min/max/sum/count of events.value per event_type; sum rounded to 2."""
+    out = (read(sf_dir, "events", ["event_type", "value"])
+           .groupby("event_type")
+           .aggregate(Count(alias_name="cnt"),
+                      Min("value", alias_name="min_value"),
+                      Max("value", alias_name="max_value"),
+                      Sum("value", alias_name="sum_value")))
+    return out.map_batches(
+        lambda t: round_col(t, "sum_value", 2), batch_format="pyarrow")
+
+
+# --- rollup (RollupStream.java:43-169 over Bucket[] x Metric[]) ---
+
+def rollup_lineitem(sf_dir: str):
+    """Grouped rollup: (returnflag, linestatus) -> sum qty, sum price, count."""
+    out = (read(sf_dir, "lineitem",
+                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_price"),
+                      Count(alias_name="cnt")))
+    return out.map_batches(
+        lambda t: round_col(round_col(t, "sum_qty", 2), "sum_price", 2),
+        batch_format="pyarrow")
+
+
+# --- top-k / rank (RankStream.java:45-57; TopFieldCollector) ---
+
+def topk_orders(sf_dir: str):
+    """Top 10 orders by totalprice desc, orderkey asc tie-break."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+# --- scalar expressions (ValueSource zoo, queries/function/valuesource/) ---
+
+def select_expr_lineitem(sf_dir: str):
+    """Computed columns: revenue = extendedprice*(1-discount), qty2 = 2*qty,
+    filtered to shipdate < 1997-01-01."""
+    ds = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+               "l_discount", "l_shipdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("l_shipdate"),
+                             pa.scalar(np.datetime64("1997-01-01", "us"))))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        qty2 = pc.multiply(t.column("l_quantity"), pa.scalar(2.0))
+        out = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "revenue": rev,
+            "qty2": qty2,
+        })
+        return round_col(out, "revenue", 4)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- range filter (PointRangeQuery / TrieField range) ---
+
+def range_filter_events(sf_dir: str):
+    """Count + rounded sum of value per type for a ts/value range."""
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def fil(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t.column("ts"),
+                                     pa.scalar(np.datetime64("2024-01-08", "us"))),
+                    pc.less(t.column("ts"),
+                            pa.scalar(np.datetime64("2024-01-22", "us")))),
+            pc.greater_equal(t.column("value"), pa.scalar(10.0)))
+        return t.filter(m)
+
+    out = (ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Count(alias_name="cnt"), Sum("value", alias_name="sum_value")))
+    return out.map_batches(lambda t: round_col(t, "sum_value", 2),
+                           batch_format="pyarrow")
+
+
+# --- distinct (UniqueAgg exact cardinality, search/facet/UniqueAgg.java) ---
+
+def distinct_users_events(sf_dir: str):
+    """Exact count-distinct user_id per event_type: per-batch partial dedup,
+    one shuffle on the (type, user) pairs, then a count per type."""
+    ds = read(sf_dir, "events", ["event_type", "user_id"])
+    # partial dedup inside batches to shrink the shuffle
+    dedup = ds.map_batches(
+        lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow")
+    pairs = dedup.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    return (pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+            .select_columns(["event_type", "n_users"]))
+
+
+# --- collapse (CollapsingQParserPlugin) / grouping (lucene/grouping) ---
+
+def collapse_orders(sf_dir: str):
+    """Best order per customer: max totalprice, tie -> min orderkey."""
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True])
+        return g.head(1)
+
+    return ds.groupby("o_custkey").map_groups(best, batch_format="pandas")
+
+
+def group_topk_orders(sf_dir: str):
+    """Top-2 orders per customer by (totalprice desc, orderkey asc)."""
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(2)
+        return g[["o_custkey", "o_orderkey"]]
+
+    return ds.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+
+
+# --- set ops (MergeStream.java:40 sorted union) ---
+
+def merge_union_events(sf_dir: str):
+    """Union of two filtered event streams (click + error)."""
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def fil(kind: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("event_type"), pa.scalar(kind)))
+        return fn
+
+    a = ds.map_batches(fil("click"), batch_format="pyarrow")
+    b = ds.map_batches(fil("error"), batch_format="pyarrow")
+    u = a.union(b)
+    return u.map_batches(lambda t: round_col(t, "value", 4), batch_format="pyarrow")
+
+
+# --- joins (SURVEY.md §2.5) ---
+
+def hashjoin_orders_customer(sf_dir: str):
+    """Broadcast hash join: orders x customer."""
+    import pyarrow.parquet as pq
+
+    customers = pq.read_table(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name", "c_mktsegment"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_hash_join(orders, customers, on="o_custkey",
+                                 right_on="c_custkey")
+    return joined.select_columns(
+        ["o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"])
+
+
+def innerjoin_lineitem_orders(sf_dir: str):
+    """Partitioned hash join: lineitem x orders (both 'large')."""
+    li = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    joined = partitioned_hash_join(li, orders, on="l_orderkey",
+                                   right_on="o_orderkey", num_buckets=16)
+
+    def fn(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        out = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "o_custkey": t.column("o_custkey"),
+            "o_orderstatus": t.column("o_orderstatus"),
+            "revenue": rev,
+        })
+        return round_col(out, "revenue", 4)
+
+    return joined.map_batches(fn, batch_format="pyarrow")
+
+
+def leftouter_customer_orders(sf_dir: str):
+    """LeftOuterJoinStream analog: every customer with its order count
+    (0 when none) — broadcast the aggregated small side."""
+    import pyarrow.parquet as pq
+
+    counts = (read(sf_dir, "orders", ["o_custkey"])
+              .groupby("o_custkey").aggregate(Count(alias_name="n_orders")))
+    counts_t = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = broadcast_hash_join(cust, counts_t, on="c_custkey",
+                                 right_on="o_custkey", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t.column("n_orders"), pa.scalar(0, type=pa.int64()))
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "n_orders": n.cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_BIG_ORDER = 420_000.0  # threshold keeping both semi and anti sides non-empty
+
+
+def _big_order_custkeys(sf_dir: str) -> np.ndarray:
+    ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    keys = (ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"),
+                                      pa.scalar(_BIG_ORDER))),
+        batch_format="pyarrow")
+        .unique("o_custkey"))
+    return np.array(keys, dtype=np.int64)
+
+
+def semijoin_customers(sf_dir: str):
+    """Customers having >=1 high-value order (IntersectStream semi-join)."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return semi_join(cust, _big_order_custkeys(sf_dir), on="c_custkey")
+
+
+def antijoin_customers(sf_dir: str):
+    """Customers with no high-value order (ComplementStream anti-join)."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return anti_join(cust, _big_order_custkeys(sf_dir), on="c_custkey")
