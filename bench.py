@@ -1,0 +1,145 @@
+"""Benchmark driver: headline = transcripts index build + BM25 query serving,
+plus the operator pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N}
+
+--scaling: runs the same job in two fresh processes (num_cpus=8 and 32)
+and prints {"sec_8":..., "sec_32":..., "turns_per_sec_8":...,
+"turns_per_sec_32":..., "scaling_efficiency":...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench(num_cpus: int, sf_dir: str) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from lucene_solr_ray.data.transcripts import transcripts_path
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.actors import DistributedSearcher
+
+    timings: dict[str, float] = {}
+
+    # --- headline: inverted-index build over bench transcripts ---
+    src = transcripts_path("bench")  # ~1.2M turns, generated once, cached
+    import pyarrow.parquet as pq
+
+    n_turns = pq.ParquetFile(src).metadata.num_rows
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    pq.read_table(src)
+
+    index_dir = f"/tmp/lsr_bench/index_{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(src, index_dir, num_shards=max(8, num_cpus),
+                batch_size=2048, concurrency=num_cpus)
+    t_build = time.time() - t0
+    timings["index_build"] = round(t_build, 3)
+    timings["index_turns_per_sec"] = round(n_turns / t_build, 1)
+
+    # --- BM25 query serving: p95 latency + batch throughput ---
+    rng_terms = ["ray", "data", "index", "query", "merge", "scale", "t00042",
+                 "t01999", "engine", "batch"]
+    queries = []
+    for i, t in enumerate(rng_terms):
+        queries.append(t)
+        queries.append(f"{t} AND {rng_terms[(i + 1) % len(rng_terms)]}")
+        queries.append(f"{t} OR {rng_terms[(i + 2) % len(rng_terms)]}")
+        queries.append(f'"{t} {rng_terms[(i + 3) % len(rng_terms)]}"')
+    dist = DistributedSearcher(index_dir, num_actors=max(2, num_cpus // 4))
+    try:
+        dist.search("warmup", k=10)
+        lat = []
+        for q in queries[:40]:
+            tq = time.time()
+            dist.search(q, k=10)
+            lat.append(time.time() - tq)
+        lat.sort()
+        timings["bm25_p95_latency"] = round(lat[int(len(lat) * 0.95) - 1], 4)
+        tb = time.time()
+        dist.search_batch(queries, k=10)
+        timings["bm25_batch_40q"] = round(time.time() - tb, 3)
+    finally:
+        dist.close()
+
+    # --- operator pipelines over the sf tables ---
+    from lucene_solr_ray.pipelines import dedup, knn, relational, textstats
+
+    def consume(res):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            for _ in res.iter_batches(batch_size=65536):
+                pass
+        return res
+
+    for name, fn in [
+        ("rollup_lineitem", relational.rollup_lineitem),
+        ("innerjoin_lineitem_orders", relational.innerjoin_lineitem_orders),
+        ("term_df_simple", textstats.term_df_simple),
+        ("exact_dedup", dedup.exact_dedup),
+        ("knn_cosine", knn.knn_cosine),
+    ]:
+        t0 = time.time()
+        consume(fn(sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "transcripts index build + BM25 top-10 + operator suite",
+        "value": round(t_build, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_turns": int(n_turns),
+        "num_cpus": num_cpus,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        def run(ncpu: int) -> dict:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True, check=True).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = 8, 32
+        r_lo, r_hi = run(lo), run(hi)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(json.dumps({
+            "sec_8": t_lo,
+            "sec_32": t_hi,
+            "turns_per_sec_8": r_lo["queries"]["index_turns_per_sec"],
+            "turns_per_sec_32": r_hi["queries"]["index_turns_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    print(json.dumps(run_bench(num_cpus, sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

@@ -247,20 +247,40 @@ class SegmentWriter:
             row = json.loads((shard_dir / "_SUCCESS").read_text())
             return _manifest_row_table([row])
 
-        sort_idx = pa.compute.sort_indices(
-            group, sort_keys=[("term", "ascending"), ("doc_id", "ascending")])
-        group = group.take(sort_idx)
-
-        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        # sort by (term, doc_id) without materializing per-row strings:
+        # dictionary-encode the term column (per-shard vocab is small), rank
+        # the vocab lexicographically, then one numeric lexsort
+        term_col = group.column("term")
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        dict_arr = term_col.dictionary_encode()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+        vocab_order = np.argsort(vocab, kind="stable")
+        rank_of_code = np.empty(len(vocab), dtype=np.int64)
+        rank_of_code[vocab_order] = np.arange(len(vocab))
+        ranks = rank_of_code[codes]
         doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        freqs = group.column("freq").to_numpy(zero_copy_only=False)
-        norm_bytes = group.column("norm_byte").to_numpy(zero_copy_only=False)
-        pos_list = group.column("positions").combine_chunks()
+        sort_idx = np.lexsort((doc_ids, ranks))
+
+        doc_ids = doc_ids[sort_idx]
+        freqs = group.column("freq").to_numpy(zero_copy_only=False)[sort_idx]
+        norm_bytes = group.column("norm_byte").to_numpy(zero_copy_only=False)[sort_idx]
+        pos_list = group.column("positions")
+        if isinstance(pos_list, pa.ChunkedArray):
+            pos_list = pos_list.combine_chunks()
+        pos_list = pos_list.take(pa.array(sort_idx))
         pos_flat = pos_list.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # term boundaries from the sorted ranks (every vocab entry occurs)
+        counts = np.bincount(ranks, minlength=len(vocab))
+        term_offsets = np.concatenate(([0], np.cumsum(counts)))
+        uniq_terms = vocab[vocab_order]
 
         base = shard_id * self.docs_per_shard
         table = segment.encode_shard_postings(
-            terms, doc_ids, freqs, pos_flat, norm_bytes, base, self.cache)
+            None, doc_ids, freqs, pos_flat, norm_bytes, base, self.cache,
+            uniq_terms=uniq_terms, term_offsets=term_offsets)
 
         tmp = Path(tempfile.mkdtemp(dir=str(shard_dir.parent.parent),
                                     prefix=f".shard{shard_id}-"))
@@ -344,6 +364,14 @@ def build_index(
 ) -> dict:
     """Build a sharded inverted index; returns the manifest dict."""
     t0 = time.time()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def _phase(name: str) -> None:
+        now = time.time()
+        phases[name] = round(now - _last[0], 3)
+        _last[0] = now
+
     index_path = Path(index_dir)
     index_path.mkdir(parents=True, exist_ok=True)
     if not resume:
@@ -380,7 +408,9 @@ def build_index(
         params_file.write_text(json.dumps(
             {"docs_per_shard": int(docs_per_shard), "total_docs": int(total_docs)}))
 
+        _phase("read_count")
         ds, _ = assign_doc_ids(ds, docs_per_shard, verify_order=assume_sorted)
+        _phase("assign_doc_ids")
 
         if runs_dir.exists():
             shutil.rmtree(runs_dir)
@@ -394,12 +424,14 @@ def build_index(
         )
         tokenized.write_parquet(str(runs_dir))
         runs_done.touch()
+        _phase("tokenize_runs")
 
     # stats (column-pruned read of the runs)
     stats = compute_stats(
         rd.read_parquet(str(runs_dir), columns=["doc_len"]))
     avgdl = float(bm25.avg_field_length(
         stats["sum_total_term_freq"], max(stats["doc_count"], 1)))
+    _phase("stats")
 
     # norms + docmap, partitioned by shard for query-side range loads
     norms_dir = index_path / "norms"
@@ -412,6 +444,7 @@ def build_index(
                      "doc_len", "norm_byte"],
         ).write_parquet(str(norms_dir), partition_cols=["doc_shard"])
         (index_path / "_NORMS_SUCCESS").touch()
+    _phase("norms")
 
     # the term shuffle: explode -> groupby(doc_shard) -> encode + write
     runs = rd.read_parquet(
@@ -430,6 +463,7 @@ def build_index(
         .take_all()
     )
 
+    _phase("term_shuffle_encode")
     shards = sorted(manifest_rows, key=lambda r: r["shard_id"])
     manifest = {
         "version": 1,
@@ -444,6 +478,7 @@ def build_index(
             "b": float(bm25.B),
         },
         "stats": {**stats, "avgdl": avgdl},
+        "phases": phases,
         "shards": [
             {k: int(v) for k, v in r.items()} for r in shards
         ],

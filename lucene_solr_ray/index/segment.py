@@ -79,15 +79,21 @@ def _slice_encoded(enc: bytes, value_byte_offsets: np.ndarray,
 
 
 def encode_shard_postings(
-    terms: np.ndarray,            # object array, sorted; defines grouping
+    terms: np.ndarray | None,     # object array, sorted; defines grouping
     doc_ids: np.ndarray,          # int64, sorted within term
     freqs: np.ndarray,            # int64/int32
     pos_flat: np.ndarray,         # int32 flat positions (doc-major)
     norm_bytes: np.ndarray,       # uint8 aligned with doc_ids
     shard_base: int,
     cache: np.ndarray,            # float32[256] BM25 norm cache (for block max)
+    uniq_terms: np.ndarray | None = None,   # precomputed: sorted unique terms
+    term_offsets: np.ndarray | None = None,  # precomputed: row offsets, len U+1
 ) -> pa.Table:
-    """Encode one shard's postings (sorted by term, doc_id) into a term table."""
+    """Encode one shard's postings (sorted by term, doc_id) into a term table.
+
+    Grouping comes either from the full ``terms`` row array or, faster, from
+    precomputed ``(uniq_terms, term_offsets)`` (dictionary-encoded path).
+    """
     n = len(doc_ids)
     if n == 0:
         return pa.table({
@@ -105,13 +111,20 @@ def encode_shard_postings(
     doc_ids = doc_ids.astype(np.int64)
     freqs = freqs.astype(np.int64)
 
-    # term boundaries over the sorted (term, doc_id) rows
-    starts_mask = np.empty(n, dtype=bool)
-    starts_mask[0] = True
-    starts_mask[1:] = terms[1:] != terms[:-1]
-    term_starts = np.nonzero(starts_mask)[0]
-    term_offsets = np.concatenate((term_starts, [n]))
-    uniq_terms = terms[term_starts]
+    if term_offsets is None:
+        # term boundaries over the sorted (term, doc_id) rows
+        starts_mask = np.empty(n, dtype=bool)
+        starts_mask[0] = True
+        starts_mask[1:] = terms[1:] != terms[:-1]
+        term_starts = np.nonzero(starts_mask)[0]
+        term_offsets = np.concatenate((term_starts, [n]))
+        uniq_terms = terms[term_starts]
+    else:
+        term_starts = term_offsets[:-1]
+        term_offsets = np.asarray(term_offsets)
+        starts_mask = np.zeros(n, dtype=bool)
+        starts_mask[term_starts] = True
+        uniq_terms = np.asarray(uniq_terms, dtype=object)
     df = np.diff(term_offsets)
     ttf = np.add.reduceat(freqs, term_starts)
 

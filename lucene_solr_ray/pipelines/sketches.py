@@ -1,0 +1,208 @@
+"""Mergeable sketch aggregations (SURVEY.md §2.6).
+
+- ``hll_distinct``: HyperLogLog approximate distinct (HLLAgg,
+  ``solr/core/.../search/facet/HLLAgg.java:25-40``): one sketch per batch
+  per group, tree-merged in a tiny second stage — the shuffle moves
+  2^p-byte registers, never raw values.
+- ``tdigest_percentiles``: approximate percentiles via a mergeable
+  centroid digest (PercentileAgg / AVLTreeDigest,
+  ``search/facet/PercentileAgg.java:25,83-109``): per-batch digests with
+  bounded centroid count, merged then queried.
+- ``exact_median``: the exact interpolated quantile (quantile_cont
+  semantics) per group via ``map_groups`` — SQL-checkable.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import AggregateFn
+
+from .util import read
+
+# ---------------------------------------------------------------- HLL ----
+
+_HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def _hll_hash(values: np.ndarray) -> np.ndarray:
+    """Stable 64-bit-ish hash of int64 values (splitmix64)."""
+    x = values.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_add(registers: np.ndarray, values: np.ndarray) -> None:
+    h = _hll_hash(values)
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = h << np.uint64(_HLL_P)
+    # rank = leading zeros of remaining bits + 1 (capped)
+    lz = np.zeros(len(h), dtype=np.int64)
+    probe = np.uint64(1) << np.uint64(63)
+    rest_work = rest.copy()
+    # vectorized leading-zero count via float log2 (exact for these ranges)
+    nz = rest_work != 0
+    lz[nz] = 63 - np.floor(np.log2(rest_work[nz].astype(np.float64))).astype(np.int64)
+    lz[~nz] = 64 - _HLL_P
+    rank = np.minimum(lz + 1, 64 - _HLL_P + 1)
+    np.maximum.at(registers, idx, rank)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    m = float(1 << _HLL_P)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for small cardinalities
+    return float(est)
+
+
+def hll_distinct(sf_dir: str, table: str = "events", key: str = "event_type",
+                 value: str = "user_id"):
+    """Approximate distinct ``value`` per ``key`` (rows-only check; the
+    error bound vs exact is asserted in pytest)."""
+    ds = read(sf_dir, table, [key, value])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k, g in batch.groupby(key, sort=False):
+            regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+            hll_add(regs, g[value].to_numpy(np.int64))
+            out.append((k, zlib.compress(regs.tobytes(), 1)))
+        return pd.DataFrame(out, columns=[key, "sketch"])
+
+    sketches = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+        for blob in g["sketch"]:
+            regs = np.maximum(regs, np.frombuffer(
+                zlib.decompress(blob), dtype=np.uint8))
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "approx_distinct": [int(round(hll_estimate(regs)))]})
+
+    return sketches.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+# ------------------------------------------------------------ t-digest ---
+
+class TDigest:
+    """Small mergeable centroid digest (bounded size, scale-function-free:
+    repeated compress to K centroids by quantile bucketing)."""
+
+    K = 128
+
+    def __init__(self, means=None, weights=None):
+        self.means = np.asarray(means if means is not None else [], dtype=np.float64)
+        self.weights = np.asarray(weights if weights is not None else [], dtype=np.float64)
+
+    @classmethod
+    def of(cls, values: np.ndarray) -> "TDigest":
+        d = cls(values.astype(np.float64), np.ones(len(values)))
+        d.compress()
+        return d
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        d = TDigest(np.concatenate([self.means, other.means]),
+                    np.concatenate([self.weights, other.weights]))
+        d.compress()
+        return d
+
+    def compress(self):
+        if len(self.means) <= self.K:
+            order = np.argsort(self.means)
+            self.means, self.weights = self.means[order], self.weights[order]
+            return
+        order = np.argsort(self.means)
+        m, w = self.means[order], self.weights[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        bucket = np.minimum((cum - w / 2) / total * self.K, self.K - 1).astype(np.int64)
+        nm = np.bincount(bucket, weights=m * w, minlength=self.K)
+        nw = np.bincount(bucket, weights=w, minlength=self.K)
+        keep = nw > 0
+        self.means, self.weights = nm[keep] / nw[keep], nw[keep]
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def to_blob(self) -> bytes:
+        return zlib.compress(np.concatenate([self.means, self.weights]).tobytes())
+
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "TDigest":
+        arr = np.frombuffer(zlib.decompress(blob), dtype=np.float64)
+        half = len(arr) // 2
+        return cls(arr[:half], arr[half:])
+
+
+def tdigest_percentiles(sf_dir: str, percentiles=(0.5, 0.95)):
+    """Approximate percentiles of events.value per event_type."""
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k, g in batch.groupby("event_type", sort=False):
+            out.append((k, TDigest.of(g["value"].to_numpy()).to_blob()))
+        return pd.DataFrame(out, columns=["event_type", "sketch"])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest()
+        for blob in g["sketch"]:
+            d = d.merge(TDigest.from_blob(blob))
+        row = {"event_type": g["event_type"].iloc[0]}
+        for p in percentiles:
+            row[f"p{int(p * 100)}"] = d.quantile(p)
+        return pd.DataFrame([row])
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("event_type").map_groups(merge, batch_format="pandas"))
+
+
+# --------------------------------------------------------- exact median --
+
+def exact_median_events(sf_dir: str):
+    """Exact interpolated median (quantile_cont 0.5) per event_type."""
+    ds = read(sf_dir, "events", ["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(np.float64))
+        n = len(v)
+        pos = 0.5 * (n - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        m = v[lo] + (v[hi] - v[lo]) * (pos - lo)
+        p = np.float64(10.0) ** 6
+        m = np.sign(m) * np.floor(np.abs(m) * p + 0.5) / p
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "median_value": [m]})
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+# ------------------------------------------------------- date histogram --
+
+def date_histogram_events(sf_dir: str):
+    """Range facet by day (Solr date range facets, SimpleFacets ranges)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    ds = read(sf_dir, "events", ["ts"])
+
+    def day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.floor_temporal(t.column("ts"), unit="day")})
+
+    return (ds.map_batches(day, batch_format="pyarrow")
+            .groupby("day").aggregate(Count(alias_name="cnt")))

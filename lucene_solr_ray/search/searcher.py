@@ -79,6 +79,7 @@ class ShardSearcher:
             self._freq_enc = []
             self._pos_enc = []
 
+        self._decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         norms_part = index_path / "norms" / f"doc_shard={shard_id}"
         self.norms = np.zeros(self.docs_per_shard, dtype=np.uint8)
         if norms_part.exists():
@@ -91,14 +92,23 @@ class ShardSearcher:
     def local_df(self, terms: list[str]) -> dict[str, int]:
         return {t: int(self._df[self._terms[t]]) for t in terms if t in self._terms}
 
-    # --- postings access ---
+    # --- postings access (decode results cached: LRUQueryCache analog,
+    # search/LRUQueryCache.java) ---
+    _CACHE_MAX = 1024
+
     def _postings(self, term: str):
         i = self._terms.get(term)
         if i is None:
             return None
-        docs = segment.decode_doc_ids(self._doc_enc[i], self.base)
-        freqs = segment.decode_freqs(self._freq_enc[i])
-        return docs, freqs, i
+        cached = self._decode_cache.get(term)
+        if cached is None:
+            docs = segment.decode_doc_ids(self._doc_enc[i], self.base)
+            freqs = segment.decode_freqs(self._freq_enc[i])
+            if len(self._decode_cache) >= self._CACHE_MAX:
+                self._decode_cache.pop(next(iter(self._decode_cache)))
+            cached = (docs, freqs)
+            self._decode_cache[term] = cached
+        return cached[0], cached[1], i
 
     # --- phase 2: scoring with global stats ---
     def _score_term(self, q: TermQuery, df_map: dict[str, int]):
@@ -129,24 +139,36 @@ class ShardSearcher:
             idxs.append(ib)
         if len(docs) == 0:
             return empty
-        # decode positions lazily, only for terms in this phrase
-        pos_data = []
-        for (d, f, row), ix in zip(plists, idxs):
-            flat, offs = segment.decode_positions(self._pos_enc[row], f)
-            pos_data.append((flat, offs, ix))
         rel = q.positions
-        phrase_freqs = np.zeros(len(docs), dtype=np.int64)
-        flat0, offs0, ix0 = pos_data[0]
-        for j in range(len(docs)):
-            p0 = flat0[offs0[ix0[j]]:offs0[ix0[j] + 1]]
-            mask = np.ones(len(p0), dtype=bool)
-            for t_i in range(1, len(pos_data)):
-                flat_i, offs_i, ix_i = pos_data[t_i]
-                pi = flat_i[offs_i[ix_i[j]]:offs_i[ix_i[j] + 1]]
-                mask &= np.isin(p0 - rel[0] + rel[t_i], pi)
-                if not mask.any():
-                    break
-            phrase_freqs[j] = int(mask.sum())
+        # vectorized exact-phrase counting across ALL candidate docs at once
+        # (ExactPhraseScorer semantics): composite (local_doc << 32 | pos)
+        # keys make per-doc position membership a single global searchsorted.
+        flat0, offs0 = segment.decode_positions(
+            self._pos_enc[plists[0][2]], plists[0][1])
+        ix0 = idxs[0]
+        starts, ends = offs0[ix0], offs0[ix0 + 1]
+        lens = (ends - starts).astype(np.int64)
+        total = int(lens.sum())
+        seg_offs = np.concatenate(([0], np.cumsum(lens)))
+        gather = (np.repeat(starts, lens)
+                  + (np.arange(total) - np.repeat(seg_offs[:-1], lens)))
+        p0 = flat0[gather].astype(np.int64)
+        local0 = np.repeat(docs - self.base, lens).astype(np.int64)
+        mask = np.ones(total, dtype=bool)
+        for t_i in range(1, len(plists)):
+            d_i, f_i, row_i = plists[t_i]
+            flat_i, _ = segment.decode_positions(self._pos_enc[row_i], f_i)
+            doc_of_pi = np.repeat(d_i - self.base, f_i).astype(np.int64)
+            keys_i = (doc_of_pi << 32) | flat_i.astype(np.int64)
+            tpos = p0 - rel[0] + rel[t_i]
+            target = (local0 << 32) | np.maximum(tpos, 0)
+            loc = np.searchsorted(keys_i, target)
+            ok = (loc < len(keys_i)) & (tpos >= 0)
+            ok[ok] = keys_i[loc[ok]] == target[ok]
+            mask &= ok
+            if not mask.any():
+                return empty
+        phrase_freqs = np.add.reduceat(mask.astype(np.int64), seg_offs[:-1])
         keep = phrase_freqs > 0
         docs = docs[keep]
         pf = phrase_freqs[keep]
