@@ -35,7 +35,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lucene_solr_ray.pipelines import dedup, fulltext, knn, relational, textstats
+    from lucene_solr_ray.pipelines import (
+        dedup,
+        fulltext,
+        knn,
+        relational,
+        sketches,
+        textstats,
+    )
 
     return {
         # facets / aggregates (SURVEY.md §2.6)
@@ -67,6 +74,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         # similarity search
         "knn_cosine": knn.knn_cosine,
+        # sketches / percentiles (§2.6 PercentileAgg, HLLAgg)
+        "exact_median_events": sketches.exact_median_events,
+        "date_histogram_events": sketches.date_histogram_events,
+        "hll_distinct_users": sketches.hll_distinct,
+        "tdigest_percentiles_events": sketches.tdigest_percentiles,
         # full-text + sketches (non-SQL-expressible: rows-only here,
         # oracle-diffed in pytest)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
@@ -175,6 +187,12 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(t2.n_stopwords, 0) AS n_stopwords, "
             "coalesce(t2.mean_token_len, 0.0) AS mean_token_len "
             "FROM documents d LEFT JOIN t2 ON d.doc_id = t2.doc_id",
+        "exact_median_events":
+            "SELECT event_type, round(quantile_cont(value, 0.5), 6) "
+            "AS median_value FROM events GROUP BY event_type",
+        "date_histogram_events":
+            "SELECT date_trunc('day', ts) AS day, count(*) AS cnt "
+            "FROM events GROUP BY date_trunc('day', ts)",
         "knn_cosine":
             "SELECT vec_id, round(sim, 6) AS sim FROM ("
             "SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], "

@@ -1,0 +1,135 @@
+"""Higher-level search features over the core engine.
+
+- ``search_conversations``: parent/child block join (SURVEY.md §2.5,
+  ``lucene/join/`` ToParentBlockJoinQuery): turn-level hits aggregate to
+  conversation-level scores (ScoreMode.Max / Total); children are
+  doc_id-contiguous within a conversation by construction (the
+  addDocuments block invariant, IndexWriter.java:1327).
+- ``rerank``: QueryRescorer / ReRankQParserPlugin semantics
+  (``search/QueryRescorer.java``): rescore the first-pass top-N with a
+  second query, combined score = first + weight * second (only for docs
+  matching the rerank query).
+- ``more_like_this``: MoreLikeThis term selection (``lucene/queries/.../
+  mlt/MoreLikeThis.java``): top tf*idf terms of the seed text become an
+  OR query.
+- ``highlight``: simple unified-highlighter analog using the analyzer's
+  token offsets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..analysis import get_analyzer
+from . import bm25
+from .query import BooleanQuery, Query, TermQuery
+from .searcher import IndexSearcher, collect_terms
+
+
+def _all_hits(searcher: IndexSearcher, query: Query | str):
+    """(doc_ids, scores) over every matching doc, all shards."""
+    if isinstance(query, str):
+        query = searcher.parse(query)
+    df_map = searcher.global_df(query)
+    docs_all, scores_all = [], []
+    for sh in searcher.shards:
+        d, s = sh._score_clause(query, df_map)
+        docs_all.append(d)
+        scores_all.append(s)
+    return np.concatenate(docs_all), np.concatenate(scores_all)
+
+
+def search_conversations(searcher: IndexSearcher, query: Query | str,
+                         k: int = 10, score_mode: str = "max"):
+    """Top-k conversations by aggregated turn scores (block join)."""
+    docs, scores = _all_hits(searcher, query)
+    if len(docs) == 0:
+        return []
+    docmap = searcher.docmap()
+    convs = docmap[docs]  # conv_id per hit doc
+    order = np.argsort(convs, kind="stable")
+    convs_s, scores_s = convs[order], scores[order]
+    starts = np.concatenate(([True], convs_s[1:] != convs_s[:-1]))
+    idx = np.nonzero(starts)[0]
+    groups = convs_s[idx]
+    if score_mode == "max":
+        agg = np.maximum.reduceat(scores_s, idx)
+    elif score_mode == "total":
+        agg = np.add.reduceat(scores_s.astype(np.float32), idx)
+    else:
+        raise ValueError(score_mode)
+    top = np.lexsort((groups, -agg.astype(np.float32)))[:k]
+    return [(str(groups[i]), np.float32(agg[i])) for i in top]
+
+
+def rerank(searcher: IndexSearcher, query: Query | str,
+           rerank_query: Query | str, k: int = 10, top_n: int = 50,
+           weight: float = 2.0):
+    """First-pass top-N, rescored: final = first + weight * rerank_score."""
+    first = searcher.search(query, k=top_n)
+    if not first:
+        return []
+    if isinstance(rerank_query, str):
+        rerank_query = searcher.parse(rerank_query)
+    r_docs, r_scores = _all_hits(searcher, rerank_query)
+    rmap = dict(zip(r_docs.tolist(), r_scores.tolist()))
+    out = []
+    for doc_id, score in first:
+        extra = rmap.get(doc_id, 0.0)
+        combined = np.float32(score + np.float32(weight) * np.float32(extra))
+        out.append((doc_id, combined))
+    out.sort(key=lambda h: (-float(h[1]), h[0]))
+    return out[:k]
+
+
+def more_like_this(searcher: IndexSearcher, text: str, k: int = 10,
+                   max_query_terms: int = 25, min_doc_freq: int = 2):
+    """Build an OR query from the seed text's top tf*idf terms, search it."""
+    analyzer = get_analyzer(searcher.analyzer_name)
+    terms, _ = analyzer.analyze(text)
+    if not terms:
+        return []
+    uniq, counts = np.unique(np.array(terms, dtype=object), return_counts=True)
+    probe = BooleanQuery(should=[TermQuery(str(t)) for t in uniq])
+    df_map = searcher.global_df(probe)
+    doc_count = searcher.manifest["stats"]["doc_count"]
+    scored = []
+    for t, tf in zip(uniq, counts):
+        df = df_map.get(str(t), 0)
+        if df < min_doc_freq:
+            continue
+        scored.append((float(tf) * float(bm25.idf(df, doc_count)), str(t)))
+    scored.sort(reverse=True)
+    chosen = [TermQuery(t) for _, t in scored[:max_query_terms]]
+    if not chosen:
+        return []
+    return searcher.search(BooleanQuery(should=chosen), k=k)
+
+
+def highlight(text: str, query: Query | str, analyzer_name: str = "standard",
+              window: int = 40, pre: str = "<b>", post: str = "</b>") -> str:
+    """Snippet around the first query-term match, matches wrapped."""
+    analyzer = get_analyzer(analyzer_name)
+    if isinstance(query, str):
+        from .query import parse_query
+
+        query = parse_query(query, analyzer)
+    wanted = collect_terms(query)
+    from ..analysis.analyzer import java_lowercase
+
+    tokens = analyzer.tokenizer.tokenize_full(text)
+    matches = [t for t in tokens if java_lowercase(t.text) in wanted]
+    if not matches:
+        return text[: 2 * window]
+    first = matches[0]
+    lo = max(0, first.start - window)
+    hi = min(len(text), first.end + window)
+    spans = [(t.start, t.end) for t in matches if lo <= t.start and t.end <= hi]
+    out, cur = [], lo
+    for s, e in spans:
+        out.append(text[cur:s])
+        out.append(pre + text[s:e] + post)
+        cur = e
+    out.append(text[cur:hi])
+    return ("..." if lo > 0 else "") + "".join(out) + \
+        ("..." if hi < len(text) else "")

@@ -257,6 +257,22 @@ class IndexSearcher:
 
         return parse_query(text, get_analyzer(self.analyzer_name))
 
+    _docmap_cache: np.ndarray | None = None
+
+    def docmap(self) -> np.ndarray:
+        """conv_id per doc_id (lazy; used by block-join / result display)."""
+        if self._docmap_cache is None:
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(str(Path(self.index_dir) / "norms"),
+                             format="parquet", partitioning="hive").to_table(
+                columns=["doc_id", "conv_id"])
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            arr = np.empty(self.manifest["stats"]["num_docs"], dtype=object)
+            arr[ids] = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+            self._docmap_cache = arr
+        return self._docmap_cache
+
     def global_df(self, query: Query) -> dict[str, int]:
         terms = sorted(collect_terms(query))
         df: dict[str, int] = {}

@@ -1,0 +1,67 @@
+"""Sketch accuracy: HLL within error bounds, t-digest near exact quantiles."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.pipelines.sketches import (
+    TDigest,
+    hll_add,
+    hll_distinct,
+    hll_estimate,
+    tdigest_percentiles,
+    _HLL_P,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hll_unit_accuracy():
+    rng = np.random.default_rng(3)
+    for true_n in [100, 5_000, 200_000]:
+        regs = np.zeros(1 << _HLL_P, dtype=np.uint8)
+        vals = rng.integers(0, 2**62, size=true_n)
+        hll_add(regs, vals)
+        est = hll_estimate(regs)
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_merge_equals_single():
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 2**62, size=10_000)
+    r_all = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    hll_add(r_all, vals)
+    r1 = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    r2 = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    hll_add(r1, vals[:6000])
+    hll_add(r2, vals[6000:])
+    np.testing.assert_array_equal(np.maximum(r1, r2), r_all)
+
+
+def test_hll_distinct_vs_exact(ray_session):
+    import duckdb
+
+    exact = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{SF_DIR}/events.parquet') GROUP BY event_type").df()
+    approx = hll_distinct(SF_DIR).to_pandas()
+    merged = exact.merge(approx, on="event_type")
+    rel_err = (merged["approx_distinct"] - merged["n"]).abs() / merged["n"]
+    assert (rel_err < 0.06).all(), merged
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(5)
+    vals = rng.exponential(10.0, size=50_000)
+    d = TDigest.of(vals[:20_000])
+    for chunk in np.array_split(vals[20_000:], 7):
+        d = d.merge(TDigest.of(chunk))
+    for q in (0.1, 0.5, 0.9, 0.99):
+        true = np.quantile(vals, q)
+        est = d.quantile(q)
+        assert abs(est - true) / true < 0.05, (q, true, est)
+
+
+def test_tdigest_pipeline(ray_session):
+    df = tdigest_percentiles(SF_DIR).to_pandas()
+    assert set(df.columns) == {"event_type", "p50", "p95"}
+    assert (df["p95"] >= df["p50"]).all()
