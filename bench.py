@@ -47,8 +47,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     index_dir = f"/tmp/lsr_bench/index_{num_cpus}"
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.time()
-    build_index(src, index_dir, num_shards=max(8, num_cpus),
-                batch_size=2048, concurrency=num_cpus)
+    build_index(src, index_dir, num_shards=max(8, num_cpus), batch_size=2048)
     t_build = time.time() - t0
     timings["index_build"] = round(t_build, 3)
     timings["index_turns_per_sec"] = round(n_turns / t_build, 1)

@@ -1,0 +1,83 @@
+"""Document loaders: the Solr request-body loader surface (SURVEY.md §2.1).
+
+- ``load_json_docs``: JsonLoader analog (``solr/core/src/java/org/apache/
+  solr/handler/loader/JsonLoader.java``) — JSON lines -> document table.
+- ``load_csv_docs``: CSVLoader analog (``loader/CSVLoader.java``).
+- ``load_text_lines``: LineDocSource analog (``lucene/benchmark/.../feeds/
+  LineDocSource.java``) — one document per line, optional
+  title|date|body field split.
+
+Each returns a ``ray.data.Dataset`` with at least (``id``, ``text``)
+columns ready for ``build_index`` after a rename to the transcript schema,
+plus a ``to_transcript_schema`` adapter.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def load_json_docs(path: str, id_field: str = "id",
+                   text_field: str = "text") -> rd.Dataset:
+    ds = rd.read_json(path)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": batch.column(id_field).cast(pa.string()),
+            "text": batch.column(text_field).cast(pa.string()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def load_csv_docs(path: str, id_field: str = "id",
+                  text_field: str = "text") -> rd.Dataset:
+    ds = rd.read_csv(path)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": batch.column(id_field).cast(pa.string()),
+            "text": batch.column(text_field).cast(pa.string()),
+        })
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def load_text_lines(path: str, sep: str = "|") -> rd.Dataset:
+    """One doc per line; ``title|date|body`` lines keep only the body,
+    plain lines are taken whole (LineDocSource semantics)."""
+    ds = rd.read_text(path)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        lines = batch.column("text").to_pylist()
+        texts = []
+        for ln in lines:
+            parts = ln.split(sep)
+            texts.append(parts[2] if len(parts) >= 3 else ln)
+        return pa.table({
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    out = ds.map_batches(norm, batch_format="pyarrow")
+    return out
+
+
+def to_transcript_schema(ds: rd.Dataset, id_col: str | None = "id") -> rd.Dataset:
+    """Adapt an (id, text) table to the engine's (conv_id, turn_idx, text)
+    input contract; ids must be lexicographically sortable."""
+    def adapt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if id_col and id_col in batch.column_names:
+            conv = batch.column(id_col).cast(pa.string())
+        else:
+            raise ValueError("to_transcript_schema needs a unique id column "
+                             "(per-batch synthetic ids would collide)")
+        return pa.table({
+            "conv_id": conv,
+            "turn_idx": pa.array([0] * n, type=pa.int32()),
+            "text": batch.column("text"),
+        })
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
