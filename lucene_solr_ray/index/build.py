@@ -56,6 +56,21 @@ from . import segment
 MANIFEST_NAME = "manifest.json"
 
 
+def _limit_worker_threads() -> None:
+    """Cap Arrow's per-process thread pools inside Ray workers.
+
+    Each worker defaults to an Arrow pool sized to ALL host cores; with N
+    concurrent 1-CPU tasks that is N*cores threads thrashing one machine
+    (measured 3x slowdown on the encode wave). One compute thread + two IO
+    threads per worker matches the 1-CPU task contract.
+    """
+    import pyarrow as _pa
+
+    if _pa.cpu_count() != 1:
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(2)
+
+
 # --------------------------------------------------------------------------
 # stage 1: doc_id assignment
 # --------------------------------------------------------------------------
@@ -139,8 +154,12 @@ class TokenizeStage:
         self.analyzer = get_analyzer(analyzer_name)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return tokenize_table(batch, self.analyzer)
+
+
+def tokenize_table(batch: pa.Table, analyzer) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        analyze = self.analyzer.analyze
+        analyze = analyzer.analyze
 
         doc_lens = np.empty(len(texts), dtype=np.int32)
         term_counts = np.empty(len(texts), dtype=np.int64)
@@ -233,10 +252,9 @@ class SegmentWriter:
     shard granularity.
     """
 
-    def __init__(self, index_dir: str, docs_per_shard: int, avgdl: float):
+    def __init__(self, index_dir: str, docs_per_shard: int):
         self.index_dir = index_dir
         self.docs_per_shard = docs_per_shard
-        self.cache = bm25.norm_cache(np.float32(avgdl))
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -254,14 +272,20 @@ class SegmentWriter:
         if isinstance(term_col, pa.ChunkedArray):
             term_col = term_col.combine_chunks()
         dict_arr = term_col.dictionary_encode()
-        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int32)
         vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
         vocab_order = np.argsort(vocab, kind="stable")
-        rank_of_code = np.empty(len(vocab), dtype=np.int64)
-        rank_of_code[vocab_order] = np.arange(len(vocab))
+        rank_of_code = np.empty(len(vocab), dtype=np.int32)
+        rank_of_code[vocab_order] = np.arange(len(vocab), dtype=np.int32)
         ranks = rank_of_code[codes]
         doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        sort_idx = np.lexsort((doc_ids, ranks))
+        # rows arrive doc_id-ascending (runs are written in doc order), so a
+        # STABLE single-key sort by term rank keeps doc order within terms —
+        # half the memory traffic of a two-key lexsort
+        if np.all(doc_ids[1:] >= doc_ids[:-1]):
+            sort_idx = np.argsort(ranks, kind="stable")
+        else:
+            sort_idx = np.lexsort((doc_ids, ranks))
 
         doc_ids = doc_ids[sort_idx]
         freqs = group.column("freq").to_numpy(zero_copy_only=False)[sort_idx]
@@ -279,7 +303,7 @@ class SegmentWriter:
 
         base = shard_id * self.docs_per_shard
         table = segment.encode_shard_postings(
-            None, doc_ids, freqs, pos_flat, norm_bytes, base, self.cache,
+            None, doc_ids, freqs, pos_flat, norm_bytes, base,
             uniq_terms=uniq_terms, term_offsets=term_offsets)
 
         tmp = Path(tempfile.mkdtemp(dir=str(shard_dir.parent.parent),
@@ -305,10 +329,32 @@ class SegmentWriter:
         return _manifest_row_table([row])
 
 
-def _write_segment_group(group: pa.Table, index_dir: str, docs_per_shard: int,
-                         avgdl: float) -> pa.Table:
+def _write_segment_group(group: pa.Table, index_dir: str,
+                         docs_per_shard: int) -> pa.Table:
     """Module-level map_groups fn (GroupedData requires a __name__)."""
-    return SegmentWriter(index_dir, docs_per_shard, avgdl)(group)
+    return SegmentWriter(index_dir, docs_per_shard)(group)
+
+
+@ray.remote
+def _encode_shard_task(runs_dir: str, shard_id: int, index_dir: str,
+                       docs_per_shard: int, columns: list[str]) -> list[dict]:
+    """Aligned path: one task per shard reads ONLY its doc range from the
+    runs (parquet predicate pushdown over the doc-ordered files), explodes
+    and encodes it. No all-to-all: doc_ids are range-partitioned, so the
+    term grouping is shard-local by construction — the cluster-scale win
+    over re-shipping every posting through a shuffle.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    _limit_worker_threads()
+    t = pads.dataset(runs_dir, format="parquet").to_table(
+        columns=columns, filter=pc.field("doc_shard") == shard_id)
+    if t.num_rows == 0:
+        return []
+    group = _explode_runs(t)
+    result = SegmentWriter(index_dir, docs_per_shard)(group)
+    return result.to_pylist()
 
 
 def _manifest_row_table(rows: list[dict]) -> pa.Table:
@@ -346,6 +392,194 @@ def compute_stats(runs: rd.Dataset) -> dict:
 
 
 # --------------------------------------------------------------------------
+# fused fast path: one task per source row-group span
+# --------------------------------------------------------------------------
+
+def _plan_source_tasks(source: str, target_rows: int):
+    """Driver-side plan from parquet footers only: list of
+    (file, [row_group_idx...], doc_id_offset, n_rows). At petabyte scale
+    this loop itself shards over files; footer reads stay O(files)."""
+    src = Path(source)
+    files = sorted(str(p) for p in ([src] if src.is_file() else src.glob("*.parquet")))
+    tasks = []
+    offset = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        cur_rgs: list[int] = []
+        cur_rows = 0
+        cur_offset = offset
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            cur_rgs.append(rg)
+            cur_rows += n
+            offset += n
+            if cur_rows >= target_rows:
+                tasks.append((f, cur_rgs, cur_offset, cur_rows))
+                cur_rgs, cur_rows, cur_offset = [], 0, offset
+        if cur_rgs:
+            tasks.append((f, cur_rgs, cur_offset, cur_rows))
+    return tasks, offset
+
+
+@ray.remote
+def _fused_tokenize_task(file: str, row_groups: list[int], offset: int,
+                         docs_per_shard: int, analyzer_name: str,
+                         runs_dir: str, norms_dir: str, task_id: int) -> dict:
+    """read -> assign doc_ids -> verify order -> tokenize -> write runs and
+    norms split at shard boundaries -> return partial stats + key range."""
+    _limit_worker_threads()
+    marker = Path(runs_dir) / f"_task{task_id:05d}_SUCCESS"
+    if marker.exists():
+        return json.loads(marker.read_text())
+
+    pf = pq.ParquetFile(file)
+    t = pf.read_row_groups(row_groups, columns=["conv_id", "turn_idx", "text"])
+    n = t.num_rows
+    conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+    turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    if n > 1 and not bool(np.all((conv[1:] > conv[:-1]) |
+                                 ((conv[1:] == conv[:-1]) & (turn[1:] > turn[:-1])))):
+        raise ValueError(f"rows not sorted by (conv_id, turn_idx) in {file}")
+    doc_id = np.arange(offset, offset + n, dtype=np.int64)
+    t = t.append_column("doc_id", pa.array(doc_id, type=pa.int64()))
+    t = t.append_column("doc_shard",
+                        pa.array(doc_id // docs_per_shard, type=pa.int32()))
+
+    tok = tokenize_table(t, get_analyzer(analyzer_name))
+    doc_len = tok.column("doc_len").to_numpy(zero_copy_only=False).astype(np.int64)
+    stats = {
+        "num_docs": int(n),
+        "doc_count": int((doc_len > 0).sum()),
+        "sum_ttf": int(doc_len.sum()),
+        "first_key": [conv[0], int(turn[0])] if n else None,
+        "last_key": [conv[-1], int(turn[-1])] if n else None,
+        "shards": [],
+    }
+
+    shard_col = tok.column("doc_shard").to_numpy(zero_copy_only=False)
+    bounds = np.concatenate(([0], np.nonzero(np.diff(shard_col))[0] + 1, [n]))
+    norm_cols = ["doc_id", "doc_shard", "conv_id", "turn_idx",
+                 "doc_len", "norm_byte"]
+    for i in range(len(bounds) - 1):
+        a, b = int(bounds[i]), int(bounds[i + 1])
+        sid = int(shard_col[a])
+        stats["shards"].append(sid)
+        piece = tok.slice(a, b - a)
+        run_dir = Path(runs_dir) / f"shard={sid:05d}"
+        run_dir.mkdir(parents=True, exist_ok=True)
+        # runs carry only what the encode wave reads (norms carry the docmap)
+        pq.write_table(
+            piece.select(["doc_id", "doc_shard", "norm_byte",
+                          "terms", "freqs", "pos_flat"]),
+            run_dir / f"run-{task_id:05d}.parquet")
+        norm_dir = Path(norms_dir) / f"doc_shard={sid}"
+        norm_dir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(piece.select(norm_cols).drop_columns(["doc_shard"]),
+                       norm_dir / f"run-{task_id:05d}.parquet")
+    marker.write_text(json.dumps(stats))
+    return stats
+
+
+@ray.remote
+def _encode_shard_dir_task(runs_dir: str, shard_id: int, index_dir: str,
+                           docs_per_shard: int, *wave_a_deps) -> list[dict]:
+    """Wave B: encode one shard from exactly its runs/shard=K files.
+
+    ``wave_a_deps`` carries the ObjectRefs of the wave-A tasks covering
+    this shard's doc range — Ray's arg dependency is the scheduling
+    barrier, so shard encoding starts as soon as ITS inputs exist and
+    overlaps the rest of wave A."""
+    _limit_worker_threads()
+    shard_runs = Path(runs_dir) / f"shard={shard_id:05d}"
+    if not shard_runs.exists():
+        return []
+    cols = ["doc_id", "doc_shard", "norm_byte", "terms", "freqs", "pos_flat"]
+    tables = [pq.read_table(p, columns=cols)
+              for p in sorted(shard_runs.glob("*.parquet"))]
+    t = pa.concat_tables(tables)
+    if t.num_rows == 0:
+        return []
+    group = _explode_runs(t)
+    result = SegmentWriter(index_dir, docs_per_shard)(group)
+    return result.to_pylist()
+
+
+def _build_fused(source: str, index_path: Path, docs_per_shard: int | None,
+                 num_shards: int | None, analyzer: str, concurrency: int,
+                 resume: bool, keep_runs: bool, phases: dict, _phase) -> dict:
+    """The scalable two-wave build (documented in the module docstring)."""
+    runs_dir = index_path / "runs"
+    norms_dir = index_path / "norms"
+    runs_dir.mkdir(parents=True, exist_ok=True)
+    norms_dir.mkdir(parents=True, exist_ok=True)
+
+    # plan from footers (no data read)
+    probe_total = sum(pq.ParquetFile(f).metadata.num_rows for f in (
+        [str(source)] if Path(source).is_file()
+        else sorted(str(p) for p in Path(source).glob("*.parquet"))))
+    if docs_per_shard is None:
+        num_shards = num_shards or 8
+        docs_per_shard = max(1, -(-probe_total // num_shards))
+    actual_shards = max(1, -(-probe_total // docs_per_shard))
+    target_rows = max(8192, probe_total // max(1, concurrency * 3))
+    tasks, total_docs = _plan_source_tasks(str(source), target_rows)
+    (index_path / "_BUILD_PARAMS.json").write_text(json.dumps(
+        {"docs_per_shard": int(docs_per_shard), "total_docs": int(total_docs)}))
+    _phase("plan")
+
+    # wave A: fused read+assign+tokenize+write (runs and norms)
+    a_futures = [
+        _fused_tokenize_task.remote(
+            f, rgs, off, int(docs_per_shard), analyzer,
+            str(runs_dir), str(norms_dir), i)
+        for i, (f, rgs, off, nr) in enumerate(tasks)
+    ]
+    # wave B: per-shard encode, each task gated ONLY on the wave-A tasks
+    # covering its doc range (ObjectRef args are the barrier) — shard
+    # encoding overlaps the remainder of tokenization
+    covering: dict[int, list] = {}
+    for i, (f, rgs, off, nr) in enumerate(tasks):
+        lo = off // docs_per_shard
+        hi = (off + max(nr - 1, 0)) // docs_per_shard
+        for sid in range(int(lo), int(hi) + 1):
+            covering.setdefault(sid, []).append(a_futures[i])
+    b_futures = {
+        sid: _encode_shard_dir_task.remote(
+            str(runs_dir), sid, str(index_path), int(docs_per_shard), *deps)
+        for sid, deps in sorted(covering.items())
+    }
+    partials = ray.get(a_futures)
+    # cross-task order check (tasks are offset-ordered)
+    prev_last = None
+    for p in partials:
+        if p["first_key"] is None:
+            continue
+        if prev_last is not None and tuple(p["first_key"]) <= tuple(prev_last):
+            raise ValueError("source files out of (conv_id, turn_idx) order")
+        prev_last = p["last_key"]
+    stats = {
+        "num_docs": sum(p["num_docs"] for p in partials),
+        "doc_count": sum(p["doc_count"] for p in partials),
+        "sum_total_term_freq": sum(p["sum_ttf"] for p in partials),
+    }
+    avgdl = float(bm25.avg_field_length(
+        stats["sum_total_term_freq"], max(stats["doc_count"], 1)))
+    _phase("tokenize_runs")
+
+    manifest_rows = [r for rows in ray.get(list(b_futures.values()))
+                     for r in rows]
+    _phase("term_group_encode")
+    return {
+        "stats": stats,
+        "avgdl": avgdl,
+        "manifest_rows": manifest_rows,
+        "docs_per_shard": int(docs_per_shard),
+        "actual_shards": int(actual_shards),
+        "checkpoint": prev_last,
+    }
+
+
+# --------------------------------------------------------------------------
 # the build driver
 # --------------------------------------------------------------------------
 
@@ -361,6 +595,7 @@ def build_index(
     assume_sorted: bool = True,
     resume: bool = False,
     keep_runs: bool = False,
+    shuffle: str = "aligned",
 ) -> dict:
     """Build a sharded inverted index; returns the manifest dict."""
     t0 = time.time()
@@ -382,6 +617,21 @@ def build_index(
 
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 1)
+
+    # fused two-wave path: applicable to sorted parquet-on-disk sources
+    # (the 100 TB case); Dataset sources or unsorted input use the general
+    # Dataset pipeline below
+    if isinstance(source, str) and assume_sorted and shuffle == "aligned":
+        r = _build_fused(source, index_path, docs_per_shard, num_shards,
+                         analyzer, concurrency, resume, keep_runs,
+                         phases, _phase)
+        manifest = _write_manifest(
+            index_path, analyzer, r["docs_per_shard"], r["actual_shards"],
+            r["stats"], r["avgdl"], r["manifest_rows"], phases, t0,
+            checkpoint=r["checkpoint"])
+        if not keep_runs:
+            shutil.rmtree(index_path / "runs", ignore_errors=True)
+        return manifest
 
     runs_dir = index_path / "runs"
     runs_done = runs_dir / "_RUNS_SUCCESS"
@@ -446,24 +696,49 @@ def build_index(
         (index_path / "_NORMS_SUCCESS").touch()
     _phase("norms")
 
-    # the term shuffle: explode -> groupby(doc_shard) -> encode + write
-    runs = rd.read_parquet(
-        str(runs_dir),
-        columns=["doc_id", "doc_shard", "norm_byte", "terms", "freqs", "pos_flat"])
-    postings = runs.map_batches(_explode_runs, batch_format="pyarrow",
-                                zero_copy_batch=True)
-    import functools
+    # the term grouping: per-shard postings aggregation + encode.
+    # "aligned" (default): doc_ids are range-partitioned and the runs are
+    # written in doc order, so each shard's postings are already co-located
+    # — one independent task per shard, predicate-pushdown read, no
+    # all-to-all. "groupby": the explicit Ray groupby shuffle (used when
+    # upstream alignment cannot be assumed).
+    run_cols = ["doc_id", "doc_shard", "norm_byte", "terms", "freqs", "pos_flat"]
+    if shuffle == "aligned":
+        futures = [
+            _encode_shard_task.remote(
+                str(runs_dir), sid, str(index_path), int(docs_per_shard),
+                run_cols)
+            for sid in range(actual_shards)
+        ]
+        manifest_rows = [r for rows in ray.get(futures) for r in rows]
+    else:
+        runs = rd.read_parquet(str(runs_dir), columns=run_cols)
+        postings = runs.map_batches(_explode_runs, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        import functools
 
-    writer = functools.partial(
-        _write_segment_group, index_dir=str(index_path),
-        docs_per_shard=int(docs_per_shard), avgdl=avgdl)
-    manifest_rows = (
-        postings.groupby("doc_shard")
-        .map_groups(writer, batch_format="pyarrow")
-        .take_all()
-    )
+        writer = functools.partial(
+            _write_segment_group, index_dir=str(index_path),
+            docs_per_shard=int(docs_per_shard))
+        manifest_rows = (
+            postings.groupby("doc_shard")
+            .map_groups(writer, batch_format="pyarrow")
+            .take_all()
+        )
 
     _phase("term_shuffle_encode")
+    shards = manifest_rows
+    manifest = _write_manifest(index_path, analyzer, docs_per_shard,
+                               actual_shards, stats, avgdl, shards, phases, t0)
+    if not keep_runs:
+        shutil.rmtree(runs_dir, ignore_errors=True)
+    return manifest
+
+
+def _write_manifest(index_path: Path, analyzer: str, docs_per_shard: int,
+                    actual_shards: int, stats: dict, avgdl: float,
+                    manifest_rows: list[dict], phases: dict, t0: float,
+                    checkpoint=None) -> dict:
     shards = sorted(manifest_rows, key=lambda r: r["shard_id"])
     manifest = {
         "version": 1,
@@ -479,6 +754,7 @@ def build_index(
         },
         "stats": {**stats, "avgdl": avgdl},
         "phases": phases,
+        "checkpoint": list(checkpoint) if checkpoint else None,
         "shards": [
             {k: int(v) for k, v in r.items()} for r in shards
         ],
@@ -486,9 +762,6 @@ def build_index(
     tmp_manifest = index_path / (MANIFEST_NAME + ".tmp")
     tmp_manifest.write_text(json.dumps(manifest, indent=1))
     os.replace(tmp_manifest, index_path / MANIFEST_NAME)
-
-    if not keep_runs:
-        shutil.rmtree(runs_dir, ignore_errors=True)
     return manifest
 
 

@@ -63,8 +63,12 @@ def check_index(index_dir: str) -> dict:
             last = segment.decode_skip_last_docs(t.column("skip_last_docs")[i].as_py())
             nblocks = (len(docs) + segment.BLOCK_SIZE - 1) // segment.BLOCK_SIZE
             assert len(last) == nblocks and last[-1] == docs[-1]
-            bmax = segment.decode_block_max(t.column("block_max_impact")[i].as_py())
-            assert len(bmax) == nblocks and np.all(bmax > 0)
+            bmaxf = segment.decode_block_max_freq(
+                t.column("block_max_freq")[i].as_py())
+            bminnt = segment.decode_block_min_nt(
+                t.column("block_min_nt")[i].as_py())
+            assert len(bmaxf) == nblocks and len(bminnt) == nblocks
+            assert np.all(bmaxf >= 1) and np.all(bminnt > 0)
             postings_here += len(docs)
         assert postings_here == sh["posting_count"], f"shard {sid}: posting_count"
         total_postings += postings_here

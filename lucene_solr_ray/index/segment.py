@@ -17,11 +17,15 @@ Parquet file per doc-shard holding one row per term:
                      level)
     skip_doc_offs:   binary — LEB128 deltas of byte offsets into doc_ids_enc
                      at each block start
-    block_max_impact: binary — float32 per block: max of
-                     freq/(freq + cache[norm]) over the block's postings —
-                     block-max metadata for rank-preserving WAND-style
-                     skipping (goes beyond the reference snapshot, which
-                     pre-dates block-max; required by the north star)
+    block_max_freq:  binary — LEB128 of max freq per block
+    block_min_nt:    binary — float32 per block: min NORM_TABLE[norm_byte]
+                     over the block's postings. Together these give the
+                     avgdl-independent block-max score bound
+                     w * maxf / (maxf + k1*((1-b) + b*min_nt/avgdl)) for
+                     rank-preserving WAND-style skipping (beyond the
+                     reference snapshot, which pre-dates block-max;
+                     avgdl-independence keeps the bound valid across
+                     incremental updates that change collection stats)
 
 A companion ``norms.parquet`` per shard holds (doc_id, norm_byte, doc_len,
 conv_id, turn_idx) for the shard's contiguous doc_id range.
@@ -61,8 +65,12 @@ def _delta_with_resets(values: np.ndarray, starts_mask: np.ndarray,
 def _varint_lengths(vals: np.ndarray) -> np.ndarray:
     nb = np.ones(len(vals), dtype=np.int64)
     v = vals.astype(np.uint64)
+    maxv = v.max() if len(v) else np.uint64(0)
     for i in range(1, 10):
-        nb += v >= (np.uint64(1) << np.uint64(7 * i))
+        t = np.uint64(1) << np.uint64(7 * i)
+        if maxv < t:
+            break
+        nb += v >= t
     return nb
 
 
@@ -85,7 +93,6 @@ def encode_shard_postings(
     pos_flat: np.ndarray,         # int32 flat positions (doc-major)
     norm_bytes: np.ndarray,       # uint8 aligned with doc_ids
     shard_base: int,
-    cache: np.ndarray,            # float32[256] BM25 norm cache (for block max)
     uniq_terms: np.ndarray | None = None,   # precomputed: sorted unique terms
     term_offsets: np.ndarray | None = None,  # precomputed: row offsets, len U+1
 ) -> pa.Table:
@@ -105,7 +112,8 @@ def encode_shard_postings(
             "positions_enc": pa.array([], type=pa.large_binary()),
             "skip_last_docs": pa.array([], type=pa.large_binary()),
             "skip_doc_offs": pa.array([], type=pa.large_binary()),
-            "block_max_impact": pa.array([], type=pa.large_binary()),
+            "block_max_freq": pa.array([], type=pa.large_binary()),
+            "block_min_nt": pa.array([], type=pa.large_binary()),
         })
 
     doc_ids = doc_ids.astype(np.int64)
@@ -158,12 +166,15 @@ def encode_shard_postings(
     else:
         positions_enc = [b""] * len(uniq_terms)
 
-    # --- block metadata: 128-doc blocks per term + block-max impact ---
-    impacts = (freqs.astype(np.float32) /
-               (freqs.astype(np.float32) + cache[norm_bytes.astype(np.int64)]))
+    # --- block metadata: 128-doc blocks per term + avgdl-independent
+    # block-max bound inputs (max freq, min NORM_TABLE[norm]) ---
+    from ..util.smallfloat import NORM_TABLE
+
+    nt_vals = NORM_TABLE[norm_bytes.astype(np.int64)]
     skip_last_docs: list[bytes] = []
     skip_doc_offs: list[bytes] = []
-    block_max: list[bytes] = []
+    block_max_freq: list[bytes] = []
+    block_min_nt: list[bytes] = []
     for i in range(len(uniq_terms)):
         a, b = term_offsets[i], term_offsets[i + 1]
         block_bounds = np.arange(a, b, BLOCK_SIZE)
@@ -171,8 +182,10 @@ def encode_shard_postings(
         skip_last_docs.append(varint.encode_deltas(doc_ids[last_idx]))
         offs = doc_byte_offs[block_bounds] - doc_byte_offs[a]
         skip_doc_offs.append(varint.encode_deltas(offs))
-        bmax = np.maximum.reduceat(impacts[a:b], block_bounds - a)
-        block_max.append(bmax.astype(np.float32).tobytes())
+        bmaxf = np.maximum.reduceat(freqs[a:b], block_bounds - a)
+        block_max_freq.append(varint.encode(bmaxf.astype(np.uint64)))
+        bminnt = np.minimum.reduceat(nt_vals[a:b], block_bounds - a)
+        block_min_nt.append(bminnt.astype(np.float32).tobytes())
 
     return pa.table({
         "term": pa.array(uniq_terms.astype(object), type=pa.string()),
@@ -183,7 +196,8 @@ def encode_shard_postings(
         "positions_enc": pa.array(positions_enc, type=pa.large_binary()),
         "skip_last_docs": pa.array(skip_last_docs, type=pa.large_binary()),
         "skip_doc_offs": pa.array(skip_doc_offs, type=pa.large_binary()),
-        "block_max_impact": pa.array(block_max, type=pa.large_binary()),
+        "block_max_freq": pa.array(block_max_freq, type=pa.large_binary()),
+        "block_min_nt": pa.array(block_min_nt, type=pa.large_binary()),
     })
 
 
@@ -213,8 +227,12 @@ def decode_positions(positions_enc: bytes, freqs: np.ndarray) -> tuple[np.ndarra
     return abs_pos, offsets
 
 
-def decode_block_max(block_max_impact: bytes) -> np.ndarray:
-    return np.frombuffer(block_max_impact, dtype=np.float32)
+def decode_block_max_freq(block_max_freq: bytes) -> np.ndarray:
+    return varint.decode(block_max_freq)
+
+
+def decode_block_min_nt(block_min_nt: bytes) -> np.ndarray:
+    return np.frombuffer(block_min_nt, dtype=np.float32)
 
 
 def decode_skip_last_docs(skip_last_docs: bytes) -> np.ndarray:

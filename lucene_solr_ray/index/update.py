@@ -189,7 +189,7 @@ def update_index(index_dir: str, source: str | rd.Dataset, *,
                                 zero_copy_batch=True)
     writer = functools.partial(
         _merge_segment_group, index_dir=str(index_path),
-        docs_per_shard=int(docs_per_shard), avgdl=new_stats["avgdl"])
+        docs_per_shard=int(docs_per_shard))
     new_rows = (postings.groupby("doc_shard")
                 .map_groups(writer, batch_format="pyarrow").take_all())
 
@@ -222,6 +222,6 @@ def _count_rows(block: pa.Table) -> int:
     return block.num_rows
 
 
-def _merge_segment_group(group: pa.Table, index_dir: str, docs_per_shard: int,
-                         avgdl: float) -> pa.Table:
-    return MergingSegmentWriter(index_dir, docs_per_shard, avgdl)(group)
+def _merge_segment_group(group: pa.Table, index_dir: str,
+                         docs_per_shard: int) -> pa.Table:
+    return MergingSegmentWriter(index_dir, docs_per_shard)(group)

@@ -20,7 +20,10 @@ def encode(values: np.ndarray) -> bytes:
     if vals.size == 0:
         return b""
     nbytes = np.ones(len(vals), dtype=np.int64)
+    maxv = vals.max()
     for t in _THRESHOLDS:
+        if maxv < t:
+            break
         nbytes += vals >= t
     offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
     total = int(offsets[-1] + nbytes[-1])

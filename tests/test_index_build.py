@@ -128,3 +128,21 @@ def test_doc_id_is_rank_of_sorted_order(ray_session, tmp_path):
     assert list(conv) == src_table.column("conv_id").to_pylist()
     np.testing.assert_array_equal(
         turn, src_table.column("turn_idx").to_numpy(zero_copy_only=False))
+
+
+def test_aligned_equals_groupby_shuffle(ray_session, tmp_path):
+    """The aligned per-shard encode and the explicit groupby shuffle
+    produce identical indexes and identical search results."""
+    src = transcripts_path("tiny")
+    a = tmp_path / "aligned"
+    g = tmp_path / "grouped"
+    build_index(src, str(a), num_shards=4, shuffle="aligned")
+    build_index(src, str(g), num_shards=4, shuffle="groupby")
+    sa, sg = IndexSearcher(str(a)), IndexSearcher(str(g))
+    for q in QUERIES:
+        ra = [(d, float(s)) for d, s in sa.search(q, k=10)]
+        rg = [(d, float(s)) for d, s in sg.search(q, k=10)]
+        assert ra == rg, f"query={q!r}"
+    ma, mg = sa.manifest, sg.manifest
+    assert ma["stats"] == mg["stats"]
+    assert ma["shards"] == mg["shards"]

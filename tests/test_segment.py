@@ -30,14 +30,13 @@ def build_inputs(rng, n_terms=40, n_docs=500, base=1000):
 def encoded():
     rng = np.random.default_rng(7)
     terms, doc_ids, freqs, pos_flat, norm_bytes = build_inputs(rng)
-    cache = bm25.norm_cache(np.float32(10.0))
     table = segment.encode_shard_postings(
-        terms, doc_ids, freqs, pos_flat, norm_bytes, shard_base=1000, cache=cache)
-    return table, (terms, doc_ids, freqs, pos_flat, norm_bytes, cache)
+        terms, doc_ids, freqs, pos_flat, norm_bytes, shard_base=1000)
+    return table, (terms, doc_ids, freqs, pos_flat, norm_bytes)
 
 
 def test_term_stats(encoded):
-    table, (terms, doc_ids, freqs, _, _, _) = encoded
+    table, (terms, doc_ids, freqs, _, _) = encoded
     t = table.to_pydict()
     assert t["term"] == sorted(set(terms))
     for i, term in enumerate(t["term"]):
@@ -47,7 +46,7 @@ def test_term_stats(encoded):
 
 
 def test_doc_id_roundtrip(encoded):
-    table, (terms, doc_ids, freqs, _, _, _) = encoded
+    table, (terms, doc_ids, freqs, _, _) = encoded
     t = table.to_pydict()
     for i, term in enumerate(t["term"]):
         mask = terms == term
@@ -58,7 +57,7 @@ def test_doc_id_roundtrip(encoded):
 
 
 def test_positions_roundtrip(encoded):
-    table, (terms, doc_ids, freqs, pos_flat, _, _) = encoded
+    table, (terms, doc_ids, freqs, pos_flat, _) = encoded
     t = table.to_pydict()
     # reconstruct per-posting position slices
     bounds = np.concatenate(([0], np.cumsum(freqs)))
@@ -72,7 +71,9 @@ def test_positions_roundtrip(encoded):
 
 
 def test_block_metadata(encoded):
-    table, (terms, doc_ids, freqs, _, norm_bytes, cache) = encoded
+    from lucene_solr_ray.util.smallfloat import NORM_TABLE
+
+    table, (terms, doc_ids, freqs, _, norm_bytes) = encoded
     t = table.to_pydict()
     for i, term in enumerate(t["term"]):
         mask = terms == term
@@ -81,17 +82,17 @@ def test_block_metadata(encoded):
         nblocks = (len(docs) + segment.BLOCK_SIZE - 1) // segment.BLOCK_SIZE
         assert len(last) == nblocks
         assert last[-1] == docs[-1]
-        impacts = (freqs[mask].astype(np.float32) /
-                   (freqs[mask].astype(np.float32) + cache[norm_bytes[mask].astype(np.int64)]))
-        bmax = segment.decode_block_max(t["block_max_impact"][i])
-        assert len(bmax) == nblocks
-        assert bmax[0] == impacts[:segment.BLOCK_SIZE].max()
+        bmaxf = segment.decode_block_max_freq(t["block_max_freq"][i])
+        bminnt = segment.decode_block_min_nt(t["block_min_nt"][i])
+        assert len(bmaxf) == len(bminnt) == nblocks
+        assert bmaxf[0] == freqs[mask][:segment.BLOCK_SIZE].max()
+        nt = NORM_TABLE[norm_bytes[mask].astype(np.int64)]
+        assert bminnt[0] == np.float32(nt[:segment.BLOCK_SIZE].min())
 
 
 def test_empty_shard():
-    cache = bm25.norm_cache(np.float32(1.0))
     t = segment.encode_shard_postings(
         np.array([], dtype=object), np.array([], dtype=np.int64),
         np.array([], dtype=np.int64), np.array([], dtype=np.int64),
-        np.array([], dtype=np.uint8), 0, cache)
+        np.array([], dtype=np.uint8), 0)
     assert t.num_rows == 0
