@@ -37,8 +37,10 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.pipelines import (
         dedup,
+        export,
         fulltext,
         knn,
+        multimodal,
         relational,
         sketches,
         textstats,
@@ -79,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram_events": sketches.date_histogram_events,
         "hll_distinct_users": sketches.hll_distinct,
         "tdigest_percentiles_events": sketches.tdigest_percentiles,
+        # export / sinks (§2.2)
+        "export_sorted_orders": export.export_sorted_orders,
+        # multimodal plumbing (decode stubbed; shape real)
+        "media_features": multimodal.media_features,
         # full-text + sketches (non-SQL-expressible: rows-only here,
         # oracle-diffed in pytest)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
@@ -190,6 +196,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_median_events":
             "SELECT event_type, round(quantile_cont(value, 0.5), 6) "
             "AS median_value FROM events GROUP BY event_type",
+        "export_sorted_orders":
+            "SELECT o_orderkey, o_orderdate, o_totalprice, row_number() "
+            "OVER (ORDER BY o_orderdate, o_orderkey) AS rnk FROM orders",
         "date_histogram_events":
             "SELECT date_trunc('day', ts) AS day, count(*) AS cnt "
             "FROM events GROUP BY date_trunc('day', ts)",
