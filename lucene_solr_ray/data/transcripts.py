@@ -112,8 +112,9 @@ def transcripts_path(size: str = "small", root: str | None = None,
     if not marker.exists():
         out.mkdir(parents=True, exist_ok=True)
         table = generate_transcripts(n_convs, seed)
-        # multiple row groups so ray.data can parallelize the read
+        # fine-grained row groups: the fused build plans one task per
+        # row-group span, so granularity here bounds load-balance quality
         pq.write_table(table, out / "part-0.parquet",
-                       row_group_size=max(4096, len(table) // 32))
+                       row_group_size=max(2048, len(table) // 128))
         marker.touch()
     return str(out / "part-0.parquet")

@@ -71,6 +71,8 @@ class ShardSearcher:
             self._doc_enc = t.column("doc_ids_enc").to_pylist()
             self._freq_enc = t.column("freqs_enc").to_pylist()
             self._pos_enc = t.column("positions_enc").to_pylist()
+            self._skip_last = t.column("skip_last_docs").to_pylist()
+            self._skip_offs = t.column("skip_doc_offs").to_pylist()
         else:  # empty shard
             self._terms = {}
             self._df = np.empty(0, dtype=np.int64)
@@ -78,6 +80,8 @@ class ShardSearcher:
             self._doc_enc = []
             self._freq_enc = []
             self._pos_enc = []
+            self._skip_last = []
+            self._skip_offs = []
 
         self._decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         norms_part = index_path / "norms" / f"doc_shard={shard_id}"
