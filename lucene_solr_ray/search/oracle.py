@@ -27,7 +27,15 @@ import numpy as np
 from ..analysis import get_analyzer
 from ..util.smallfloat import encode_norm
 from . import bm25
-from .query import BooleanQuery, MatchNoDocs, PhraseQuery, Query, TermQuery
+from .query import (
+    BooleanQuery,
+    MatchNoDocs,
+    MultiTermQuery,
+    PhraseQuery,
+    Query,
+    TermQuery,
+    expand_multi_term,
+)
 
 
 class OracleIndex:
@@ -121,11 +129,22 @@ class OracleIndex:
                 out[doc_id] = np.float32(np.float32(w) * f / (f + norm))
         return out
 
+    def _score_multi_term(self, q: MultiTermQuery) -> dict[int, np.float32]:
+        """CONSTANT_SCORE_REWRITE: every matching doc scores the boost."""
+        terms = expand_multi_term(q, sorted(self.postings))
+        out: dict[int, np.float32] = {}
+        for t in terms:
+            for doc_id, _, _ in self.postings[t]:
+                out[doc_id] = np.float32(q.boost)
+        return out
+
     def _score_clause(self, q: Query) -> dict[int, np.float32]:
         if isinstance(q, TermQuery):
             return self._score_term(q)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q)
+        if isinstance(q, MultiTermQuery):
+            return self._score_multi_term(q)
         if isinstance(q, BooleanQuery):
             return self._score_boolean(q)
         if isinstance(q, MatchNoDocs):

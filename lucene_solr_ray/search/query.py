@@ -46,6 +46,44 @@ class MatchNoDocs(Query):
     """A clause that analyzed away entirely (e.g. a pure-stopword term)."""
 
 
+@dataclass(frozen=True)
+class MultiTermQuery(Query):
+    """Base for term-expanding queries. Reference semantics: the default
+    CONSTANT_SCORE_REWRITE (MultiTermQuery.java:68,94-97) scores every
+    matching document with the query boost, frequency-independent."""
+
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery(MultiTermQuery):
+    prefix: str = ""
+
+
+@dataclass(frozen=True)
+class WildcardQuery(MultiTermQuery):
+    pattern: str = ""  # fnmatch syntax: * and ?
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(MultiTermQuery):
+    """Levenshtein expansion (FuzzyQuery.java; max 2 edits). Scoring is the
+    constant-score simplification — the reference's blended-freq top-terms
+    rewrite (TopTermsBlendedFreqScoringRewrite) is intentionally not
+    reproduced; tests pin the constant-score contract."""
+
+    term: str = ""
+    max_edits: int = 2
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(MultiTermQuery):
+    lower: str = ""
+    upper: str = ""
+    include_lower: bool = True
+    include_upper: bool = True
+
+
 def _analyze_chunk(chunk: str, analyzer, boost: float = 1.0) -> Query:
     """One whitespace-delimited query chunk -> Term / Phrase / MatchNoDocs.
 
@@ -59,6 +97,92 @@ def _analyze_chunk(chunk: str, analyzer, boost: float = 1.0) -> Query:
         return TermQuery(terms[0], boost)
     base = positions[0]
     return PhraseQuery(tuple(terms), tuple(p - base for p in positions), boost)
+
+
+def levenshtein_within(a: str, b: str, k: int) -> bool:
+    """Damerau (OSA) edit distance <= k with early exit — FuzzyQuery counts
+    transpositions as one edit (FuzzyQuery.java defaultTranspositions)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    if a == b:
+        return True
+    prev2: list[int] | None = None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = i
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+            if (prev2 is not None and i > 1 and j > 1
+                    and ca == b[j - 2] and a[i - 2] == cb):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev2, prev = prev, cur
+    return prev[-1] <= k
+
+
+def expand_multi_term(q: MultiTermQuery, sorted_terms: list[str]) -> list[str]:
+    """Term-dictionary expansion for a MultiTermQuery (the automaton /
+    TermsEnum intersection analog, AutomatonQuery / FuzzyTermsEnum)."""
+    import bisect
+    import fnmatch
+
+    if isinstance(q, PrefixQuery):
+        lo = bisect.bisect_left(sorted_terms, q.prefix)
+        out = []
+        for t in sorted_terms[lo:]:
+            if not t.startswith(q.prefix):
+                break
+            out.append(t)
+        return out
+    if isinstance(q, WildcardQuery):
+        cut = min((q.pattern.index(ch) for ch in "*?" if ch in q.pattern),
+                  default=0)
+        literal = q.pattern[:cut]
+        lo = bisect.bisect_left(sorted_terms, literal)
+        out = []
+        for t in sorted_terms[lo:]:
+            if literal and not t.startswith(literal):
+                break
+            if fnmatch.fnmatchcase(t, q.pattern):
+                out.append(t)
+        return out
+    if isinstance(q, TermRangeQuery):
+        lo = (bisect.bisect_left if q.include_lower
+              else bisect.bisect_right)(sorted_terms, q.lower)
+        hi = (bisect.bisect_right if q.include_upper
+              else bisect.bisect_left)(sorted_terms, q.upper)
+        return sorted_terms[lo:hi]
+    if isinstance(q, FuzzyQuery):
+        return [t for t in sorted_terms
+                if levenshtein_within(q.term, t, q.max_edits)]
+    raise TypeError(type(q))
+
+
+def _parse_term_like(chunk: str, analyzer) -> Query:
+    """Classify a non-phrase chunk: range, fuzzy, wildcard/prefix, or an
+    analyzed term. Expanded-term queries are lowercased but NOT tokenized
+    (classic parser lowercase_expanded_terms behavior)."""
+    from ..analysis.analyzer import java_lowercase
+
+    if chunk.startswith("[") and chunk.endswith("]") and " TO " in chunk:
+        lower, upper = chunk[1:-1].split(" TO ", 1)
+        return TermRangeQuery(lower=java_lowercase(lower.strip()),
+                              upper=java_lowercase(upper.strip()))
+    if "~" in chunk and not chunk.startswith("~"):
+        base, _, edits = chunk.rpartition("~")
+        if edits in ("", "1", "2") and "*" not in base and "?" not in base:
+            return FuzzyQuery(term=java_lowercase(base),
+                              max_edits=int(edits) if edits else 2)
+    if "*" in chunk or "?" in chunk:
+        body = chunk
+        if body.endswith("*") and "*" not in body[:-1] and "?" not in body[:-1]:
+            return PrefixQuery(prefix=java_lowercase(body[:-1]))
+        return WildcardQuery(pattern=java_lowercase(body))
+    return _analyze_chunk(chunk, analyzer)
 
 
 def parse_query(text: str, analyzer=None) -> Query:
@@ -99,7 +223,7 @@ def parse_query(text: str, analyzer=None) -> Query:
             if upper == "NOT":
                 pending_op = "-"
                 return
-            q = _analyze_chunk(chunk, analyzer)
+            q = _parse_term_like(chunk, analyzer)
         clauses.append((pending_bool, pending_op, q))
         pending_op = ""
         pending_bool = None
@@ -120,6 +244,12 @@ def parse_query(text: str, analyzer=None) -> Query:
             flush(text[i + 1:j], True)
             i = j + 1
             continue
+        if c == "[":  # range atom contains spaces: [a TO b]
+            j = text.find("]", i + 1)
+            if j != -1:
+                flush(text[i:j + 1], False)
+                i = j + 1
+                continue
         j = i
         while j < n and not text[j].isspace() and text[j] != '"':
             j += 1

@@ -30,7 +30,16 @@ import pyarrow.parquet as pq
 
 from ..index import segment
 from . import bm25
-from .query import BooleanQuery, MatchNoDocs, PhraseQuery, Query, TermQuery, parse_query
+from .query import (
+    BooleanQuery,
+    MatchNoDocs,
+    MultiTermQuery,
+    PhraseQuery,
+    Query,
+    TermQuery,
+    expand_multi_term,
+    parse_query,
+)
 
 
 def collect_terms(q: Query) -> set[str]:
@@ -184,11 +193,25 @@ class ShardSearcher:
         scores = bm25.score_freqs(pf, self.norms[docs - self.base], self.cache, w)
         return docs, scores
 
+    def _score_multi_term(self, q: MultiTermQuery):
+        """CONSTANT_SCORE_REWRITE over the shard's term dictionary: union
+        of matching terms' postings, every doc scored with the boost."""
+        terms = expand_multi_term(q, list(self._terms))
+        if not terms:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float32))
+        doc_sets = [self._postings(t)[0] for t in terms]
+        docs = doc_sets[0] if len(doc_sets) == 1 else \
+            np.unique(np.concatenate(doc_sets))
+        return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+
     def _score_clause(self, q: Query, df_map: dict[str, int]):
         if isinstance(q, TermQuery):
             return self._score_term(q, df_map)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q, df_map)
+        if isinstance(q, MultiTermQuery):
+            return self._score_multi_term(q)
         if isinstance(q, BooleanQuery):
             return self._score_boolean(q, df_map)
         if isinstance(q, MatchNoDocs):

@@ -21,6 +21,8 @@ QUERIES = [
     "+index -error", "query NOT cache",
     '"ray data"', '"the quick"',
     "engine scale batch", "İstanbul", "foo.bar",
+    "ra*", "t0000*", "?ndex", "merg~1", "[scale TO shard]",
+    "ra* AND data", "eng*ne",
 ]
 
 

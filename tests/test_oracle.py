@@ -165,3 +165,60 @@ def test_parse_multi_token_chunk_becomes_phrase():
     # classic parser: one chunk analyzing to multiple tokens -> phrase
     q = parse_query("foo-bar")
     assert q == PhraseQuery(("foo", "bar"), (0, 1))
+
+
+# --- multi-term queries (constant-score rewrite, MultiTermQuery.java:68) ---
+
+def test_prefix_query(idx):
+    res = idx.search("seg*", k=10)
+    # docs 2 and 4 contain "segments"; constant score 1.0, tie -> lower id
+    assert [(d, float(s)) for d, s in res] == [(2, 1.0), (4, 1.0)]
+
+
+def test_wildcard_query(idx):
+    res = idx.search("*ndex", k=10)
+    assert {d for d, _ in res} == {0, 2}
+    assert all(float(s) == 1.0 for _, s in res)
+
+
+def test_fuzzy_query(idx):
+    # "luceen"~2 matches "lucene" (doc 2)
+    res = idx.search("luceen~2", k=10)
+    assert [d for d, _ in res] == [2]
+    # one transposition = one edit (Damerau/OSA, FuzzyQuery default)
+    res1 = idx.search("luceen~1", k=10)
+    assert [d for d, _ in res1] == [2]
+    # but a genuinely 2-edit term fails at ~1
+    assert idx.search("lucccne~1", k=10) == []
+
+
+def test_range_query(idx):
+    # [merge TO ray] covers merge, out, quick, query, ray (lexicographic)
+    res = idx.search("[merge TO ray]", k=10)
+    assert {d for d, _ in res} == {0, 1, 2, 3, 4}
+
+
+def test_multiterm_in_boolean(idx):
+    res = idx.search("seg* AND fast", k=10)
+    assert [d for d, _ in res] == [2]
+    # score = 1.0 (constant) + bm25(fast)
+    fast = {d: s for d, s in idx.search("fast", k=10)}
+    import numpy as np
+
+    assert res[0][1] == np.float32(np.float32(1.0) + fast[2])
+
+
+def test_parse_multiterm_shapes():
+    from lucene_solr_ray.search.query import (
+        FuzzyQuery,
+        PrefixQuery,
+        TermRangeQuery,
+        WildcardQuery,
+    )
+
+    assert parse_query("seg*") == PrefixQuery(prefix="seg")
+    assert parse_query("s?g*") == WildcardQuery(pattern="s?g*")
+    assert parse_query("lucene~1") == FuzzyQuery(term="lucene", max_edits=1)
+    assert parse_query("lucene~") == FuzzyQuery(term="lucene", max_edits=2)
+    assert parse_query("[alpha TO beta]") == TermRangeQuery(
+        lower="alpha", upper="beta")
