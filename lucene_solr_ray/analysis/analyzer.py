@@ -107,13 +107,22 @@ class SimpleAnalyzer:
         return self.analyze(text)[0]
 
 
-@lru_cache(maxsize=8)
+@lru_cache(maxsize=16)
 def get_analyzer(name: str = "standard"):
-    """Analyzer registry (analysis SPI analog, TokenizerFactory.java)."""
+    """Analyzer registry (analysis SPI analog, TokenizerFactory.java).
+
+    Besides the built-ins, any chain in ``filters.CUSTOM_CHAINS`` resolves
+    by name (e.g. "english_stemmed"), so custom chains work everywhere an
+    analyzer name is accepted, including ``build_index(analyzer=...)``.
+    """
     if name == "standard":
         return StandardAnalyzer()
     if name == "standard_nostop":
         return StandardAnalyzer(stopwords=None)
     if name == "simple":
         return SimpleAnalyzer()
+    from .filters import CUSTOM_CHAINS
+
+    if name in CUSTOM_CHAINS:
+        return CUSTOM_CHAINS[name]
     raise KeyError(f"unknown analyzer: {name!r}")

@@ -1,0 +1,123 @@
+"""Token-filter chain tests: Porter vectors, folding, grams, shingles,
+synonyms, custom-chain round trip through the index."""
+
+import pytest
+
+from lucene_solr_ray.analysis import get_analyzer
+from lucene_solr_ray.analysis.filters import (
+    CustomAnalyzer,
+    ascii_folding_filter,
+    lowercase_filter,
+    make_edge_ngram_filter,
+    make_ngram_filter,
+    make_shingle_filter,
+    make_stop_filter,
+    make_synonym_filter,
+    porter_stem,
+    porter_stem_filter,
+)
+
+# Porter's published vocabulary examples (Porter 1980, public description)
+PORTER_VECTORS = [
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("caress", "caress"), ("cats", "cat"), ("feed", "feed"),
+    ("agreed", "agre"), ("plastered", "plaster"), ("bled", "bled"),
+    ("motoring", "motor"), ("sing", "sing"), ("conflated", "conflat"),
+    ("troubled", "troubl"), ("sized", "size"), ("hopping", "hop"),
+    ("tanned", "tan"), ("falling", "fall"), ("hissing", "hiss"),
+    ("fizzed", "fizz"), ("failing", "fail"), ("filing", "file"),
+    ("happy", "happi"), ("sky", "sky"), ("relational", "relat"),
+    ("conditional", "condit"), ("rational", "ration"),
+    ("digitizer", "digit"), ("operator", "oper"),
+    ("feudalism", "feudal"), ("decisiveness", "decis"),
+    ("hopefulness", "hope"), ("callousness", "callous"),
+    ("formaliti", "formal"), ("triplicate", "triplic"),
+    ("formative", "form"), ("formalize", "formal"),
+    ("electriciti", "electr"), ("electrical", "electr"),
+    ("hopeful", "hope"), ("goodness", "good"), ("revival", "reviv"),
+    ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("adjustable", "adjust"),
+    ("defensible", "defens"), ("replacement", "replac"),
+    ("adjustment", "adjust"), ("dependent", "depend"),
+    ("adoption", "adopt"), ("communism", "commun"),
+    ("activate", "activ"), ("effective", "effect"),
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+]
+
+
+@pytest.mark.parametrize("word,expected", PORTER_VECTORS)
+def test_porter_vectors(word, expected):
+    assert porter_stem(word) == expected
+
+
+def test_ascii_folding():
+    toks = [("café", 0), ("Łódź", 1), ("straße", 2), ("plain", 3)]
+    out = ascii_folding_filter(toks)
+    assert out == [("cafe", 0), ("Lodz", 1), ("strasse", 2), ("plain", 3)]
+
+
+def test_ngram_filter():
+    out = make_ngram_filter(2, 3)([("abcd", 5)])
+    assert out == [("ab", 5), ("bc", 5), ("cd", 5),
+                   ("abc", 5), ("bcd", 5)]
+
+
+def test_edge_ngram_filter():
+    out = make_edge_ngram_filter(1, 3)([("abcd", 2)])
+    assert out == [("a", 2), ("ab", 2), ("abc", 2)]
+
+
+def test_shingle_filter():
+    toks = [("a", 0), ("b", 1), ("c", 2)]
+    out = make_shingle_filter(2)(toks)
+    assert ("a b", 0) in out and ("b c", 1) in out
+    assert ("a", 0) in out  # unigrams kept
+    out2 = make_shingle_filter(2, output_unigrams=False)(toks)
+    assert out2 == [("a b", 0), ("b c", 1)]
+
+
+def test_synonym_filter():
+    f = make_synonym_filter({"fast": ["quick", "rapid"]})
+    out = f([("fast", 0), ("car", 1)])
+    assert out == [("fast", 0), ("quick", 0), ("rapid", 0), ("car", 1)]
+
+
+def test_custom_chain_analyze():
+    a = CustomAnalyzer([lowercase_filter, make_stop_filter(),
+                        porter_stem_filter])
+    terms, positions = a.analyze("The Engines are Running quickly")
+    assert terms == ["engin", "run", "quickli"]
+    assert positions == [1, 3, 4]  # holes where stopwords were
+
+
+def test_registry_resolves_custom_chains():
+    a = get_analyzer("english_stemmed")
+    assert a.analyze_terms("the indexes merging") == ["index", "merg"]
+
+
+def test_stemmed_index_round_trip(ray_session, tmp_path):
+    """A custom chain flows through build_index + search unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    rows = [("c-0", 0, "the engines are running"),
+            ("c-1", 0, "an engine runs fast"),
+            ("c-2", 0, "nothing relevant here")]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+        "text": pa.array([r[2] for r in rows]),
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "idx"
+    build_index(str(src), str(out), num_shards=1,
+                analyzer="english_stemmed")
+    s = IndexSearcher(str(out))
+    # "engine" and "engines" both stem to "engin": query-side chain matches
+    hits = s.search("engines", k=10)
+    assert {d for d, _ in hits} == {0, 1}
