@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_events": relational.distinct_users_events,
         # sorts / top-k / grouping (§2.7)
         "topk_orders": relational.topk_orders,
+        "sample_events": relational.sample_events,
         "collapse_orders": relational.collapse_orders,
         "group_topk_orders": relational.group_topk_orders,
         # scalar expressions / range queries (§2.9)
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-diffed in pytest)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         "minhash_neardup": dedup.minhash_neardup,
+        "embedding_neardup": knn.embedding_neardup_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "lang_id": textstats.lang_id,
         "doc_fingerprints": textstats.fingerprints,
@@ -117,6 +119,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders":
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+        "sample_events":
+            "SELECT event_id, event_type, round(value, 4) AS value "
+            "FROM events WHERE (event_id * 2654435761) % 4294967296 "
+            "< 429496729",
         "collapse_orders":
             "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
             "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("

@@ -54,6 +54,81 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10):
                           round_away(out.column("sim"), 6))
 
 
+def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
+                            n_planes: int = 4, n_tables: int = 16,
+                            seed: int = 42):
+    """Embedding-cosine near-duplicate pairs via multi-table
+    random-hyperplane LSH.
+
+    ``n_tables`` independent sign-hash tables of ``n_planes`` hyperplanes
+    each (one broadcast matrix); a pair becomes a candidate if it collides
+    in ANY table (recall = 1 - (1 - p^k)^L for collision prob
+    p = 1 - theta/pi), and every candidate is verified with the exact
+    cosine — so there are no false positives, and recall is tunable via
+    (n_planes, n_tables). The only shuffle is the (table, bucket) groupby;
+    duplicate candidates across tables are deduped by a second tiny
+    groupby on the verified pairs.
+    """
+    import pandas as pd
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    probe = ds.take(1)[0]
+    dim = len(probe["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        pl = ray.get(planes_ref)
+        m = _embed_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        frames = []
+        for t in range(pl.shape[0]):
+            signs = (m @ pl[t]) > 0
+            codes = (signs.astype(np.int64) <<
+                     np.arange(signs.shape[1])).sum(axis=1)
+            frames.append(pd.DataFrame({
+                "table": t,
+                "bucket": codes,
+                "vec_id": batch["vec_id"].to_numpy(),
+                "vec": list(m),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    buckets = ds.map_batches(bucket, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                              "vec_b": pd.Series(dtype=np.int64),
+                              "cosine": pd.Series(dtype=np.float64)})
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        m = np.stack(g["vec"].to_numpy())
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        if not keep.any():
+            return empty
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi,
+                             "cosine": sims[ia[keep], ib[keep]]})
+
+    from ray.data.aggregate import Max
+
+    found = (buckets.groupby(["table", "bucket"])
+             .map_groups(pairs, batch_format="pandas"))
+    out = (found.groupby(["vec_a", "vec_b"])
+           .aggregate(Max("cosine", alias_name="cosine")).to_pandas())
+    if out.empty:  # keep a stable schema even with zero pairs
+        out = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                            "vec_b": pd.Series(dtype=np.int64),
+                            "cosine": pd.Series(dtype=np.float64)})
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
 class IVFIndex:
     """Bucketed (IVF-style) variant: C random-seeded centroids from the
     data, vectors assigned to nearest centroid; queries probe the nprobe

@@ -240,6 +240,22 @@ def leftouter_customer_orders(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def sample_events(sf_dir: str):
+    """Deterministic ~10% sample (RandomStream / RandomSamplingCollector
+    analog): Knuth multiplicative hash of the id — reproducible across
+    engines, unlike seed-dependent block sampling, hence SQL-checkable."""
+    ds = read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def fil(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        keep = h < np.uint64(429496729)  # 2^32 / 10
+        out = t.filter(pa.array(keep))
+        return round_col(out, "value", 4)
+
+    return ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _BIG_ORDER = 420_000.0  # threshold keeping both semi and anti sides non-empty
 
 

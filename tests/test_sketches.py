@@ -65,3 +65,28 @@ def test_tdigest_pipeline(ray_session):
     df = tdigest_percentiles(SF_DIR).to_pandas()
     assert set(df.columns) == {"event_type", "p50", "p95"}
     assert (df["p95"] >= df["p50"]).all()
+
+
+def test_embedding_neardup_recall(ray_session):
+    """LSH-bucketed near-dup pairs vs brute-force exact cosine."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.knn import embedding_neardup_pairs
+
+    thr = 0.3  # synthetic embeddings are near-orthogonal; use a low bar
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ia, ib = np.triu_indices(len(m), k=1)
+    exact = {(int(a), int(b)) for a, b in
+             zip(ia[sims[ia, ib] >= thr], ib[sims[ia, ib] >= thr])}
+    got_df = embedding_neardup_pairs(SF_DIR, threshold=thr,
+                                     n_planes=4).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(got_df["vec_a"], got_df["vec_b"])}
+    assert got <= exact  # no false positives (exact verify)
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.3, (len(got), len(exact))
