@@ -97,6 +97,18 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     finally:
         dist.close()
 
+    if os.environ.get("LSR_BENCH_INDEX_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": "transcripts index build (index-only scaling run)",
+            "value": round(t_build, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "n_turns": int(n_turns),
+            "num_cpus": num_cpus,
+        }
+
     # --- operator pipelines over the sf tables ---
     from lucene_solr_ray.pipelines import dedup, knn, relational, textstats
 
@@ -139,7 +151,8 @@ def main():
 
     if "--scaling" in sys.argv:
         def run(ncpu: int) -> dict:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       LSR_BENCH_INDEX_ONLY="1")
             out = subprocess.run([sys.executable, __file__], env=env,
                                  capture_output=True, text=True, check=True).stdout
             return json.loads(out.strip().splitlines()[-1])
