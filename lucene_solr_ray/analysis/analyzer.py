@@ -70,8 +70,35 @@ class StandardAnalyzer:
         self.stopwords = stopwords if stopwords is not None else frozenset()
 
     def analyze(self, text: str) -> tuple[list[str], list[int]]:
-        terms: list[str] = []
-        positions: list[int] = []
+        # ASCII fast path: lowercase the whole string once (equivalent to
+        # per-token Character.toLowerCase for ASCII) and scan with the
+        # compiled re pattern directly — the indexing hot loop
+        if text.isascii():
+            from .tokenizer import _ascii_scanner
+
+            word_re, _ = _ascii_scanner()
+            raw_tokens = word_re.findall(text.lower())
+            mtl = self.tokenizer.max_token_length
+            if any(len(t) > mtl for t in raw_tokens):
+                chunked: list[str] = []
+                for t in raw_tokens:
+                    if len(t) <= mtl:
+                        chunked.append(t)
+                    else:
+                        chunked.extend(t[i:i + mtl]
+                                       for i in range(0, len(t), mtl))
+                raw_tokens = chunked
+            stop = self.stopwords
+            terms = []
+            positions = []
+            for pos, term in enumerate(raw_tokens):
+                if term not in stop:
+                    terms.append(term)
+                    positions.append(pos)
+            return terms, positions
+
+        terms = []
+        positions = []
         pos = -1
         stop = self.stopwords
         for raw in self.tokenizer.tokenize(text):
