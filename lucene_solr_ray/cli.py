@@ -1,0 +1,86 @@
+"""CLI entry points, shaped for ``ray job submit``:
+
+    ray job submit -- python -m lucene_solr_ray.cli build SRC INDEX_DIR
+    ray job submit -- python -m lucene_solr_ray.cli update INDEX_DIR SRC
+    ray job submit -- python -m lucene_solr_ray.cli search INDEX_DIR "query"
+    ray job submit -- python -m lucene_solr_ray.cli check INDEX_DIR
+
+Standalone runs initialise Ray locally; under a driver-managed session
+the existing connection is reused (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lucene_solr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index")
+    b.add_argument("source")
+    b.add_argument("index_dir")
+    b.add_argument("--num-shards", type=int, default=None)
+    b.add_argument("--docs-per-shard", type=int, default=None)
+    b.add_argument("--analyzer", default="standard")
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--unsorted", action="store_true",
+                   help="input is not pre-sorted by (conv_id, turn_idx)")
+
+    u = sub.add_parser("update", help="append new documents past checkpoint")
+    u.add_argument("index_dir")
+    u.add_argument("source")
+
+    s = sub.add_parser("search", help="BM25 top-k query")
+    s.add_argument("index_dir")
+    s.add_argument("query")
+    s.add_argument("-k", type=int, default=10)
+
+    c = sub.add_parser("check", help="validate index invariants")
+    c.add_argument("index_dir")
+
+    args = p.parse_args(argv)
+    _ensure_ray()
+
+    if args.cmd == "build":
+        from .index.build import build_index
+
+        manifest = build_index(
+            args.source, args.index_dir, num_shards=args.num_shards,
+            docs_per_shard=args.docs_per_shard, analyzer=args.analyzer,
+            resume=args.resume, assume_sorted=not args.unsorted)
+        print(json.dumps({"shards": len(manifest["shards"]),
+                          "stats": manifest["stats"],
+                          "phases": manifest["phases"]}))
+    elif args.cmd == "update":
+        from .index.update import update_index
+
+        manifest = update_index(args.index_dir, args.source)
+        print(json.dumps({"version": manifest["version"],
+                          "stats": manifest["stats"]}))
+    elif args.cmd == "search":
+        from .search.searcher import IndexSearcher
+
+        searcher = IndexSearcher(args.index_dir)
+        hits = searcher.search(args.query, k=args.k)
+        print(json.dumps(searcher.resolve_hits(hits), default=str))
+    elif args.cmd == "check":
+        from .index.check import check_index
+
+        print(json.dumps(check_index(args.index_dir)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

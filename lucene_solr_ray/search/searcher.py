@@ -317,3 +317,25 @@ class IndexSearcher:
             hits.extend(sh.search(query, df_map, k))
         hits.sort(key=lambda h: (-float(h[1]), h[0]))
         return hits[:k]
+
+    def resolve_hits(self, hits):
+        """(doc_id, score) list -> rows with the docmap identity columns
+        (the stored-fields fetch phase, PURPOSE_GET_FIELDS analog —
+        QueryComponent.java:748,766; full stored fields live in the source
+        Parquet, addressable by (conv_id, turn_idx))."""
+        import pyarrow.dataset as pads
+
+        ids = [d for d, _ in hits]
+        if not ids:
+            return []
+        t = pads.dataset(str(Path(self.index_dir) / "norms"),
+                         format="parquet", partitioning="hive").to_table(
+            columns=["doc_id", "conv_id", "turn_idx"],
+            filter=pads.field("doc_id").isin(ids))
+        lookup = {r["doc_id"]: (r["conv_id"], r["turn_idx"])
+                  for r in t.to_pylist()}
+        return [
+            {"doc_id": d, "score": float(s),
+             "conv_id": lookup[d][0], "turn_idx": lookup[d][1]}
+            for d, s in hits
+        ]
