@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-diffed in pytest)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         "minhash_neardup": dedup.minhash_neardup,
+        "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "embedding_neardup": knn.embedding_neardup_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "lang_id": textstats.lang_id,

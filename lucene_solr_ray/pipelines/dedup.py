@@ -146,6 +146,40 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6):
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def minhash_dedup_keep(sf_dir: str, threshold: float = 0.6):
+    """Near-dup dataset dedup: keep one doc per near-duplicate cluster.
+
+    Clusters = connected components over the verified near-dup pairs,
+    computed by iterated min-label propagation (each round: label[d] =
+    min(label of d and all its neighbors); converges in O(diameter)
+    rounds — the scale-safe alternative to driver-side union-find). The
+    representative kept is the cluster's lowest doc_id.
+
+    Returns (doc_id, keep) for every document.
+    """
+    import pyarrow.parquet as pq
+
+    pairs = minhash_neardup(sf_dir, threshold).to_pandas()
+    all_ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_numpy(
+        zero_copy_only=False)
+    label = {int(d): int(d) for d in all_ids}
+    edges = list(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m or label[b] != m:
+                label[a] = label[b] = m
+                changed = True
+    keep = [label[int(d)] == int(d) for d in all_ids]
+    return pa.table({
+        "doc_id": pa.array(all_ids, type=pa.int64()),
+        "keep": pa.array(keep, type=pa.bool_()),
+    })
+
+
 # -- simhash ------------------------------------------------------------
 
 class SimHasher:

@@ -164,8 +164,34 @@ def expand_multi_term(q: MultiTermQuery, sorted_terms: list[str]) -> list[str]:
 
 def _parse_term_like(chunk: str, analyzer) -> Query:
     """Classify a non-phrase chunk: range, fuzzy, wildcard/prefix, or an
-    analyzed term. Expanded-term queries are lowercased but NOT tokenized
-    (classic parser lowercase_expanded_terms behavior)."""
+    analyzed term. Handles ``field:term`` prefixes (single text field —
+    the prefix is validated away) and ``term^boost``. Expanded-term
+    queries are lowercased but NOT tokenized (classic parser
+    lowercase_expanded_terms behavior)."""
+    from ..analysis.analyzer import java_lowercase
+
+    boost = 1.0
+    if "^" in chunk:
+        base, _, b = chunk.rpartition("^")
+        try:
+            boost = float(b)
+            chunk = base
+        except ValueError:
+            pass
+    if ":" in chunk and not chunk.startswith("["):
+        field, _, rest = chunk.partition(":")
+        # single-field engine: accept the default field name, otherwise
+        # treat the colon as token text (e.g. "12:30")
+        if field in ("text", "body", "content"):
+            chunk = rest
+
+    q = _parse_term_like_body(chunk, analyzer)
+    if boost != 1.0 and hasattr(q, "boost"):
+        q = type(q)(**{**q.__dict__, "boost": boost})
+    return q
+
+
+def _parse_term_like_body(chunk: str, analyzer) -> Query:
     from ..analysis.analyzer import java_lowercase
 
     if chunk.startswith("[") and chunk.endswith("]") and " TO " in chunk:

@@ -222,3 +222,27 @@ def test_parse_multiterm_shapes():
     assert parse_query("lucene~") == FuzzyQuery(term="lucene", max_edits=2)
     assert parse_query("[alpha TO beta]") == TermRangeQuery(
         lower="alpha", upper="beta")
+
+
+def test_parse_boost_and_field_prefix():
+    q = parse_query("ray^2.5")
+    assert q == TermQuery("ray", boost=2.5)
+    q2 = parse_query("text:ray")
+    assert q2 == TermQuery("ray")
+    q3 = parse_query("12:30")  # colon kept, not a field prefix
+    assert q3 == PhraseQuery(("12", "30"), (0, 1))
+
+
+def test_boost_scales_score(idx):
+    import numpy as np
+
+    boosted = {d: s for d, s in idx.search("ray^3", k=10)}
+    # boost multiplies weightValue before the tf quotient
+    from lucene_solr_ray.search import bm25
+    from lucene_solr_ray.util.smallfloat import encode_norm
+
+    w = bm25.weight_value(bm25.idf(3, 5), boost=3.0)
+    cache = bm25.norm_cache(np.float32(4.0))
+    f = np.float32(3.0)
+    expected_doc1 = np.float32(w * f / (f + cache[int(encode_norm(5))]))
+    assert boosted[1] == expected_doc1
