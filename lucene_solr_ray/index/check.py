@@ -63,6 +63,21 @@ def check_index(index_dir: str) -> dict:
             last = segment.decode_skip_last_docs(t.column("skip_last_docs")[i].as_py())
             nblocks = (len(docs) + segment.BLOCK_SIZE - 1) // segment.BLOCK_SIZE
             assert len(last) == nblocks and last[-1] == docs[-1]
+            doffs = segment.decode_skip_doc_offs(
+                t.column("skip_doc_offs")[i].as_py())
+            foffs = segment.decode_skip_doc_offs(
+                t.column("skip_freq_offs")[i].as_py())
+            assert len(doffs) == len(foffs) == nblocks
+            # block-selective decode of the LAST block round-trips
+            bi = nblocks - 1
+            prev = int(last[bi - 1]) if bi > 0 else base
+            bdocs, bfreqs = segment.decode_block(
+                t.column("doc_ids_enc")[i].as_py(),
+                t.column("freqs_enc")[i].as_py(),
+                doffs, foffs, bi, nblocks, int(df[i]), prev)
+            start = bi * segment.BLOCK_SIZE
+            np.testing.assert_array_equal(bdocs, docs[start:])
+            np.testing.assert_array_equal(bfreqs, freqs[start:])
             bmaxf = segment.decode_block_max_freq(
                 t.column("block_max_freq")[i].as_py())
             bminnt = segment.decode_block_min_nt(

@@ -17,6 +17,8 @@ Parquet file per doc-shard holding one row per term:
                      level)
     skip_doc_offs:   binary — LEB128 deltas of byte offsets into doc_ids_enc
                      at each block start
+    skip_freq_offs:  binary — LEB128 deltas of byte offsets into freqs_enc
+                     at each block start (block-selective scoring decode)
     block_max_freq:  binary — LEB128 of max freq per block
     block_min_nt:    binary — float32 per block: min NORM_TABLE[norm_byte]
                      over the block's postings. Together these give the
@@ -112,6 +114,7 @@ def encode_shard_postings(
             "positions_enc": pa.array([], type=pa.large_binary()),
             "skip_last_docs": pa.array([], type=pa.large_binary()),
             "skip_doc_offs": pa.array([], type=pa.large_binary()),
+            "skip_freq_offs": pa.array([], type=pa.large_binary()),
             "block_max_freq": pa.array([], type=pa.large_binary()),
             "block_min_nt": pa.array([], type=pa.large_binary()),
         })
@@ -173,6 +176,7 @@ def encode_shard_postings(
     nt_vals = NORM_TABLE[norm_bytes.astype(np.int64)]
     skip_last_docs: list[bytes] = []
     skip_doc_offs: list[bytes] = []
+    skip_freq_offs: list[bytes] = []
     block_max_freq: list[bytes] = []
     block_min_nt: list[bytes] = []
     for i in range(len(uniq_terms)):
@@ -182,6 +186,8 @@ def encode_shard_postings(
         skip_last_docs.append(varint.encode_deltas(doc_ids[last_idx]))
         offs = doc_byte_offs[block_bounds] - doc_byte_offs[a]
         skip_doc_offs.append(varint.encode_deltas(offs))
+        foffs = freq_byte_offs[block_bounds] - freq_byte_offs[a]
+        skip_freq_offs.append(varint.encode_deltas(foffs))
         bmaxf = np.maximum.reduceat(freqs[a:b], block_bounds - a)
         block_max_freq.append(varint.encode(bmaxf.astype(np.uint64)))
         bminnt = np.minimum.reduceat(nt_vals[a:b], block_bounds - a)
@@ -196,6 +202,7 @@ def encode_shard_postings(
         "positions_enc": pa.array(positions_enc, type=pa.large_binary()),
         "skip_last_docs": pa.array(skip_last_docs, type=pa.large_binary()),
         "skip_doc_offs": pa.array(skip_doc_offs, type=pa.large_binary()),
+        "skip_freq_offs": pa.array(skip_freq_offs, type=pa.large_binary()),
         "block_max_freq": pa.array(block_max_freq, type=pa.large_binary()),
         "block_min_nt": pa.array(block_min_nt, type=pa.large_binary()),
     })
@@ -237,3 +244,32 @@ def decode_block_min_nt(block_min_nt: bytes) -> np.ndarray:
 
 def decode_skip_last_docs(skip_last_docs: bytes) -> np.ndarray:
     return varint.decode_deltas(skip_last_docs)
+
+
+def decode_block(doc_ids_enc: bytes, freqs_enc: bytes,
+                 doc_offs: np.ndarray, freq_offs: np.ndarray,
+                 block_idx: int, n_blocks: int, df: int,
+                 prev_last_doc: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONE 128-doc block of a posting list.
+
+    ``prev_last_doc`` is the previous block's last doc_id (or the value the
+    first delta is relative to — shard_base for block 0), from the skip
+    data: delta encoding runs continuously across blocks, so the block's
+    first cumsum term anchors there.
+    """
+    d_lo = int(doc_offs[block_idx])
+    d_hi = int(doc_offs[block_idx + 1]) if block_idx + 1 < n_blocks else None
+    f_lo = int(freq_offs[block_idx])
+    f_hi = int(freq_offs[block_idx + 1]) if block_idx + 1 < n_blocks else None
+    deltas = varint.decode(doc_ids_enc[d_lo:d_hi] if d_hi is not None
+                           else doc_ids_enc[d_lo:])
+    deltas[0] += prev_last_doc
+    docs = np.cumsum(deltas)
+    freqs = varint.decode(freqs_enc[f_lo:f_hi] if f_hi is not None
+                          else freqs_enc[f_lo:])
+    return docs, freqs
+
+
+def decode_skip_doc_offs(skip_offs: bytes) -> np.ndarray:
+    """Byte offsets (into doc_ids_enc / freqs_enc) at each block start."""
+    return varint.decode_deltas(skip_offs)
