@@ -46,6 +46,9 @@ from ..util import varint
 
 BLOCK_SIZE = 128
 
+#: bump when the on-disk term-table schema changes (invalidates caches)
+FORMAT_VERSION = 2
+
 
 def _delta_with_resets(values: np.ndarray, starts_mask: np.ndarray,
                        base: np.ndarray | int) -> np.ndarray:

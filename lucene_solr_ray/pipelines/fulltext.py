@@ -23,8 +23,10 @@ DOC_QUERIES = (
 
 
 def _docs_index_dir(sf_dir: str) -> str:
+    from ..index.segment import FORMAT_VERSION
+
     key = hashlib.md5(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
-    return f"/tmp/lsr_cache/docs_index_{key}"
+    return f"/tmp/lsr_cache/docs_index_v{FORMAT_VERSION}_{key}"
 
 
 def docs_index(sf_dir: str, num_shards: int = 4) -> str:
@@ -76,7 +78,9 @@ def transcripts_flagship(size: str = "tiny", k: int = 10) -> pd.DataFrame:
     from ..search.actors import DistributedSearcher
 
     src = transcripts_path(size)
-    out = f"/tmp/lsr_cache/transcripts_index_{size}"
+    from ..index.segment import FORMAT_VERSION
+
+    out = f"/tmp/lsr_cache/transcripts_index_v{FORMAT_VERSION}_{size}"
     if not (Path(out) / "manifest.json").exists():
         build_index(src, out, num_shards=4)
 
