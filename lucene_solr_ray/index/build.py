@@ -569,6 +569,11 @@ def _build_fused(source: str, index_path: Path, docs_per_shard: int | None,
     manifest_rows = [r for rows in ray.get(list(b_futures.values()))
                      for r in rows]
     _phase("term_group_encode")
+    lineage = [
+        {"task_id": i, "file": f, "row_groups": list(map(int, rgs)),
+         "doc_lo": int(off), "doc_hi": int(off + nr)}
+        for i, (f, rgs, off, nr) in enumerate(tasks)
+    ]
     return {
         "stats": stats,
         "avgdl": avgdl,
@@ -576,6 +581,7 @@ def _build_fused(source: str, index_path: Path, docs_per_shard: int | None,
         "docs_per_shard": int(docs_per_shard),
         "actual_shards": int(actual_shards),
         "checkpoint": prev_last,
+        "lineage": lineage,
     }
 
 
@@ -628,7 +634,7 @@ def build_index(
         manifest = _write_manifest(
             index_path, analyzer, r["docs_per_shard"], r["actual_shards"],
             r["stats"], r["avgdl"], r["manifest_rows"], phases, t0,
-            checkpoint=r["checkpoint"])
+            checkpoint=r["checkpoint"], lineage=r["lineage"])
         if not keep_runs:
             shutil.rmtree(index_path / "runs", ignore_errors=True)
         return manifest
@@ -738,7 +744,7 @@ def build_index(
 def _write_manifest(index_path: Path, analyzer: str, docs_per_shard: int,
                     actual_shards: int, stats: dict, avgdl: float,
                     manifest_rows: list[dict], phases: dict, t0: float,
-                    checkpoint=None) -> dict:
+                    checkpoint=None, lineage=None) -> dict:
     shards = sorted(manifest_rows, key=lambda r: r["shard_id"])
     manifest = {
         "version": 1,
@@ -755,6 +761,7 @@ def _write_manifest(index_path: Path, analyzer: str, docs_per_shard: int,
         "stats": {**stats, "avgdl": avgdl},
         "phases": phases,
         "checkpoint": list(checkpoint) if checkpoint else None,
+        "lineage": lineage,
         "shards": [
             {k: int(v) for k, v in r.items()} for r in shards
         ],

@@ -148,3 +148,16 @@ def test_aligned_equals_groupby_shuffle(ray_session, tmp_path):
     ma, mg = sa.manifest, sg.manifest
     assert ma["stats"] == mg["stats"]
     assert ma["shards"] == mg["shards"]
+
+
+def test_manifest_records_input_lineage(tiny_index):
+    _, _, manifest = tiny_index
+    lineage = manifest["lineage"]
+    assert lineage and lineage[0]["doc_lo"] == 0
+    # lineage spans cover every doc exactly once, in order
+    hi = 0
+    for entry in lineage:
+        assert entry["doc_lo"] == hi
+        hi = entry["doc_hi"]
+    assert hi == manifest["stats"]["num_docs"]
+    assert all("file" in e and e["row_groups"] for e in lineage)
