@@ -96,3 +96,31 @@ def test_empty_shard():
         np.array([], dtype=np.int64), np.array([], dtype=np.int64),
         np.array([], dtype=np.uint8), 0)
     assert t.num_rows == 0
+
+
+@pytest.mark.parametrize("df", [127, 128, 129, 256, 257])
+def test_block_boundary_dfs(df):
+    """Terms with df at exact block boundaries round-trip with correct
+    block counts and block-selective decode."""
+    docs = np.arange(10, 10 + df * 3, 3, dtype=np.int64)
+    freqs = (docs % 7 + 1).astype(np.int64)
+    terms = np.array(["t"] * df, dtype=object)
+    pos_flat = np.concatenate([np.arange(f) for f in freqs]).astype(np.int64)
+    norms = np.full(df, 120, dtype=np.uint8)
+    t = segment.encode_shard_postings(terms, docs, freqs, pos_flat, norms, 0)
+    nblocks = (df + segment.BLOCK_SIZE - 1) // segment.BLOCK_SIZE
+    d = t.to_pydict()
+    last = segment.decode_skip_last_docs(d["skip_last_docs"][0])
+    assert len(last) == nblocks
+    doffs = segment.decode_skip_doc_offs(d["skip_doc_offs"][0])
+    foffs = segment.decode_skip_doc_offs(d["skip_freq_offs"][0])
+    full = segment.decode_doc_ids(d["doc_ids_enc"][0], 0)
+    np.testing.assert_array_equal(full, docs)
+    for bi in range(nblocks):
+        prev = int(last[bi - 1]) if bi > 0 else 0
+        bd, bf = segment.decode_block(d["doc_ids_enc"][0], d["freqs_enc"][0],
+                                      doffs, foffs, bi, nblocks, df, prev)
+        s = bi * segment.BLOCK_SIZE
+        e = min(s + segment.BLOCK_SIZE, df)
+        np.testing.assert_array_equal(bd, docs[s:e])
+        np.testing.assert_array_equal(bf, freqs[s:e])
