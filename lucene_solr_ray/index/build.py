@@ -55,6 +55,10 @@ from . import segment
 
 MANIFEST_NAME = "manifest.json"
 
+#: optional per-doc metadata columns carried into the docmap when present
+#: in the source (the doc-values analog: queryable fields alongside norms)
+DOCVALUE_FIELDS = ("role", "tool")
+
 
 def _limit_worker_threads() -> None:
     """Cap Arrow's per-process thread pools inside Ray workers.
@@ -186,11 +190,17 @@ def tokenize_table(batch: pa.Table, analyzer) -> pa.Table:
             pos_counts = np.diff(np.concatenate(([0], np.cumsum(freqs_arr)))[term_offs])
         pos_offs = np.concatenate(([0], np.cumsum(pos_counts))).astype(np.int64)
 
-        return pa.table({
+        cols = {
             "doc_id": batch.column("doc_id"),
             "doc_shard": batch.column("doc_shard"),
             "conv_id": batch.column("conv_id"),
             "turn_idx": batch.column("turn_idx"),
+        }
+        for c in DOCVALUE_FIELDS:
+            if c in batch.column_names:
+                cols[c] = batch.column(c)
+        return pa.table({
+            **cols,
             "doc_len": pa.array(doc_lens, type=pa.int32()),
             "norm_byte": pa.array(
                 encode_norm(np.maximum(doc_lens, 1)), type=pa.uint8()),
@@ -433,7 +443,10 @@ def _fused_tokenize_task(file: str, row_groups: list[int], offset: int,
         return json.loads(marker.read_text())
 
     pf = pq.ParquetFile(file)
-    t = pf.read_row_groups(row_groups, columns=["conv_id", "turn_idx", "text"])
+    src_fields = {f.name for f in pf.schema_arrow}
+    extra = [c for c in DOCVALUE_FIELDS if c in src_fields]
+    t = pf.read_row_groups(row_groups,
+                           columns=["conv_id", "turn_idx", "text"] + extra)
     n = t.num_rows
     conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
     turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
@@ -458,8 +471,9 @@ def _fused_tokenize_task(file: str, row_groups: list[int], offset: int,
 
     shard_col = tok.column("doc_shard").to_numpy(zero_copy_only=False)
     bounds = np.concatenate(([0], np.nonzero(np.diff(shard_col))[0] + 1, [n]))
-    norm_cols = ["doc_id", "doc_shard", "conv_id", "turn_idx",
-                 "doc_len", "norm_byte"]
+    norm_cols = (["doc_id", "doc_shard", "conv_id", "turn_idx"]
+                 + [c for c in DOCVALUE_FIELDS if c in tok.column_names]
+                 + ["doc_len", "norm_byte"])
     for i in range(len(bounds) - 1):
         a, b = int(bounds[i]), int(bounds[i + 1])
         sid = int(shard_col[a])
@@ -650,7 +664,12 @@ def build_index(
         actual_shards = max(1, -(-total_docs // docs_per_shard))
     else:
         if isinstance(source, str):
-            ds = rd.read_parquet(source, columns=["conv_id", "turn_idx", "text"])
+            import pyarrow.dataset as _pads
+
+            src_fields = {f.name for f in _pads.dataset(source).schema}
+            extra = [c for c in DOCVALUE_FIELDS if c in src_fields]
+            ds = rd.read_parquet(
+                source, columns=["conv_id", "turn_idx", "text"] + extra)
         else:
             ds = ds_select(source)
         if not assume_sorted:
@@ -694,11 +713,14 @@ def build_index(
     if not (resume and (index_path / "_NORMS_SUCCESS").exists()):
         if norms_dir.exists():
             shutil.rmtree(norms_dir)
-        rd.read_parquet(
-            str(runs_dir),
-            columns=["doc_id", "doc_shard", "conv_id", "turn_idx",
-                     "doc_len", "norm_byte"],
-        ).write_parquet(str(norms_dir), partition_cols=["doc_shard"])
+        import pyarrow.dataset as _pads
+
+        runs_fields = {f.name for f in _pads.dataset(str(runs_dir)).schema}
+        ncols = (["doc_id", "doc_shard", "conv_id", "turn_idx"]
+                 + [c for c in DOCVALUE_FIELDS if c in runs_fields]
+                 + ["doc_len", "norm_byte"])
+        rd.read_parquet(str(runs_dir), columns=ncols).write_parquet(
+            str(norms_dir), partition_cols=["doc_shard"])
         (index_path / "_NORMS_SUCCESS").touch()
     _phase("norms")
 
@@ -773,7 +795,9 @@ def _write_manifest(index_path: Path, analyzer: str, docs_per_shard: int,
 
 
 def ds_select(ds: rd.Dataset) -> rd.Dataset:
-    return ds.select_columns(["conv_id", "turn_idx", "text"])
+    keep = ["conv_id", "turn_idx", "text"] + [
+        c for c in DOCVALUE_FIELDS if c in ds.schema().names]
+    return ds.select_columns(keep)
 
 
 def read_manifest(index_dir: str) -> dict:

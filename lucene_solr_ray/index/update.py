@@ -127,10 +127,19 @@ def update_index(index_dir: str, source: str | rd.Dataset, *,
     docs_per_shard = params["docs_per_shard"]
     base_doc = manifest["stats"]["num_docs"]
 
+    from .build import ds_select
+
     if isinstance(source, str):
-        ds = rd.read_parquet(source, columns=["conv_id", "turn_idx", "text"])
+        import pyarrow.dataset as _pads
+
+        from .build import DOCVALUE_FIELDS
+
+        src_fields = {f.name for f in _pads.dataset(source).schema}
+        extra = [c for c in DOCVALUE_FIELDS if c in src_fields]
+        ds = rd.read_parquet(source,
+                             columns=["conv_id", "turn_idx", "text"] + extra)
     else:
-        ds = source.select_columns(["conv_id", "turn_idx", "text"])
+        ds = ds_select(source)
 
     # append-only checkpoint check (TopicStream watermark semantics)
     checkpoint = manifest.get("checkpoint")
@@ -175,11 +184,16 @@ def update_index(index_dir: str, source: str | rd.Dataset, *,
         new_stats["sum_total_term_freq"], max(new_stats["doc_count"], 1)))
 
     # append norms for the new docs
-    rd.read_parquet(
-        str(runs_dir),
-        columns=["doc_id", "doc_shard", "conv_id", "turn_idx",
-                 "doc_len", "norm_byte"],
-    ).write_parquet(str(index_path / "norms"), partition_cols=["doc_shard"])
+    import pyarrow.dataset as _pads
+
+    from .build import DOCVALUE_FIELDS
+
+    runs_fields = {f.name for f in _pads.dataset(str(runs_dir)).schema}
+    ncols = (["doc_id", "doc_shard", "conv_id", "turn_idx"]
+             + [c for c in DOCVALUE_FIELDS if c in runs_fields]
+             + ["doc_len", "norm_byte"])
+    rd.read_parquet(str(runs_dir), columns=ncols).write_parquet(
+        str(index_path / "norms"), partition_cols=["doc_shard"])
 
     # term shuffle over the NEW postings only; tail shard merges its old data
     runs = rd.read_parquet(

@@ -62,6 +62,26 @@ def search_conversations(searcher: IndexSearcher, query: Query | str,
     return [(str(groups[i]), np.float32(agg[i])) for i in top]
 
 
+def collapse_search(searcher: IndexSearcher, query: Query | str,
+                    k: int = 10):
+    """Field collapse on conversation: the single best-scoring turn per
+    conversation, top-k conversations (CollapsingQParserPlugin semantics:
+    group head = max score, tie -> lower doc_id)."""
+    docs, scores = _all_hits(searcher, query)
+    if len(docs) == 0:
+        return []
+    dm = searcher.docmap()
+    convs = dm[docs]
+    # per conversation: argmax score with lower-doc tie-break
+    order = np.lexsort((docs, -scores.astype(np.float32), convs))
+    convs_s = convs[order]
+    heads = np.concatenate(([True], convs_s[1:] != convs_s[:-1]))
+    head_idx = order[heads]
+    hd, hs = docs[head_idx], scores[head_idx]
+    top = np.lexsort((hd, -hs.astype(np.float32)))[:k]
+    return [(int(hd[i]), np.float32(hs[i]), str(dm[hd[i]])) for i in top]
+
+
 def rerank(searcher: IndexSearcher, query: Query | str,
            rerank_query: Query | str, k: int = 10, top_n: int = 50,
            weight: float = 2.0):

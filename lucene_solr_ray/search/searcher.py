@@ -401,6 +401,59 @@ class IndexSearcher:
         return parse_query(text, get_analyzer(self.analyzer_name))
 
     _docmap_cache: np.ndarray | None = None
+    _docvalue_cache: dict | None = None
+
+    def docvalues(self, field: str) -> np.ndarray | None:
+        """Per-doc metadata column indexed by doc_id (doc-values analog);
+        None if the field was not present at index time."""
+        if self._docvalue_cache is None:
+            self._docvalue_cache = {}
+        if field not in self._docvalue_cache:
+            import pyarrow.dataset as pads
+
+            dset = pads.dataset(str(Path(self.index_dir) / "norms"),
+                                format="parquet", partitioning="hive")
+            if field not in dset.schema.names:
+                self._docvalue_cache[field] = None
+            else:
+                t = dset.to_table(columns=["doc_id", field])
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                arr = np.empty(self.manifest["stats"]["num_docs"], dtype=object)
+                arr[ids] = np.asarray(t.column(field).to_pylist(), dtype=object)
+                self._docvalue_cache[field] = arr
+        return self._docvalue_cache[field]
+
+    def facet(self, query: Query | str, field: str,
+              limit: int | None = None) -> list[tuple[str, int]]:
+        """Field facet counts over the query's FULL result set
+        (SimpleFacets.java:102-417 semantics: count desc, then value asc,
+        optional limit)."""
+        from .features import _all_hits
+
+        values = self.docvalues(field)
+        if values is None:
+            raise KeyError(f"field {field!r} was not indexed as a doc value")
+        docs, _ = _all_hits(self, query)
+        if len(docs) == 0:
+            return []
+        vals = values[docs]
+        uniq, counts = np.unique(vals.astype(str), return_counts=True)
+        order = np.lexsort((uniq, -counts))
+        out = [(str(uniq[i]), int(counts[i])) for i in order]
+        return out[:limit] if limit else out
+
+    def suggest(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
+        """Prefix suggestions ranked by global docFreq (TermsComponent /
+        suggester analog over the term dictionary)."""
+        from .query import PrefixQuery, expand_multi_term
+
+        agg: dict[str, int] = {}
+        for sh in self.shards:
+            for t in expand_multi_term(PrefixQuery(prefix=prefix),
+                                       list(sh._terms)):
+                agg[t] = agg.get(t, 0) + int(sh._df[sh._terms[t]])
+        ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
 
     def docmap(self) -> np.ndarray:
         """conv_id per doc_id (lazy; used by block-join / result display)."""
