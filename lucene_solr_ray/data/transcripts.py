@@ -99,7 +99,7 @@ def generate_transcripts(n_convs: int, seed: int = SEED) -> pa.Table:
     })
 
 
-SIZES = {"tiny": 50, "small": 2_000, "bench": 200_000}
+SIZES = {"tiny": 50, "small": 2_000, "bench": 200_000, "large": 2_000_000}
 
 
 def transcripts_path(size: str = "small", root: str | None = None,

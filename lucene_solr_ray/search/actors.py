@@ -39,6 +39,22 @@ class SearchActor:
                 out[t] = out.get(t, 0) + d
         return out
 
+    def facet_partial(self, query: Query, df_map: dict[str, int],
+                      field: str) -> dict[str, int]:
+        """Per-actor facet counts over the query's full result set."""
+        import numpy as np
+
+        out: dict[str, int] = {}
+        for sh in self.searchers:
+            docs, _ = sh._score_clause(query, df_map)
+            if len(docs) == 0:
+                continue
+            vals = sh.docvalues_local(field, docs)
+            uniq, counts = np.unique(vals.astype(str), return_counts=True)
+            for v, c in zip(uniq, counts):
+                out[str(v)] = out.get(str(v), 0) + int(c)
+        return out
+
     def search_batch(self, queries: list[Query], df_maps: list[dict[str, int]],
                      k: int) -> list[list[tuple[int, float]]]:
         results = []
@@ -100,6 +116,27 @@ class DistributedSearcher:
 
     def search(self, query: Query | str, k: int = 10):
         return self.search_batch([query], k)[0]
+
+    def facet(self, query: Query | str, field: str,
+              limit: int | None = None) -> list[tuple[str, int]]:
+        """Distributed field facet: per-actor partial counts, merged on the
+        driver (FacetComponent distributed merge — exact by construction,
+        no refinement phase needed)."""
+        parsed = self.parse(query) if isinstance(query, str) else query
+        all_terms = sorted(collect_terms(parsed))
+        partials = ray.get([a.local_df.remote(all_terms) for a in self.actors])
+        df: dict[str, int] = {}
+        for p in partials:
+            for t, d in p.items():
+                df[t] = df.get(t, 0) + d
+        counts = ray.get([a.facet_partial.remote(parsed, df, field)
+                          for a in self.actors])
+        agg: dict[str, int] = {}
+        for c in counts:
+            for v, n in c.items():
+                agg[v] = agg.get(v, 0) + n
+        out = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return out[:limit] if limit else out
 
     def close(self):
         for a in self.actors:

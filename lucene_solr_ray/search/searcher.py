@@ -63,6 +63,7 @@ class ShardSearcher:
         if manifest is None:
             manifest = json.loads((index_path / "manifest.json").read_text())
         self.shard_id = shard_id
+        self.index_dir = str(index_dir)
         params = manifest["params"]
         stats = manifest["stats"]
         self.docs_per_shard = params["docs_per_shard"]
@@ -106,6 +107,21 @@ class ShardSearcher:
             ids = nt.column("doc_id").to_numpy(zero_copy_only=False)
             vals = nt.column("norm_byte").to_numpy(zero_copy_only=False)
             self.norms[ids - self.base] = vals
+
+    def docvalues_local(self, field: str, docs: np.ndarray) -> np.ndarray:
+        """Shard-local doc-value lookup for the given doc_ids."""
+        if not hasattr(self, "_dv_cols"):
+            self._dv_cols: dict[str, np.ndarray] = {}
+        if field not in self._dv_cols:
+            part = Path(self.index_dir) / "norms" / f"doc_shard={self.shard_id}"
+            arr = np.empty(self.docs_per_shard, dtype=object)
+            if part.exists():
+                t = pq.read_table(part, columns=["doc_id", field])
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                arr[ids - self.base] = np.asarray(
+                    t.column(field).to_pylist(), dtype=object)
+            self._dv_cols[field] = arr
+        return self._dv_cols[field][docs - self.base]
 
     # --- phase 1: local term stats ---
     def local_df(self, terms: list[str]) -> dict[str, int]:

@@ -76,3 +76,15 @@ def test_collapse_search(searcher):
     for doc_id, score, conv in hits:
         mask = np.array([dm[d] == conv for d in docs])
         assert float(score) == float(scores[mask].max())
+
+
+def test_distributed_facet_matches_local(searcher):
+    from lucene_solr_ray.search.actors import DistributedSearcher
+
+    s, _ = searcher
+    dist = DistributedSearcher(s.index_dir, num_actors=2)
+    try:
+        for q in ["ray", "data OR index"]:
+            assert dist.facet(q, "role") == s.facet(q, "role"), q
+    finally:
+        dist.close()
