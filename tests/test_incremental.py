@@ -61,3 +61,39 @@ def test_update_rejects_stale_input(ray_session, split_sources, tmp_path):
     update_index(str(incr_dir), str(split_sources / "second.parquet"))
     with pytest.raises(ValueError, match="checkpoint"):
         update_index(str(incr_dir), str(split_sources / "second.parquet"))
+
+
+def test_kill_and_resume_mid_build(ray_session, split_sources, tmp_path):
+    """FIXTURES §5: simulate a build killed mid-flight — some wave-A task
+    outputs and some shard segments lost — and resume to a state identical
+    to an uninterrupted build."""
+    src = str(split_sources / "all.parquet")
+    ref_dir = tmp_path / "ref"
+    crash_dir = tmp_path / "crash"
+    m_ref = build_index(src, str(ref_dir), docs_per_shard=150)
+    build_index(src, str(crash_dir), docs_per_shard=150, keep_runs=True)
+
+    # crash simulation: drop the manifest, half the shards, and one wave-A
+    # task's outputs (marker + run files)
+    (crash_dir / "manifest.json").unlink()
+    shards = sorted((crash_dir / "shards").iterdir())
+    for sh in shards[::2]:
+        import shutil
+
+        shutil.rmtree(sh)
+    markers = sorted((crash_dir / "runs").glob("_task*_SUCCESS"))
+    markers[0].unlink()
+    tid = markers[0].name[len("_task"):-len("_SUCCESS")]
+    for f in (crash_dir / "runs").glob(f"shard=*/run-{tid}.parquet"):
+        f.unlink()
+    for f in (crash_dir / "norms").glob(f"doc_shard=*/run-{tid}.parquet"):
+        f.unlink()
+
+    m2 = build_index(src, str(crash_dir), docs_per_shard=150, resume=True)
+    assert m2["stats"] == m_ref["stats"]
+    assert m2["shards"] == m_ref["shards"]
+    sref, sres = IndexSearcher(str(ref_dir)), IndexSearcher(str(crash_dir))
+    for q in QUERIES:
+        assert [(d, float(s)) for d, s in sres.search(q, k=10)] == \
+            [(d, float(s)) for d, s in sref.search(q, k=10)], q
+    assert check_index(str(crash_dir))["status"] == "ok"

@@ -63,3 +63,21 @@ def test_200_queries_rank_identical(engine_and_oracle):
         if [(d, float(s)) for d, s in got] != [(d, float(s)) for d, s in want]:
             mismatches.append((q, got[:3], want[:3]))
     assert not mismatches, mismatches[:5]
+
+
+def test_fuzz_random_query_strings(engine_and_oracle):
+    """Hypothesis-style robustness: random query strings (including
+    operator soup) never crash and stay engine==oracle."""
+    rng = np.random.default_rng(7)
+    pieces = ["ray", "data", "t00007", "the", "AND", "OR", "NOT", "+", "-",
+              '"ray data"', "ra*", "?ndex", "merg~1", "[data TO ray]",
+              "x^2", "", "  ", "(", ")", "foo.bar", "12:30", "~", "*"]
+    searcher, oracle = engine_and_oracle
+    for _ in range(150):
+        n = int(rng.integers(1, 5))
+        q = " ".join(pieces[int(rng.integers(0, len(pieces)))]
+                     for _ in range(n))
+        got = searcher.search(q, k=10)
+        want = oracle.search(q, k=10)
+        assert [(d, float(s)) for d, s in got] == \
+            [(d, float(s)) for d, s in want], repr(q)
