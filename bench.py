@@ -113,8 +113,6 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     from lucene_solr_ray.pipelines import dedup, knn, relational, textstats
 
     def consume(res):
-        import pyarrow as pa
-
         import ray.data as rd
 
         if isinstance(res, rd.Dataset):

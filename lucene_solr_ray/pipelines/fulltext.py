@@ -11,7 +11,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..index.build import build_index, read_manifest
+from ..index.build import build_index
 from ..search.searcher import IndexSearcher
 
 #: query set exercising term/boolean/phrase shapes over the documents vocab

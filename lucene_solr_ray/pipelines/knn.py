@@ -14,7 +14,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray
-import ray.data as rd
 
 from .util import read, round_away
 

@@ -14,7 +14,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from .joins import anti_join, broadcast_hash_join, partitioned_hash_join, semi_join

@@ -20,8 +20,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import AggregateFn
-
 from .util import read
 
 # ---------------------------------------------------------------- HLL ----
