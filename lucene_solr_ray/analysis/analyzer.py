@@ -79,7 +79,8 @@ class StandardAnalyzer:
             word_re, _ = _ascii_scanner()
             raw_tokens = word_re.findall(text.lower())
             mtl = self.tokenizer.max_token_length
-            if any(len(t) > mtl for t in raw_tokens):
+            # a token can only exceed mtl if the whole text does
+            if len(text) > mtl and any(len(t) > mtl for t in raw_tokens):
                 chunked: list[str] = []
                 for t in raw_tokens:
                     if len(t) <= mtl:
