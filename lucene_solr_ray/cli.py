@@ -51,6 +51,13 @@ def main(argv=None) -> int:
     c.add_argument("index_dir")
 
     args = p.parse_args(argv)
+    if args.cmd in ("update", "search", "check"):
+        from pathlib import Path
+
+        if not (Path(args.index_dir) / "manifest.json").exists():
+            print(f"error: no index at {args.index_dir} "
+                  "(manifest.json missing)", file=sys.stderr)
+            return 2
     _ensure_ray()
 
     if args.cmd == "build":
