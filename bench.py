@@ -59,11 +59,12 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     build_index(warm_src, "/tmp/lsr_bench/warmup",
                 num_shards=max(8, num_cpus))
 
-    # best-of-2: the sandbox VM's throughput is noisy (+/-30% observed);
+    # best-of-N: the sandbox VM's throughput is noisy (+/-30% observed);
     # min over trials is the standard noise-robust estimator
+    trials = int(os.environ.get("LSR_BENCH_TRIALS", "2"))
     index_dir = f"/tmp/lsr_bench/index_{num_cpus}"
     t_build = float("inf")
-    for _ in range(2):
+    for _ in range(trials):
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.time()
         build_index(src, index_dir, num_shards=max(8, num_cpus),
@@ -150,7 +151,7 @@ def main():
     if "--scaling" in sys.argv:
         def run(ncpu: int) -> dict:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       LSR_BENCH_INDEX_ONLY="1")
+                       LSR_BENCH_INDEX_ONLY="1", LSR_BENCH_TRIALS="1")
             out = subprocess.run([sys.executable, __file__], env=env,
                                  capture_output=True, text=True, check=True).stdout
             return json.loads(out.strip().splitlines()[-1])
@@ -159,8 +160,15 @@ def main():
         # workers its shared memory bandwidth saturates (see BASELINE.md
         # microbenchmark), which a real 4N-node cluster does not — so the
         # 2->8 pair is the faithful proxy for node scaling and is reported
-        # as the headline; 8->32 is included for transparency.
-        results = {int(n): run(n) for n in (2, 8, 32)}
+        # as the headline; 8->32 is included for transparency. The VM also
+        # throttles in minute-scale windows, so levels run in TWO rounds
+        # interleaved across time and each level keeps its best run.
+        results: dict[int, dict] = {}
+        for _ in range(2):
+            for n in (2, 8, 32):
+                r = run(n)
+                if n not in results or r["value"] < results[n]["value"]:
+                    results[n] = r
         t2, t8, t32 = (results[n]["value"] for n in (2, 8, 32))
         out = {
             "sec_2": t2, "sec_8": t8, "sec_32": t32,
