@@ -146,6 +146,14 @@ def assign_doc_ids(ds: rd.Dataset, docs_per_shard: int,
 # stage 2: tokenize into SPIMI runs (actor pool)
 # --------------------------------------------------------------------------
 
+def _dict_terms(all_terms: list[str]) -> pa.DictionaryArray:
+    import pandas as pd
+
+    codes, vocab = pd.factorize(np.asarray(all_terms, dtype=object))
+    return pa.DictionaryArray.from_arrays(
+        pa.array(codes.astype(np.int32)), pa.array(vocab, type=pa.string()))
+
+
 class TokenizeStage:
     """Actor-pool callable: text -> per-doc postings row.
 
@@ -204,8 +212,11 @@ def tokenize_table(batch: pa.Table, analyzer) -> pa.Table:
             "doc_len": pa.array(doc_lens, type=pa.int32()),
             "norm_byte": pa.array(
                 encode_norm(np.maximum(doc_lens, 1)), type=pa.uint8()),
+            # dictionary-encoded: each batch's vocab is tiny next to the
+            # token stream, so runs/explode/sort move int32 codes, not
+            # millions of strings (the main memory-bandwidth cut)
             "terms": pa.LargeListArray.from_arrays(
-                term_offs, pa.array(all_terms, type=pa.string())),
+                term_offs, _dict_terms(all_terms)),
             "freqs": pa.LargeListArray.from_arrays(
                 term_offs, pa.array(freqs_arr, type=pa.int32())),
             "pos_flat": pa.LargeListArray.from_arrays(
@@ -281,7 +292,10 @@ class SegmentWriter:
         term_col = group.column("term")
         if isinstance(term_col, pa.ChunkedArray):
             term_col = term_col.combine_chunks()
-        dict_arr = term_col.dictionary_encode()
+        if pa.types.is_dictionary(term_col.type):
+            dict_arr = term_col  # runs already carry codes + vocab
+        else:
+            dict_arr = term_col.dictionary_encode()
         codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int32)
         vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
         vocab_order = np.argsort(vocab, kind="stable")
@@ -306,10 +320,18 @@ class SegmentWriter:
         pos_list = pos_list.take(pa.array(sort_idx))
         pos_flat = pos_list.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
 
-        # term boundaries from the sorted ranks (every vocab entry occurs)
-        counts = np.bincount(ranks, minlength=len(vocab))
-        term_offsets = np.concatenate(([0], np.cumsum(counts)))
-        uniq_terms = vocab[vocab_order]
+        # term boundaries from the ranks actually present (a unified
+        # dictionary after concat may carry entries unused in this shard)
+        ranks_sorted = ranks[sort_idx]
+        bounds = np.concatenate((
+            [True], ranks_sorted[1:] != ranks_sorted[:-1])) \
+            if len(ranks_sorted) else np.empty(0, dtype=bool)
+        t_starts = np.nonzero(bounds)[0]
+        term_offsets = np.concatenate((t_starts, [len(ranks_sorted)]))
+        uniq_terms = vocab[vocab_order][ranks_sorted[t_starts]]
+        if len(uniq_terms) > 1 and bool(
+                np.any(uniq_terms[1:] == uniq_terms[:-1])):
+            raise ValueError("duplicate term strings in unified dictionary")
 
         base = shard_id * self.docs_per_shard
         table = segment.encode_shard_postings(

@@ -70,7 +70,7 @@ def _decode_segment_to_postings(terms_file: Path, base: int) -> pa.Table:
     flat_all = np.concatenate([f for f, _ in pos_lists]) if pos_lists else np.empty(0)
     pos_offsets = np.concatenate(([0], np.cumsum(freqs_np)))
     return pa.table({
-        "term": pa.array(terms_out, type=pa.string()),
+        "term": pa.array(terms_out, type=pa.string()).dictionary_encode(),
         "doc_id": pa.array(docs_np, type=pa.int64()),
         "freq": pa.array(freqs_np, type=pa.int64()),
         "positions": pa.LargeListArray.from_arrays(
