@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         sketches,
         textstats,
+        windows,
     )
 
     return {
@@ -82,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram_events": sketches.date_histogram_events,
         "hll_distinct_users": sketches.hll_distinct,
         "tdigest_percentiles_events": sketches.tdigest_percentiles,
+        # windowed aggregates (§2.10)
+        "tumbling_window_events": windows.tumbling_window_events,
+        "session_windows_events": windows.session_windows_events,
         # export / sinks (§2.2)
         "export_sorted_orders": export.export_sorted_orders,
         # multimodal plumbing (decode stubbed; shape real)
@@ -203,6 +207,19 @@ def oracle_sql() -> dict[str, str]:
         "exact_median_events":
             "SELECT event_type, round(quantile_cont(value, 0.5), 6) "
             "AS median_value FROM events GROUP BY event_type",
+        "tumbling_window_events":
+            "SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT "
+            "AS window_start, count(*) AS cnt, round(sum(value), 2) "
+            "AS sum_value FROM events GROUP BY event_type, "
+            "date_trunc('hour', ts)",
+        "session_windows_events":
+            "WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts) AS session_id FROM g) "
+            "SELECT user_id, session_id, count(*) AS n_events "
+            "FROM s GROUP BY user_id, session_id",
         "export_sorted_orders":
             "SELECT o_orderkey, o_orderdate, o_totalprice, row_number() "
             "OVER (ORDER BY o_orderdate, o_orderkey) AS rnk FROM orders",

@@ -1,0 +1,67 @@
+"""Windowed aggregates over the events stream (SURVEY.md §2.10 notes).
+
+The reference's streaming operators assume per-shard sorted delivery with
+no watermarks (ReducerStream.java:57,206); Ray Data has no event-time
+machinery either, so windows are expressed batch-style over the ordered
+log (the guide's streaming-shaped-workload pattern):
+
+- ``tumbling_window``: fixed-size windows are a pure column computation
+  (floor of epoch / size) followed by a grouped aggregate — no ordering
+  assumption at all.
+- ``session_windows``: gap-based sessions need per-key time order, so the
+  groupby(key).map_groups stage sorts each key's events by ts and splits
+  where the gap exceeds the timeout (the ordering assumption lives INSIDE
+  the group, which hash partitioning guarantees is complete).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Sum
+
+from .util import read, round_col
+
+
+def tumbling_window_events(sf_dir: str, window_sec: int = 3600):
+    """Events per (event_type, hour window): count + rounded sum(value)."""
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[us]").astype(np.int64) // 1_000_000
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "window_start": pa.array(
+                (epoch // window_sec) * window_sec, type=pa.int64()),
+            "value": t.column("value"),
+        })
+
+    out = (ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(alias_name="cnt"),
+                      Sum("value", alias_name="sum_value")))
+    return out.map_batches(lambda t: round_col(t, "sum_value", 2),
+                           batch_format="pyarrow")
+
+
+def session_windows_events(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessions per user: (user_id, session_id, n_events)."""
+    ds = read(sf_dir, "events", ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes, "m")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].to_numpy()
+        brk = np.zeros(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
+        session_id = np.cumsum(brk)
+        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                            "session_id": session_id})
+        return (out.groupby(["user_id", "session_id"], sort=False)
+                .size().reset_index(name="n_events"))
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
