@@ -187,3 +187,20 @@ def test_types_consistent_between_paths(text):
     fast = [(t.text, t.type) for t in tok.tokenize_full(text)]
     slow = [(t.text, t.type) for t in tok.tokenize_full(text + " ")]
     assert fast == slow
+
+
+unicode_text = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFFF,
+                           blacklist_categories=("Cs",)), max_size=60)
+
+
+@given(unicode_text)
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_never_crashes_on_unicode(text):
+    tok = StandardTokenizer()
+    tokens = tok.tokenize(text)
+    assert all(isinstance(t, str) and t for t in tokens)
+    # analyzer chain also holds and positions stay monotone
+    terms, positions = StandardAnalyzer().analyze(text)
+    assert len(terms) == len(positions)
+    assert positions == sorted(positions)
