@@ -81,3 +81,22 @@ def test_fuzz_random_query_strings(engine_and_oracle):
         want = oracle.search(q, k=10)
         assert [(d, float(s)) for d, s in got] == \
             [(d, float(s)) for d, s in want], repr(q)
+
+
+def test_quality_harness(engine_and_oracle):
+    """QualityBenchmark analog: under the conjunctive judge, a single-term
+    query's BM25 top-k is perfectly precise (every hit contains the term),
+    and MRR is 1.0."""
+    from lucene_solr_ray.search.quality import evaluate
+
+    searcher, _ = engine_and_oracle
+    single = ["ray", "data", "index", "merge", "t00042"]
+    report = evaluate(searcher, single, k=10)
+    assert report["queries_judged"] == len(single)
+    assert report["precision_at_10"] == 1.0
+    assert report["mrr"] == 1.0
+
+    mixed = ["ray data", "index OR merge", "engine scale batch"]
+    r2 = evaluate(searcher, mixed, k=10)
+    assert 0.0 <= r2["precision_at_10"] <= 1.0
+    assert r2["queries_judged"] >= 1
