@@ -187,7 +187,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 420000)",
         "term_df_simple":
-            "SELECT term, count(*) AS df, sum(tf) AS ttf FROM ("
+            "SELECT term, count(*) AS df, sum(tf)::BIGINT AS ttf FROM ("
             "SELECT doc_id, term, count(*) AS tf FROM (" + _TOKS + ") "
             "WHERE term <> '' GROUP BY doc_id, term) GROUP BY term",
         "doc_token_counts":
@@ -195,8 +195,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE term <> '' GROUP BY doc_id",
         "quality_scores":
             "WITH t2 AS (SELECT doc_id, count(*) AS n_tokens, "
-            "sum(CASE WHEN term IN " + _STOPWORDS_SQL + " THEN 1 ELSE 0 END) "
-            "AS n_stopwords, "
+            "sum(CASE WHEN term IN " + _STOPWORDS_SQL + " THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_stopwords, "
             "round(sum(length(term)) * 1.0 / count(*), 4) AS mean_token_len "
             "FROM (" + _TOKS + ") WHERE term <> '' GROUP BY doc_id) "
             "SELECT d.doc_id, length(d.text) AS n_chars, "
@@ -217,7 +217,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
             "THEN 1 ELSE 0 END AS brk FROM events), "
             "s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id "
-            "ORDER BY ts) AS session_id FROM g) "
+            "ORDER BY ts)::BIGINT AS session_id FROM g) "
             "SELECT user_id, session_id, count(*) AS n_events "
             "FROM s GROUP BY user_id, session_id",
         "export_sorted_orders":

@@ -50,6 +50,9 @@ class SearchActor:
             if len(docs) == 0:
                 continue
             vals = sh.docvalues_local(field, docs)
+            vals = vals[vals != None]  # noqa: E711 — drop missing-field docs
+            if len(vals) == 0:
+                continue
             uniq, counts = np.unique(vals.astype(str), return_counts=True)
             for v, c in zip(uniq, counts):
                 out[str(v)] = out.get(str(v), 0) + int(c)

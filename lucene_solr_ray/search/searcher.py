@@ -453,6 +453,11 @@ class IndexSearcher:
         if len(docs) == 0:
             return []
         vals = values[docs]
+        # docs without the field are omitted, not counted as a 'None'
+        # bucket (SimpleFacets missing-value semantics)
+        vals = vals[vals != None]  # noqa: E711 — elementwise object compare
+        if len(vals) == 0:
+            return []
         uniq, counts = np.unique(vals.astype(str), return_counts=True)
         order = np.lexsort((uniq, -counts))
         out = [(str(uniq[i]), int(counts[i])) for i in order]

@@ -88,3 +88,23 @@ def test_distributed_facet_matches_local(searcher):
             assert dist.facet(q, "role") == s.facet(q, "role"), q
     finally:
         dist.close()
+
+
+def test_facet_missing_field_docs_omitted(searcher):
+    """Docs without the field are omitted from facet counts, not bucketed
+    under a literal 'None' (SimpleFacets missing-value semantics)."""
+    s, _ = searcher
+    full = dict(s.facet("ray", "role"))
+    values = s.docvalues("role").copy()
+    docs_hit, _ = __import__(
+        "lucene_solr_ray.search.features", fromlist=["_all_hits"])._all_hits(s, "ray")
+    # blank out the field for half the hit docs
+    blanked = docs_hit[::2]
+    values[blanked] = None
+    s._docvalue_cache["role"] = values
+    try:
+        got = dict(s.facet("ray", "role"))
+    finally:
+        s._docvalue_cache.pop("role", None)
+    assert "None" not in got
+    assert sum(got.values()) == sum(full.values()) - len(blanked)
