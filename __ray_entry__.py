@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "embedding_neardup": knn.embedding_neardup_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_neardup": dedup.simhash_neardup,
         "lang_id": textstats.lang_id,
         "doc_fingerprints": textstats.fingerprints,
     }

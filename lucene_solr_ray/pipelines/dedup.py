@@ -2,21 +2,30 @@
 
 - ``exact_dedup``: SignatureUpdateProcessor with MD5Signature semantics
   (``solr/core/.../update/processor/SignatureUpdateProcessorFactory.java``,
-  ``MD5Signature.java``): content-hash each doc in a vectorized
-  ``map_batches``, hash-partition on the signature, keep the lowest doc_id
-  per signature group (UniqueStream keep-first analog).
+  ``MD5Signature.java``): content-hash each doc in a ``map_batches``,
+  hash-partition on the signature, keep the lowest doc_id per signature
+  group (UniqueStream keep-first analog).
 - ``minhash_neardup``: MinHash + LSH banding (the TextProfileSignature
-  near-dup idea scaled out): shingle -> 64 minhashes -> B bands; band
-  buckets become groupby keys; candidate pairs within a bucket are
-  verified by exact shingle-Jaccard. All stages stream; the only shuffle
-  is the band-bucket groupby.
-- ``simhash_dedup``: 64-bit SimHash fingerprints; near-dup pairs =
-  fingerprints within a Hamming radius inside LSH buckets over 4 16-bit
-  chunks.
+  near-dup idea scaled out, ``update/processor/TextProfileSignature.java``):
+  shingle -> 64 minhashes -> 16 bands; band buckets become groupby keys;
+  candidate pairs are verified by exact shingle-Jaccard computed INSIDE the
+  cluster — candidates are hash-shuffle-joined back to per-doc shingle
+  sets and verified per batch (no driver-side materialization anywhere on
+  the path; the driver only ever sees the final verified pairs).
+- ``minhash_dedup_keep``: connected-component clustering of the verified
+  pairs by distributed iterated min-label propagation (label[d] = min over
+  d and its neighbors each round; converges in O(cluster diameter) rounds),
+  entirely as Dataset joins/groupbys — no driver-side union-find.
+- ``simhash_fingerprints``: 64-bit SimHash over word 3-grams, vectorized
+  (crc32 word hashes combined with numpy mixing; no per-gram digests).
+
+All hash kernels are numpy uint64 (splitmix64 finishing); per-batch work
+is vectorized per document with no per-character/per-gram Python loops.
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import zlib
 
@@ -25,8 +34,9 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+from ray.data.aggregate import Min
 
-from .util import read
+from .util import bucketed_group_agg, native_join, read
 
 # -- exact --------------------------------------------------------------
 
@@ -40,69 +50,116 @@ def exact_dedup(sf_dir: str):
                         for t in batch["text"]]
         return batch[["sig", "doc_id"]]
 
-    from ray.data.aggregate import Min
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("sig", sort=False)["doc_id"].min().reset_index())
 
-    return (ds.map_batches(sig, batch_format="pandas")
-            .groupby("sig").aggregate(Min("doc_id", alias_name="doc_id")))
+    # partial min inside the batch shrinks the shuffle; bucketed vectorized
+    # final agg avoids per-group Python accumulators on |unique docs| groups
+    return bucketed_group_agg(ds.map_batches(sig, batch_format="pandas"),
+                              ["sig"], keep_first, pre=keep_first)
 
 
-# -- minhash ------------------------------------------------------------
+# -- vectorized hash kernels --------------------------------------------
 
 _N_HASHES = 64
 _N_BANDS = 16  # 4 rows per band
 _MERSENNE = (1 << 61) - 1
+_SHINGLE_K = 5
+
+_FNV = np.uint64(1099511628211)
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
 
 
-def _stable_hash(s: str) -> int:
-    """Process-stable 48-bit hash (crc32 pair; builtin hash() is salted)."""
-    b = s.encode("utf-8")
-    return ((zlib.crc32(b) << 16) ^ zlib.crc32(b[::-1])) & 0xFFFFFFFFFFFF
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain PRNG mixing step)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * _SM_C1
+    x = (x ^ (x >> np.uint64(27))) * _SM_C2
+    return x ^ (x >> np.uint64(31))
 
 
-def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Hashed k-gram character shingles (lowercased)."""
-    t = text.lower()
-    if len(t) < k:
-        return np.array([_stable_hash(t)], dtype=np.int64)
-    views = {t[i:i + k] for i in range(len(t) - k + 1)}
-    return np.fromiter((_stable_hash(s) for s in views),
-                       dtype=np.int64, count=len(views))
+def _char_shingle_hashes(text: str, k: int = _SHINGLE_K) -> np.ndarray:
+    """32-bit hashes of all k-char shingles of lower(text), NOT deduped.
+
+    Rolling polynomial over unicode code points (utf-32 view: one uint32
+    per character, fully vectorized), splitmix64-finished, masked to 32
+    bits so downstream (a*x + b) % p math stays inside int64.
+    """
+    codes = np.frombuffer(text.lower().encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.uint64)
+    n = len(codes) - k + 1
+    if n < 1:  # short doc: one shingle over the whole text
+        acc = np.zeros(1, dtype=np.uint64)
+        for j in range(len(codes)):
+            acc = acc * _FNV + codes[j]
+    else:
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _FNV + codes[j:j + n]
+    return (_splitmix64(acc) & np.uint64(0xFFFFFFFF)).astype(np.int64)
 
 
-class MinHasher:
-    """Actor-pool stage: seeds drawn once per actor in __init__."""
+def _shingle_set(text: str, k: int = _SHINGLE_K) -> np.ndarray:
+    """Sorted unique shingle hashes (the Jaccard set representation)."""
+    return np.unique(_char_shingle_hashes(text, k))
 
-    def __init__(self, n_hashes: int = _N_HASHES, seed: int = 7):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-        self.b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text)
-        # (a*x + b) mod p, minimum per hash function — vectorized outer product
-        vals = (sh[None, :].astype(object) * self.a[:, None] + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1).astype(np.int64)
+@functools.lru_cache(maxsize=8)
+def _minhash_params(n_hashes: int, seed: int):
+    """(a, b) per hash function; a < 2^29 keeps a*x32 + b < 2^62 (int64)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 29, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"]])
-        rows = []
-        n_rows_per_band = _N_HASHES // _N_BANDS
-        for band in range(_N_BANDS):
-            chunk = sigs[:, band * n_rows_per_band:(band + 1) * n_rows_per_band]
-            band_hash = np.array(
-                [zlib.crc32(r.tobytes()) for r in chunk], dtype=np.int64)
-            rows.append(pd.DataFrame({
-                "band": band,
-                "band_hash": band_hash,
-                "doc_id": batch["doc_id"].to_numpy(),
-            }))
-        return pd.concat(rows, ignore_index=True)
 
+def _minhash_signatures(texts: list[str], n_hashes: int = _N_HASHES,
+                        seed: int = 7) -> np.ndarray:
+    """(n_docs, n_hashes) int64 signature matrix for a batch — one
+    vectorized (a*x+b) % p + segmented-min (reduceat) pass per hash fn."""
+    sets = [_char_shingle_hashes(t) for t in texts]
+    lens = np.fromiter((len(s) for s in sets), dtype=np.int64, count=len(sets))
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    flat = np.concatenate(sets) if sets else np.empty(0, dtype=np.int64)
+    a, b = _minhash_params(n_hashes, seed)
+    sigs = np.empty((len(texts), n_hashes), dtype=np.int64)
+    for h in range(n_hashes):
+        row = (a[h] * flat + b[h]) % _MERSENNE
+        sigs[:, h] = np.minimum.reduceat(row, offs)
+    return sigs
+
+
+def _band_hashes(sigs: np.ndarray, n_bands: int = _N_BANDS) -> np.ndarray:
+    """(n_docs, n_bands) int64 band-bucket keys (rows-per-band chained
+    through splitmix64)."""
+    r = sigs.shape[1] // n_bands
+    out = np.empty((sigs.shape[0], n_bands), dtype=np.int64)
+    for band in range(n_bands):
+        h = np.zeros(sigs.shape[0], dtype=np.uint64)
+        for c in range(r):
+            h = _splitmix64(h ^ sigs[:, band * r + c].astype(np.uint64))
+        out[:, band] = (h >> np.uint64(1)).astype(np.int64)
+    return out
+
+
+def _minhash_band_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    sigs = _minhash_signatures(batch["text"].tolist())
+    bh = _band_hashes(sigs)
+    n, n_bands = bh.shape
+    return pd.DataFrame({
+        "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
+        "band_hash": bh.ravel(),
+        "doc_id": np.repeat(batch["doc_id"].to_numpy(), n_bands),
+    })
+
+
+# -- minhash candidates + distributed verify ----------------------------
 
 def minhash_candidates(sf_dir: str):
     """Candidate near-dup pairs from LSH band buckets (doc_a < doc_b)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pandas", concurrency=2)
+    bands = ds.map_batches(_minhash_band_batch, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
@@ -113,99 +170,295 @@ def minhash_candidates(sf_dir: str):
 
     cand = bands.groupby(["band", "band_hash"]).map_groups(
         pairs, batch_format="pandas")
-    # dedup pairs found in multiple bands
-    from ray.data.aggregate import Count
 
-    return (cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands")))
+    # dedup pairs found in multiple bands (vectorized per hash bucket; a
+    # plain groupby().aggregate() here pays per-group Python overhead on
+    # |candidate pairs| groups)
+    def count_bands(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["doc_a", "doc_b"], sort=False).size()
+               .reset_index(name="n_bands"))
+        return out
+
+    def merge_bands(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["doc_a", "doc_b"], sort=False)["n_bands"].sum()
+                .reset_index())
+
+    return bucketed_group_agg(cand, ["doc_a", "doc_b"], merge_bands,
+                              pre=count_bands)
+
+
+def _shingle_blob_batch(batch: pd.DataFrame) -> pa.Table:
+    """Per-doc sorted-unique shingle sets as large_binary (Arrow joins
+    don't ship list columns; a zero-copy int64 buffer does the job)."""
+    blobs = [_shingle_set(t).tobytes() for t in batch["text"]]
+    return pa.table({
+        "doc_id": pa.array(batch["doc_id"].to_numpy(), type=pa.int64()),
+        "shingles": pa.array(blobs, type=pa.large_binary()),
+    })
+
+
+def _verified_pairs_ds(sf_dir: str, threshold: float) -> rd.Dataset:
+    """Distributed verify: candidates x shingle sets via two hash-shuffle
+    joins, exact Jaccard inside map_batches. Streams end-to-end."""
+    # materialize the candidate pairs (bounded by the near-dup rate, far
+    # smaller than the corpus; blocks stay in the distributed object
+    # store) so the band-bucket shuffle and the verify joins don't
+    # contend for executor resources inside one streaming DAG
+
+    def pair_schema(t: pa.Table) -> pa.Table:
+        # groupby over empty partitions can emit zero-column blocks;
+        # normalize so the join partitioner always sees the key columns
+        if t.num_columns == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        return t.select(["doc_a", "doc_b"])
+
+    cand = (minhash_candidates(sf_dir)
+            .map_batches(pair_schema, batch_format="pyarrow")
+            .materialize())
+    if cand.count() == 0:  # schema-less empty side would break the join
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }))
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    sh = docs.map_batches(_shingle_blob_batch, batch_format="pandas")
+    j1 = native_join(cand, sh, on="doc_a", right_on="doc_id")
+    j1 = j1.rename_columns({"shingles": "sh_a"})
+    j2 = native_join(j1, sh, on="doc_b", right_on="doc_id")
+    j2 = j2.rename_columns({"shingles": "sh_b"})
+
+    def jac(batch: pd.DataFrame) -> pd.DataFrame:
+        keep_a, keep_b, keep_j = [], [], []
+        for a_id, b_id, ba, bb in zip(batch["doc_a"], batch["doc_b"],
+                                      batch["sh_a"], batch["sh_b"]):
+            a = np.frombuffer(ba, dtype=np.int64)
+            b = np.frombuffer(bb, dtype=np.int64)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            j = inter / max(1, len(a) + len(b) - inter)
+            if j >= threshold:
+                keep_a.append(a_id)
+                keep_b.append(b_id)
+                keep_j.append(j)
+        return pd.DataFrame({
+            "doc_a": np.array(keep_a, dtype=np.int64),
+            "doc_b": np.array(keep_b, dtype=np.int64),
+            "jaccard": np.array(keep_j, dtype=np.float64),
+        })
+
+    return j2.map_batches(jac, batch_format="pandas")
 
 
 def minhash_neardup(sf_dir: str, threshold: float = 0.6):
     """Verified near-duplicate pairs: exact shingle Jaccard >= threshold.
 
-    The candidate set is small (synthetic docs are near-unique), so the
-    verify step broadcasts candidate texts per batch of pairs.
-    """
-    cand = minhash_candidates(sf_dir).to_pandas()
-    if len(cand) == 0:
+    Returns a schema-stable Arrow table (the verified-pair set — the
+    query's final, small result; everything upstream streams)."""
+    out = _verified_pairs_ds(sf_dir, threshold).to_pandas()
+    if len(out) == 0:
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64()),
                          "jaccard": pa.array([], type=pa.float64())})
-    import pyarrow.parquet as pq
-
-    need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
-    docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"]).to_pandas()
-    docs = docs[docs["doc_id"].isin(need)].set_index("doc_id")["text"]
-    sh = {d: set(_shingles(t).tolist()) for d, t in docs.items()}
-    jac = []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sh[a], sh[b]
-        jac.append(len(sa & sb) / max(1, len(sa | sb)))
-    cand = cand.assign(jaccard=jac)
-    out = cand[cand["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def minhash_dedup_keep(sf_dir: str, threshold: float = 0.6):
+# -- near-dup cluster dedup (distributed label propagation) -------------
+
+def minhash_dedup_keep(sf_dir: str, threshold: float = 0.6,
+                       max_rounds: int = 50):
     """Near-dup dataset dedup: keep one doc per near-duplicate cluster.
 
-    Clusters = connected components over the verified near-dup pairs,
-    computed by iterated min-label propagation (each round: label[d] =
-    min(label of d and all its neighbors); converges in O(diameter)
-    rounds — the scale-safe alternative to driver-side union-find). The
-    representative kept is the cluster's lowest doc_id.
+    Clusters = connected components over the verified near-dup pairs via
+    distributed iterated min-label propagation: each round computes
+    label[d] = min(label[d], min over neighbors' labels) as an edge x label
+    join + groupby-min, materializing only the (node, label) table (bounded
+    by the number of near-dup docs, never the corpus). Convergence is
+    detected by the monotone label sum. The kept representative is the
+    cluster's lowest doc_id; docs in no cluster are kept via a left-outer
+    join against the (small) drop set — the corpus itself only streams.
 
     Returns (doc_id, keep) for every document.
     """
-    import pyarrow.parquet as pq
+    docs = read(sf_dir, "documents", ["doc_id"])
+    pairs = _verified_pairs_ds(sf_dir, threshold).materialize()
 
-    pairs = minhash_neardup(sf_dir, threshold).to_pandas()
-    all_ids = pq.read_table(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id"]).column("doc_id").to_numpy(
-        zero_copy_only=False)
-    label = {int(d): int(d) for d in all_ids}
-    edges = list(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
-    changed = True
-    while changed:
-        changed = False
-        for a, b in edges:
-            m = min(label[a], label[b])
-            if label[a] != m or label[b] != m:
-                label[a] = label[b] = m
-                changed = True
-    keep = [label[int(d)] == int(d) for d in all_ids]
-    return pa.table({
-        "doc_id": pa.array(all_ids, type=pa.int64()),
-        "keep": pa.array(keep, type=pa.bool_()),
-    })
+    def all_keep(t: pa.Table) -> pa.Table:
+        return t.append_column("keep", pa.array(np.ones(len(t), dtype=bool)))
+
+    if pairs.count() == 0:
+        return docs.map_batches(all_keep, batch_format="pyarrow")
+
+    def as_edges(a: str, b: str):
+        def fn(t: pa.Table) -> pa.Table:
+            # normalize zero-column empty blocks so shuffle partitioners
+            # always see the key columns
+            if t.num_columns == 0:
+                return pa.table({"src": pa.array([], type=pa.int64()),
+                                 "dst": pa.array([], type=pa.int64())})
+            return pa.table({"src": t.column(a), "dst": t.column(b)})
+        return fn
+
+    fwd = pairs.map_batches(as_edges("doc_a", "doc_b"), batch_format="pyarrow")
+    rev = pairs.map_batches(as_edges("doc_b", "doc_a"), batch_format="pyarrow")
+    edges = fwd.union(rev).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        ids = (np.unique(t.column("src").to_numpy(zero_copy_only=False))
+               if t.num_columns else np.empty(0, dtype=np.int64))
+        return pa.table({"node": pa.array(ids, type=pa.int64()),
+                         "label": pa.array(ids, type=pa.int64())})
+
+    def norm_labels(t: pa.Table) -> pa.Table:
+        # keep every round's label table in Arrow blocks with a fixed
+        # schema (mixing pandas/arrow blocks breaks the sort sampler)
+        if t.num_columns == 0:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64())})
+        return pa.table({"node": t.column("node").cast(pa.int64()),
+                         "label": t.column("label").cast(pa.int64())})
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .map_batches(norm_labels, batch_format="pyarrow")
+              .materialize())
+    prev_sum = labels.sum("label")
+
+    def as_labels(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"node": pa.array([], type=pa.int64()),
+                             "label": pa.array([], type=pa.int64())})
+        return pa.table({"node": t.column("dst"), "label": t.column("label")})
+
+    for _ in range(max_rounds):
+        msgs = native_join(edges, labels, on="src", right_on="node",
+                           partitions_cap=8)
+        incoming = msgs.map_batches(as_labels, batch_format="pyarrow")
+        labels = (incoming.union(labels)
+                  .groupby("node").aggregate(Min("label", alias_name="label"))
+                  .map_batches(norm_labels, batch_format="pyarrow")
+                  .materialize())
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def only_dropped(batch: pd.DataFrame) -> pd.DataFrame:
+        if "label" not in batch.columns:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "label": pd.Series(dtype=np.int64)})
+        return batch[batch["label"] < batch["node"]]
+
+    drop = labels.map_batches(only_dropped, batch_format="pandas")
+    joined = native_join(docs, drop, on="doc_id", right_on="node",
+                         join_type="left_outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "keep": pc.is_null(t.column("label")),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # -- simhash ------------------------------------------------------------
 
-class SimHasher:
-    """64-bit SimHash over word 3-grams."""
+_SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
+_G1 = np.uint64(0x9E3779B1)
+_G2 = np.uint64(0x85EBCA77)
+_G3 = np.uint64(0xC2B2AE3D)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch["text"]:
-            words = text.lower().split()
-            grams = [" ".join(words[i:i + 3]) for i in range(max(1, len(words) - 2))]
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for g in grams:
-                h = np.uint64(int(hashlib.md5(g.encode()).hexdigest()[:16], 16))
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            fp = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-            out.append(fp)
-        batch = batch.copy()
-        batch["simhash"] = np.array(out, dtype=np.uint64).astype(np.int64)
-        return batch[["doc_id", "simhash"]]
+
+def _simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """64-bit SimHash over word 3-grams: crc32 per word (C speed), 3-gram
+    hashes by vectorized mixing, bit votes via one (n_grams, 64) matrix."""
+    fps = np.empty(len(batch), dtype=np.uint64)
+    for i, text in enumerate(batch["text"]):
+        words = text.lower().split()
+        n = len(words)
+        if n == 0:
+            fps[i] = 0
+            continue
+        wh = np.fromiter((zlib.crc32(w.encode("utf-8")) for w in words),
+                         dtype=np.uint64, count=n)
+        if n >= 3:
+            g = _splitmix64((wh[:n - 2] * _G1) ^ (wh[1:n - 1] * _G2)
+                            ^ (wh[2:] * _G3))
+        else:  # short doc: one gram over all words
+            acc = np.uint64(0)
+            for w in wh:
+                acc = _splitmix64(acc ^ w)
+            g = np.array([acc], dtype=np.uint64)
+        bits = ((g[:, None] >> _SIMHASH_SHIFTS) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        fps[i] = ((votes > 0).astype(np.uint64) << _SIMHASH_SHIFTS).sum(
+            dtype=np.uint64)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(),
+        "simhash": fps.astype(np.int64),
+    })
 
 
 def simhash_fingerprints(sf_dir: str):
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=2)
+    return ds.map_batches(_simhash_batch, batch_format="pandas")
+
+
+def simhash_neardup(sf_dir: str, max_hamming: int = 3):
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, found
+    via LSH over the four 16-bit fingerprint chunks (two fingerprints
+    within Hamming 3 of each other must agree exactly on >= 1 chunk)."""
+    fps = simhash_fingerprints(sf_dir)
+
+    def chunked(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        frames = []
+        for c in range(4):
+            frames.append(pd.DataFrame({
+                "chunk": c,
+                "chunk_val": ((h >> np.uint64(16 * c))
+                              & np.uint64(0xFFFF)).astype(np.int64),
+                "doc_id": batch["doc_id"].to_numpy(),
+                "simhash": batch["simhash"].to_numpy(),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                              "doc_b": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64)})
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return empty
+        ids = g["doc_id"].to_numpy()
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = h[ia] ^ h[ib]
+        dist = np.zeros(len(x), dtype=np.int64)
+        while x.any():
+            dist += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        keep = dist <= np.int64(max_hamming)
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
+                             "hamming": dist[keep]})
+
+    found = (fps.map_batches(chunked, batch_format="pandas")
+             .groupby(["chunk", "chunk_val"])
+             .map_groups(pairs, batch_format="pandas"))
+    out = (found.groupby(["doc_a", "doc_b"])
+           .aggregate(Min("hamming", alias_name="hamming"))).to_pandas()
+    if "doc_a" not in out.columns:  # schema-stable empty result
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "hamming": pa.array([], type=pa.int64())})
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # -- n-gram jaccard exact (SQL-checkable variant) -----------------------

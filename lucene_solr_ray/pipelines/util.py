@@ -39,3 +39,86 @@ def round_col(batch: pa.Table, col: str, ndigits: int, out: str | None = None) -
     if out in batch.column_names:
         batch = batch.drop_columns([out])
     return batch.append_column(out, rounded)
+
+
+def native_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    partitions_cap: int = 64,
+) -> rd.Dataset:
+    """Ray hash-shuffle join with cluster-adaptive partitioning.
+
+    ``num_partitions`` scales with the cluster's CPU count (capped) and the
+    aggregator actors are granted fractional CPUs so producers, aggregators
+    and downstream stages can all make progress on small clusters — with
+    the defaults, a 16-partition join on a 4-CPU cluster deadlocks waiting
+    for 16 whole-CPU aggregator actors.
+    """
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    nparts = max(2, min(partitions_cap, cpus // 2))
+    # several shuffle ops can be live in one streaming DAG; keep each
+    # join's aggregator reservation to ~1/4 of the cluster so producers
+    # and sibling shuffles can still run
+    agg_cpus = max(0.1, min(1.0, (cpus / 4) / nparts))
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=nparts,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+        aggregator_ray_remote_args={"num_cpus": agg_cpus},
+    )
+
+
+def bucketed_group_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    fn,
+    pre=None,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Hash-partitioned vectorized group aggregation.
+
+    Ray's ``groupby().aggregate(...)`` pays ~1ms of Python accumulator
+    overhead PER DISTINCT GROUP, which is pathological for high-cardinality
+    keys (terms, pair-ids, signatures). This helper shuffles once on a
+    synthetic bucket key (hash of the group keys, ~2 buckets per CPU) and
+    runs ONE vectorized pandas aggregation per bucket instead.
+
+    ``fn(df) -> df``: the vectorized per-bucket aggregation (e.g.
+    ``df.groupby(keys).size()``). ``pre`` (optional): a per-batch partial
+    combiner applied BEFORE the shuffle to shrink it; ``fn`` must then
+    merge partials.
+    """
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    if num_buckets is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 4))
+                if ray.is_initialized() else 4)
+        num_buckets = max(4, 2 * cpus)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        if pre is not None:
+            batch = pre(batch)
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(1099511628211) ^ pd.util.hash_array(
+                batch[k].to_numpy())
+        out = batch.copy()
+        out["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
