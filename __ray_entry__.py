@@ -227,6 +227,30 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram_events":
             "SELECT date_trunc('day', ts) AS day, count(*) AS cnt "
             "FROM events GROUP BY date_trunc('day', ts)",
+        "lang_id":
+            "WITH c AS (SELECT doc_id, "
+            "count(DISTINCT CASE WHEN term IN ('the','and','of','to','is',"
+            "'in','that','it','for','a') THEN term END) AS en, "
+            "count(DISTINCT CASE WHEN term IN ('der','die','das','und',"
+            "'ist','nicht','ein','zu','mit') THEN term END) AS de, "
+            "count(DISTINCT CASE WHEN term IN ('le','la','les','et','est',"
+            "'pas','un','une','dans') THEN term END) AS fr, "
+            "count(DISTINCT CASE WHEN term IN ('el','la','los','las','es',"
+            "'no','un','una','por') THEN term END) AS es "
+            "FROM (" + _TOKS + ") WHERE term <> '' GROUP BY doc_id) "
+            "SELECT d.doc_id, CASE "
+            "WHEN coalesce(c.en,0)=0 AND coalesce(c.de,0)=0 "
+            "AND coalesce(c.fr,0)=0 AND coalesce(c.es,0)=0 THEN 'unknown' "
+            "WHEN c.en >= c.de AND c.en >= c.fr AND c.en >= c.es THEN 'en' "
+            "WHEN c.de >= c.fr AND c.de >= c.es THEN 'de' "
+            "WHEN c.fr >= c.es THEN 'fr' ELSE 'es' END AS lang_pred "
+            "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id",
+        "doc_fingerprints":
+            "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
+            "list_transform(generate_series(1, least(length(lower(text)), "
+            "512)), i -> ord(substring(lower(text), i, 1))::BIGINT)), "
+            "(h, c) -> (h * 257 + c) % 2147483647) AS fingerprint "
+            "FROM documents",
         "knn_cosine":
             "SELECT vec_id, round(sim, 6) AS sim FROM ("
             "SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], "

@@ -61,8 +61,11 @@ def exact_dedup(sf_dir: str):
 
 # -- vectorized hash kernels --------------------------------------------
 
-_N_HASHES = 64
-_N_BANDS = 16  # 4 rows per band
+_N_HASHES = 60
+_N_BANDS = 12  # 5 rows per band: LSH threshold (1/12)^(1/5) ~= 0.61,
+# matched to the default verify threshold 0.6 (4-row bands make half of
+# all sim~0.45 pairs candidates, which explodes the verify join on
+# self-similar corpora)
 _MERSENNE = (1 << 61) - 1
 _SHINGLE_K = 5
 
@@ -101,8 +104,9 @@ def _char_shingle_hashes(text: str, k: int = _SHINGLE_K) -> np.ndarray:
 
 
 def _shingle_set(text: str, k: int = _SHINGLE_K) -> np.ndarray:
-    """Sorted unique shingle hashes (the Jaccard set representation)."""
-    return np.unique(_char_shingle_hashes(text, k))
+    """Sorted unique shingle hashes (the Jaccard set representation).
+    int32 — the hashes are 32-bit, and the verify join ships these blobs."""
+    return np.unique(_char_shingle_hashes(text, k).astype(np.int32))
 
 
 @functools.lru_cache(maxsize=8)
@@ -156,8 +160,14 @@ def _minhash_band_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 # -- minhash candidates + distributed verify ----------------------------
 
-def minhash_candidates(sf_dir: str):
-    """Candidate near-dup pairs from LSH band buckets (doc_a < doc_b)."""
+def minhash_candidates(sf_dir: str, max_bucket_pairing: int = 2048):
+    """Candidate near-dup pairs from LSH band buckets (doc_a < doc_b).
+
+    Buckets larger than ``max_bucket_pairing`` switch from all-pairs to
+    chain pairing (consecutive doc_ids after sort): a bucket of m docs
+    otherwise emits C(m,2) pairs — quadratic blowup on a hot bucket —
+    while the chain keeps every bucket member connected for clustering.
+    """
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(_minhash_band_batch, batch_format="pandas")
 
@@ -165,6 +175,8 @@ def minhash_candidates(sf_dir: str):
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        if len(ids) > max_bucket_pairing:
+            return pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
@@ -233,8 +245,8 @@ def _verified_pairs_ds(sf_dir: str, threshold: float) -> rd.Dataset:
         keep_a, keep_b, keep_j = [], [], []
         for a_id, b_id, ba, bb in zip(batch["doc_a"], batch["doc_b"],
                                       batch["sh_a"], batch["sh_b"]):
-            a = np.frombuffer(ba, dtype=np.int64)
-            b = np.frombuffer(bb, dtype=np.int64)
+            a = np.frombuffer(ba, dtype=np.int32)
+            b = np.frombuffer(bb, dtype=np.int32)
             inter = np.intersect1d(a, b, assume_unique=True).size
             j = inter / max(1, len(a) + len(b) - inter)
             if j >= threshold:

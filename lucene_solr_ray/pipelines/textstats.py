@@ -4,93 +4,125 @@ Index-build aggregations (SURVEY.md §2.6 bottom row: per-term
 docFreq/totalTermFreq, Terms.java:97-119) in their SQL-checkable form
 (SimpleAnalyzer), plus training-data-pipeline text metrics: token counts,
 quality scores, n-gram language id, rolling-hash fingerprints.
+
+All per-batch kernels are vectorized: tokenization is one pyarrow
+``utf8_lower`` + ``split_pattern_regex`` per batch; per-doc statistics are
+pandas groupbys over the exploded (doc, term) frame; the Karp-Rabin
+fingerprint is a numpy dot product over utf-32 code points. The high-
+cardinality term aggregation goes through ``bucketed_group_agg`` (one
+bucket shuffle + one vectorized merge per bucket) instead of Ray's
+per-group aggregate accumulators.
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-
-from ray.data.aggregate import Count, Sum
+import pyarrow.compute as pc
 
 from ..analysis import ENGLISH_STOP_WORDS
-from .util import read, round_col
+from .util import bucketed_group_agg, read, round_col
 
-_SPLIT = re.compile(r"[^a-z0-9]+")
+_TOKEN_SPLIT = "[^a-z0-9]+"
 
 
-def _tokens(text: str) -> list[str]:
-    return [t for t in _SPLIT.split(text.lower()) if t]
+def _explode_terms(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, term) arrays for all non-empty SimpleAnalyzer tokens of
+    the batch — one vectorized Arrow pass, no per-row Python."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(t.column("text")),
+                                  _TOKEN_SPLIT)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat = pc.filter(flat, mask)
+    parent = pc.filter(parent, mask)
+    return (parent.to_numpy(zero_copy_only=False),
+            flat.to_numpy(zero_copy_only=False))
 
 
 def term_df_simple(sf_dir: str):
     """term -> docFreq, totalTermFreq over documents (SimpleAnalyzer).
 
-    The distributed form of the index-build statistics aggregation:
-    per-batch partial (term, doc) dedup + counts, then one term shuffle.
-    """
+    Distributed index-build statistics: per-batch vectorized explode +
+    partial (df, ttf) combine, then one bucketed term shuffle with a
+    vectorized merge (VERDICT r1 #9: the per-doc value_counts Python loop
+    and raw-term-string Ray aggregate were the slowest suite query)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        rows_term, rows_tf = [], []
-        for text in batch["text"]:
-            toks = _tokens(text)
-            vc = pd.Series(toks).value_counts() if toks else pd.Series(dtype=int)
-            rows_term.append(vc.index.to_numpy())
-            rows_tf.append(vc.to_numpy())
-        n = [len(r) for r in rows_term]
-        return pd.DataFrame({
-            "term": np.concatenate(rows_term) if n else [],
-            "tf": np.concatenate(rows_tf).astype(np.int64) if n else [],
-        })
+    def partial(t: pa.Table) -> pd.DataFrame:
+        doc_idx, terms = _explode_terms(t)
+        f = pd.DataFrame({"doc": doc_idx, "term": terms})
+        tf = f.groupby(["doc", "term"], sort=False).size()
+        per_term = tf.groupby(level="term", sort=False)
+        out = pd.DataFrame({
+            "df": per_term.size(),
+            "ttf": per_term.sum(),
+        }).reset_index()
+        out["df"] = out["df"].astype(np.int64)
+        out["ttf"] = out["ttf"].astype(np.int64)
+        return out
 
-    per_doc_terms = ds.map_batches(explode, batch_format="pandas")
-    return (per_doc_terms.groupby("term")
-            .aggregate(Count(alias_name="df"), Sum("tf", alias_name="ttf")))
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("term", sort=False)[["df", "ttf"]].sum()
+               .reset_index())
+        out["df"] = out["df"].astype(np.int64)
+        out["ttf"] = out["ttf"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_agg(partials, ["term"], merge)
 
 
 def doc_token_counts(sf_dir: str):
     """doc_id -> token count (SimpleAnalyzer), docs with >=1 token."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        counts = np.array([len(_tokens(t)) for t in batch["text"]], dtype=np.int64)
-        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "n_tokens": counts})
+    def fn(t: pa.Table) -> pd.DataFrame:
+        doc_idx, _ = _explode_terms(t)
+        counts = np.bincount(doc_idx, minlength=len(t)).astype(np.int64)
+        out = pd.DataFrame({
+            "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+            "n_tokens": counts,
+        })
         return out[out["n_tokens"] > 0]
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def quality_scores(sf_dir: str):
     """Per-doc quality metrics: n_chars, n_tokens, stopword count,
-    mean token length (rounded)."""
+    mean token length (rounded) — vectorized explode + bincounts."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
+    stop = pd.Index(sorted(ENGLISH_STOP_WORDS))
 
-    def fn(batch: pd.DataFrame) -> pa.Table:
-        n_chars, n_tokens, n_stop, mean_len = [], [], [], []
-        for t in batch["text"]:
-            toks = _tokens(t)
-            n_chars.append(len(t))
-            n_tokens.append(len(toks))
-            n_stop.append(sum(1 for w in toks if w in ENGLISH_STOP_WORDS))
-            mean_len.append(
-                float(np.sum([len(w) for w in toks])) / len(toks) if toks else 0.0)
+    def fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        doc_idx, terms = _explode_terms(t)
+        n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        term_s = pd.Series(terms)
+        is_stop = term_s.isin(stop).to_numpy()
+        n_stop = np.bincount(doc_idx[is_stop], minlength=n).astype(np.int64)
+        tok_lens = term_s.str.len().to_numpy()
+        len_sum = np.bincount(doc_idx, weights=tok_lens, minlength=n)
+        mean_len = np.where(n_tokens > 0,
+                            len_sum / np.maximum(n_tokens, 1), 0.0)
+        n_chars = pc.utf8_length(t.column("text"))
         out = pa.table({
-            "doc_id": pa.array(batch["doc_id"].to_numpy(), type=pa.int64()),
-            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "doc_id": t.column("doc_id"),
+            "n_chars": n_chars.cast(pa.int64()),
             "n_tokens": pa.array(n_tokens, type=pa.int64()),
             "n_stopwords": pa.array(n_stop, type=pa.int64()),
             "mean_token_len": pa.array(mean_len, type=pa.float64()),
         })
         return round_col(out, "mean_token_len", 4)
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # --- language id (LangId contrib analog, n-gram heuristic) -------------
+# reference: solr/contrib/langid/ (LangDetectLanguageIdentifierUpdate-
+# ProcessorFactory) — re-expressed as a marker-word heuristic
 
 _LANG_MARKERS = {
     "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "a"},
@@ -98,52 +130,65 @@ _LANG_MARKERS = {
     "fr": {"le", "la", "les", "et", "est", "pas", "un", "une", "dans"},
     "es": {"el", "la", "los", "las", "es", "no", "un", "una", "por"},
 }
+_LANG_ORDER = ("en", "de", "fr", "es")  # tie-break: first wins
 
 
-class LangIdStage:
-    """Actor-pool stage: marker sets built once per actor."""
-
-    def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        langs = []
-        for t in batch["text"]:
-            toks = set(_tokens(t))
-            best, best_n = "unknown", 0
-            for lang, mk in self.markers.items():
-                n = len(toks & mk)
-                if n > best_n:
-                    best, best_n = lang, n
-            langs.append(best)
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].to_numpy(),
-            "lang_pred": langs,
-        })
+def _lang_id_batch(t: pa.Table) -> pd.DataFrame:
+    """Distinct-marker counts per (doc, lang) via one exploded isin pass;
+    winner = argmax in _LANG_ORDER (strict-greater replacement)."""
+    n = len(t)
+    doc_idx, terms = _explode_terms(t)
+    # distinct (doc, term) pairs only — marker hits count once per doc
+    f = pd.DataFrame({"doc": doc_idx, "term": terms}).drop_duplicates()
+    counts = np.zeros((n, len(_LANG_ORDER)), dtype=np.int64)
+    for j, lang in enumerate(_LANG_ORDER):
+        hit = f["term"].isin(_LANG_MARKERS[lang]).to_numpy()
+        counts[:, j] = np.bincount(f["doc"].to_numpy()[hit], minlength=n)
+    best = np.argmax(counts, axis=1)  # first max wins ties
+    langs = np.array(_LANG_ORDER, dtype=object)[best]
+    langs[counts.max(axis=1) == 0] = "unknown"
+    return pd.DataFrame({
+        "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+        "lang_pred": langs,
+    })
 
 
 def lang_id(sf_dir: str):
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangIdStage, batch_format="pandas", concurrency=2)
+    return ds.map_batches(_lang_id_batch, batch_format="pyarrow")
 
 
 # --- document fingerprint (rolling hash) -------------------------------
 
+_FP_B, _FP_M = 257, (1 << 31) - 1
+_FP_LEN = 512
+# B^(L-1-i) mod M for the longest prefix, aligned from the right at use
+_FP_POWS = np.empty(_FP_LEN, dtype=np.int64)
+_FP_POWS[_FP_LEN - 1] = 1
+for _i in range(_FP_LEN - 2, -1, -1):
+    _FP_POWS[_i] = (_FP_POWS[_i + 1] * _FP_B) % _FP_M
+
+
 def fingerprints(sf_dir: str):
-    """Karp-Rabin-style rolling-hash fingerprint per doc (winnowing seed)."""
+    """Karp-Rabin rolling-hash fingerprint per doc (winnowing seed):
+    h = fold (h*257 + codepoint) % (2^31-1) over the first 512 chars of
+    lower(text) — computed as a vectorized dot with precomputed powers."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    B, M = 257, (1 << 31) - 1
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        fps = []
-        for t in batch["text"]:
-            h = 0
-            for ch in t.lower()[:512]:
-                h = (h * B + ord(ch)) % M
-            fps.append(h)
+        fps = np.empty(len(batch), dtype=np.int64)
+        for i, t in enumerate(batch["text"]):
+            codes = np.frombuffer(t.lower()[:_FP_LEN].encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.int64)
+            if len(codes) == 0:
+                fps[i] = 0
+                continue
+            # (c % M) * B^(n-1-i) sums stay < 512 * 2^62 / 2^31 << 2^63
+            terms = ((codes % _FP_M) * _FP_POWS[_FP_LEN - len(codes):]) % _FP_M
+            fps[i] = int(terms.sum() % _FP_M)
         return pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy(),
-            "fingerprint": np.array(fps, dtype=np.int64),
+            "fingerprint": fps,
         })
 
     return ds.map_batches(fn, batch_format="pandas")
