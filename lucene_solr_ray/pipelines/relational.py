@@ -199,7 +199,7 @@ def innerjoin_lineitem_orders(sf_dir: str):
               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
     joined = partitioned_hash_join(li, orders, on="l_orderkey",
-                                   right_on="o_orderkey", num_buckets=16)
+                                   right_on="o_orderkey")
 
     def fn(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"),
@@ -218,15 +218,24 @@ def innerjoin_lineitem_orders(sf_dir: str):
 
 def leftouter_customer_orders(sf_dir: str):
     """LeftOuterJoinStream analog: every customer with its order count
-    (0 when none) — broadcast the aggregated small side."""
-    import pyarrow.parquet as pq
+    (0 when none). Per-customer counts via bucketed partial aggregation,
+    then a native left-outer join — the counts side stays a Dataset
+    (never pulled to the driver; at scale it is O(|customers|))."""
+    from .util import bucketed_group_agg, native_join
 
-    counts = (read(sf_dir, "orders", ["o_custkey"])
-              .groupby("o_custkey").aggregate(Count(alias_name="n_orders")))
-    counts_t = pa.Table.from_pandas(counts.to_pandas(), preserve_index=False)
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("o_custkey", sort=False).size()
+                .reset_index(name="n_orders"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("o_custkey", sort=False)["n_orders"].sum()
+                .reset_index())
+
+    counts = bucketed_group_agg(read(sf_dir, "orders", ["o_custkey"]),
+                                ["o_custkey"], merge, pre=partial)
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    joined = broadcast_hash_join(cust, counts_t, on="c_custkey",
-                                 right_on="o_custkey", how="left")
+    joined = native_join(cust, counts, on="c_custkey", right_on="o_custkey",
+                         join_type="left_outer")
 
     def finish(t: pa.Table) -> pa.Table:
         n = pc.coalesce(t.column("n_orders"), pa.scalar(0, type=pa.int64()))
