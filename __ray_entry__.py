@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         # similarity search
         "knn_cosine": knn.knn_cosine,
+        "knn_ivf": knn.knn_ivf,
         # sketches / percentiles (§2.6 PercentileAgg, HLLAgg)
         "exact_median_events": sketches.exact_median_events,
         "date_histogram_events": sketches.date_histogram_events,

@@ -128,30 +128,124 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
                                 preserve_index=False)
 
 
-class IVFIndex:
-    """Bucketed (IVF-style) variant: C random-seeded centroids from the
-    data, vectors assigned to nearest centroid; queries probe the nprobe
-    nearest buckets only. Demonstrates the scale path; exactness is not
-    claimed (standard IVF recall trade-off)."""
+# --- distributed IVF (the ANN scale path) ------------------------------
 
-    def __init__(self, sf_dir: str, n_centroids: int = 16, seed: int = 42):
-        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-        self.ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
-        self.m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        rng = np.random.default_rng(seed)
-        cent_idx = rng.choice(len(self.m), size=min(n_centroids, len(self.m)),
-                              replace=False)
-        self.centroids = self.m[cent_idx]
-        self.assign = np.argmax(self.m @ self.centroids.T, axis=1)
+def _sample_centroids(sf_dir: str, n_centroids: int, seed: int) -> np.ndarray:
+    """Centroids from a DISTRIBUTED deterministic sample: a Knuth-hash
+    filter on vec_id keeps ~8x n_centroids vectors (streamed, never the
+    full table), and the seeded rng picks n_centroids of the sample."""
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_total = ds.count()
+    frac = min(1.0, (8 * n_centroids) / max(1, n_total))
+    cut = np.uint64(int(frac * 2**32))
 
-    def search(self, qv: np.ndarray, k: int = 10, nprobe: int = 4):
-        qn = qv / np.linalg.norm(qv)
-        cd = qn @ self.centroids.T
-        probe = np.argsort(-cd)[:nprobe]
-        mask = np.isin(self.assign, probe)
-        sims = self.m[mask] @ qn
-        ids = self.ids[mask]
-        order = np.lexsort((ids, -sims))[:k]
-        return [(int(ids[i]), float(sims[i])) for i in order]
+    def fil(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        return batch[h < cut]
+
+    sample = ds.map_batches(fil, batch_format="pandas").to_pandas()
+    m = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
+    return m[pick]
+
+
+def build_ivf_index(sf_dir: str, out_dir: str, n_centroids: int = 16,
+                    seed: int = 42, assign_top: int = 3) -> str:
+    """Bucket-partitioned IVF layout with multi-assignment: centroids from
+    a distributed sample, each vector stored in its ``assign_top`` nearest
+    buckets (one matmul per batch against the broadcast centroid matrix),
+    bucket-partitioned parquet out (resumable: one directory per bucket; a
+    finished build is detected by its manifest and skipped).
+
+    Multi-assignment ("spilled" IVF) costs assign_top x storage but lifts
+    recall on weakly-clustered embeddings — on isotropic random vectors
+    single-assignment recall degenerates to the scanned fraction."""
+    import json
+    import os
+
+    manifest_path = os.path.join(out_dir, "ivf_manifest.json")
+    if os.path.exists(manifest_path):
+        return out_dir
+    centroids = _sample_centroids(sf_dir, n_centroids, seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cent_ref)
+        m = _embed_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        a = min(assign_top, len(cents))
+        pref = np.argsort(-(m @ cents.T), axis=1)[:, :a]
+        return pd.DataFrame({
+            "vec_id": np.repeat(batch["vec_id"].to_numpy(), a),
+            "embedding": list(np.repeat(m, a, axis=0)),
+            "bucket": pref.ravel().astype(np.int64),
+        })
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    (ds.map_batches(assign, batch_format="pandas")
+     .write_parquet(os.path.join(out_dir, "data"),
+                    partition_cols=["bucket"]))
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_centroids": int(len(centroids)), "seed": seed,
+                   "assign_top": assign_top,
+                   "centroids": centroids.tolist()}, f)
+    os.rename(tmp, manifest_path)
+    return out_dir
+
+
+def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
+            nprobe: int = 6, n_centroids: int = 16, seed: int = 42,
+            assign_top: int = 3):
+    """IVF-probed approximate top-k: read ONLY the nprobe closest buckets
+    (partition-pruned parquet read), score per batch, merge per-batch
+    top-k on the driver (duplicates from multi-assignment dropped at the
+    merge). Recall vs exact knn_cosine pinned >= 0.9 in tests with the
+    defaults (16 centroids, 3-way assignment, nprobe=6)."""
+    import hashlib as _hl
+    import json
+    import os
+
+    tag = _hl.md5(f"{os.path.abspath(sf_dir)}|{n_centroids}|{seed}|"
+                  f"{assign_top}".encode()).hexdigest()[:12]
+    idx_dir = os.path.join("/tmp/lsr_ivf", tag)
+    build_ivf_index(sf_dir, idx_dir, n_centroids, seed, assign_top)
+    manifest = json.load(open(os.path.join(idx_dir, "ivf_manifest.json")))
+    centroids = np.asarray(manifest["centroids"], dtype=np.float64)
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    qrow = qt.filter(pa.compute.equal(qt.column("vec_id"), query_vec_id))
+    q = np.asarray(qrow.column("embedding")[0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = np.argsort(-(qn @ centroids.T))[:nprobe]
+    q_ref = ray.put(qn)
+
+    import ray.data as rd
+
+    # partition pruning by path: only files under the nprobe bucket
+    # directories are ever opened (empty buckets may not exist on disk)
+    import glob as _glob
+
+    paths = sorted(f for b in probes for f in _glob.glob(
+        os.path.join(idx_dir, "data", f"bucket={int(b)}", "*.parquet")))
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(q_ref)
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        sims = m @ qv  # vectors stored pre-normalized
+        out = pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "sim": sims})
+        # multi-assignment duplicates must not consume top-k slots
+        return out.drop_duplicates("vec_id").nlargest(k, "sim")
+
+    parts = ds.map_batches(score, batch_format="pandas").to_pandas()
+    top = (parts.sort_values(["sim", "vec_id"], ascending=[False, True])
+           .drop_duplicates("vec_id").head(k))
+    out = pa.Table.from_pandas(top.reset_index(drop=True),
+                               preserve_index=False)
+    return out.set_column(out.column_names.index("sim"), "sim",
+                          round_away(out.column("sim"), 6))
