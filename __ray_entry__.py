@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-text + sketches (non-SQL-expressible: rows-only here,
         # oracle-diffed in pytest)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
+        "bm25_filtered_docs": fulltext.bm25_filtered_docs,
         "minhash_neardup": dedup.minhash_neardup,
         "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "embedding_neardup": knn.embedding_neardup_pairs,

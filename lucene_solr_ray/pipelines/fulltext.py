@@ -96,3 +96,33 @@ def transcripts_flagship(size: str = "tiny", k: int = 10) -> pd.DataFrame:
         for rank, (doc_id, score) in enumerate(hits):
             rows.append((q, rank, doc_id, float(score)))
     return pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
+
+
+def bm25_filtered_docs(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 composed with docvalue range filters and search-side field
+    sort (PointRangeQuery / TopFieldCollector analogs), plus sloppy-phrase
+    and regexp query shapes — rows-only driver check; semantics are
+    oracle-tested in tests/test_query_features.py."""
+    idx = docs_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    specs = [
+        ("table", {"filter_range":
+                   {"conv_id": ("doc-00000050", "doc-00000250")}}),
+        ("hash join", {"filter_range": {"conv_id": (None, "doc-00000300")}}),
+        ("scan OR merge", {"sort": [("conv_id", True)]}),
+        ("data pipeline", {"sort": [("conv_id", False)],
+                           "filter_range": {"conv_id": ("doc-00000100",
+                                                        None)}}),
+        ('"hash join"~2', {}),
+        ("/qu.*/", {}),
+    ]
+    rows = []
+    for q, kw in specs:
+        for rank, (doc_id, score) in enumerate(searcher.search(q, k=k, **kw)):
+            rows.append((q, rank, doc_id, float(score)))
+    return pa.table({
+        "query": pa.array([r[0] for r in rows]),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "score": pa.array([r[3] for r in rows], type=pa.float64()),
+    })

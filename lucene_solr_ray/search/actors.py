@@ -59,13 +59,25 @@ class SearchActor:
         return out
 
     def search_batch(self, queries: list[Query], df_maps: list[dict[str, int]],
-                     k: int) -> list[list[tuple[int, float]]]:
+                     k: int, sort=None, filter_range=None
+                     ) -> list[list[tuple]]:
         results = []
         for q, df_map in zip(queries, df_maps):
-            hits: list[tuple[int, float]] = []
+            hits: list[tuple] = []
             for sh in self.searchers:
-                hits.extend((d, float(s)) for d, s in sh.search(q, df_map, k))
-            hits.sort(key=lambda h: (-h[1], h[0]))
+                shard_hits = sh.search(q, df_map, k, sort=sort,
+                                       filter_range=filter_range)
+                if sort:
+                    hits.extend((d, float(s), keys)
+                                for d, s, keys in shard_hits)
+                else:
+                    hits.extend((d, float(s)) for d, s in shard_hits)
+            if sort:
+                from .searcher import _merge_sort_key
+
+                hits.sort(key=lambda h: _merge_sort_key(h, sort))
+            else:
+                hits.sort(key=lambda h: (-h[1], h[0]))
             results.append(hits[:k])
         return results
 
@@ -93,7 +105,8 @@ class DistributedSearcher:
 
         return parse_query(text, get_analyzer(self.analyzer_name))
 
-    def search_batch(self, queries: list[Query | str], k: int = 10
+    def search_batch(self, queries: list[Query | str], k: int = 10,
+                     sort=None, filter_range=None
                      ) -> list[list[tuple[int, float]]]:
         parsed = [self.parse(q) if isinstance(q, str) else q for q in queries]
         all_terms = sorted(set().union(*[collect_terms(q) for q in parsed])
@@ -108,17 +121,27 @@ class DistributedSearcher:
             {t: global_df.get(t, 0) for t in collect_terms(q)} for q in parsed
         ]
         # phase 2: scatter scoring, gather + merge
-        futures = [a.search_batch.remote(parsed, df_maps, k) for a in self.actors]
+        futures = [a.search_batch.remote(parsed, df_maps, k, sort,
+                                         filter_range) for a in self.actors]
         per_actor = ray.get(futures)
         results = []
         for qi in range(len(parsed)):
             hits = [h for actor_hits in per_actor for h in actor_hits[qi]]
-            hits.sort(key=lambda h: (-h[1], h[0]))
-            results.append([(d, np.float32(s)) for d, s in hits[:k]])
+            if sort:
+                from .searcher import _merge_sort_key
+
+                hits.sort(key=lambda h: _merge_sort_key(h, sort))
+                results.append([(d, np.float32(s))
+                                for d, s, _ in hits[:k]])
+            else:
+                hits.sort(key=lambda h: (-h[1], h[0]))
+                results.append([(d, np.float32(s)) for d, s in hits[:k]])
         return results
 
-    def search(self, query: Query | str, k: int = 10):
-        return self.search_batch([query], k)[0]
+    def search(self, query: Query | str, k: int = 10, sort=None,
+               filter_range=None):
+        return self.search_batch([query], k, sort=sort,
+                                 filter_range=filter_range)[0]
 
     def facet(self, query: Query | str, field: str,
               limit: int | None = None) -> list[tuple[str, int]]:

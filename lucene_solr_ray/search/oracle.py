@@ -117,12 +117,19 @@ class OracleIndex:
             candidates &= set(m)
         out: dict[int, np.float32] = {}
         for doc_id in candidates:
-            phrase_freq = 0
             rel = q.positions
-            for p0 in maps[0][doc_id]:
-                if all((p0 - rel[0] + rel[i]) in maps[i][doc_id]
-                       for i in range(1, len(maps))):
-                    phrase_freq += 1
+            if q.slop > 0:
+                from .query import sloppy_phrase_freq
+
+                phrase_freq = sloppy_phrase_freq(
+                    [maps[i][doc_id] for i in range(len(maps))],
+                    list(rel), q.slop)
+            else:
+                phrase_freq = 0
+                for p0 in maps[0][doc_id]:
+                    if all((p0 - rel[0] + rel[i]) in maps[i][doc_id]
+                           for i in range(1, len(maps))):
+                        phrase_freq += 1
             if phrase_freq:
                 f = np.float32(phrase_freq)
                 norm = cache[self.norms[doc_id]]
@@ -162,6 +169,10 @@ class OracleIndex:
             docs = set()
             for m in should_scores:
                 docs |= set(m)
+        msm = getattr(q, "min_should_match", 0)
+        if msm > 0:  # MinShouldMatchSumScorer semantics
+            docs = {d for d in docs
+                    if sum(1 for m in should_scores if d in m) >= msm}
         for c in q.must_not:
             docs -= set(self._score_clause(c))
         out: dict[int, np.float32] = {}

@@ -12,7 +12,10 @@ parse time, exactly the chain used at index time).
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass, field
+
+_SLOP_RE = _re.compile(r"~(\d+)")
 
 
 class Query:
@@ -30,13 +33,21 @@ class PhraseQuery(Query):
     terms: tuple[str, ...]
     positions: tuple[int, ...]  # relative positions (stopword holes preserved)
     boost: float = 1.0
+    slop: int = 0  # 0 = exact (ExactPhraseScorer); >0 = SloppyPhraseScorer
 
 
 @dataclass
 class BooleanQuery(Query):
+    """must/should/must_not + minimum-should-match
+    (``BooleanQuery.java`` setMinimumNumberShouldMatch /
+    ``MinShouldMatchSumScorer.java``): a doc matches only if it satisfies
+    every MUST clause and at least ``min_should_match`` SHOULD clauses
+    (0 with MUST clauses present = shoulds fully optional)."""
+
     must: list[Query] = field(default_factory=list)
     should: list[Query] = field(default_factory=list)
     must_not: list[Query] = field(default_factory=list)
+    min_should_match: int = 0
 
     def clauses(self):
         return self.must + self.should + self.must_not
@@ -82,6 +93,16 @@ class TermRangeQuery(MultiTermQuery):
     upper: str = ""
     include_lower: bool = True
     include_upper: bool = True
+
+
+@dataclass(frozen=True)
+class RegexpQuery(MultiTermQuery):
+    """Term-dictionary regex expansion (``search/RegexpQuery.java``,
+    classic ``/regex/`` syntax). Matching uses Python ``re.fullmatch``
+    (a superset of the reference's automaton syntax; the common operators
+    ``. * + ? | [] ()`` behave identically)."""
+
+    pattern: str = ""
 
 
 def _analyze_chunk(chunk: str, analyzer, boost: float = 1.0) -> Query:
@@ -159,7 +180,65 @@ def expand_multi_term(q: MultiTermQuery, sorted_terms: list[str]) -> list[str]:
     if isinstance(q, FuzzyQuery):
         return [t for t in sorted_terms
                 if levenshtein_within(q.term, t, q.max_edits)]
+    if isinstance(q, RegexpQuery):
+        import re
+
+        rx = re.compile(q.pattern)
+        return [t for t in sorted_terms if rx.fullmatch(t)]
     raise TypeError(type(q))
+
+
+def sloppy_phrase_freq(plists: list, offsets: list[int], slop: int) -> float:
+    """SloppyPhraseScorer.phraseFreq() (SloppyPhraseScorer.java:39-75):
+    a priority queue of per-term position iterators (positions adjusted by
+    phrase offset), repeatedly advancing the minimum; each time the
+    advanced iterator overtakes the queue head a candidate match closes
+    with matchLength = end - min position, contributing
+    1/(1 + matchLength) when matchLength <= slop
+    (SimScorer.computeSlopFactor).
+
+    ``plists[i]``: ascending positions of phrase term i in the doc;
+    ``offsets[i]``: the term's position within the phrase. Phrases with
+    repeated terms take this same (non-repeats) path — the reference's
+    advanceRpts special-casing is not reproduced (documented divergence).
+    """
+    import heapq
+
+    adj = [[int(p) - off for p in pl] for pl, off in zip(plists, offsets)]
+    if any(len(a) == 0 for a in adj):
+        return 0.0
+    if len(adj) == 1:  # degenerate single-term phrase: every position is
+        return float(len(adj[0]))  # a zero-length match (slop factor 1)
+    idx = [0] * len(adj)
+    heap = [(adj[i][0], offsets[i], i) for i in range(len(adj))]
+    heapq.heapify(heap)
+    end = max(a[0] for a in adj)
+    freq = 0.0
+    pos, off, i = heapq.heappop(heap)
+    match_length = end - pos
+    while True:
+        idx[i] += 1
+        if idx[i] >= len(adj[i]):
+            break
+        new_pos = adj[i][idx[i]]
+        if new_pos > end:
+            end = new_pos
+        next_pos = heap[0][0]
+        if new_pos > next_pos:  # done minimizing the current match length
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            heapq.heappush(heap, (new_pos, off, i))
+            pos, off, i = heapq.heappop(heap)
+            next_pos = heap[0][0]
+            match_length = end - pos
+        else:
+            ml2 = end - new_pos
+            if ml2 < match_length:
+                match_length = ml2
+            pos = new_pos
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq
 
 
 def _parse_term_like(chunk: str, analyzer) -> Query:
@@ -198,6 +277,8 @@ def _parse_term_like_body(chunk: str, analyzer) -> Query:
         lower, upper = chunk[1:-1].split(" TO ", 1)
         return TermRangeQuery(lower=java_lowercase(lower.strip()),
                               upper=java_lowercase(upper.strip()))
+    if len(chunk) >= 2 and chunk.startswith("/") and chunk.endswith("/"):
+        return RegexpQuery(pattern=chunk[1:-1])
     if "~" in chunk and not chunk.startswith("~"):
         base, _, edits = chunk.rpartition("~")
         if edits in ("", "1", "2") and "*" not in base and "?" not in base:
@@ -229,7 +310,7 @@ def parse_query(text: str, analyzer=None) -> Query:
     pending_bool: str | None = None
     clauses: list[tuple[str | None, str, Query]] = []  # (bool_conn, op, query)
 
-    def flush(chunk: str, is_phrase: bool):
+    def flush(chunk: str, is_phrase: bool, slop: int = 0):
         nonlocal pending_op, pending_bool
         if is_phrase:
             terms, positions = analyzer.analyze(chunk)
@@ -237,7 +318,9 @@ def parse_query(text: str, analyzer=None) -> Query:
                 q: Query = MatchNoDocs()
             else:
                 base = positions[0]
-                q = PhraseQuery(tuple(terms), tuple(p - base for p in positions))
+                q = PhraseQuery(tuple(terms),
+                                tuple(p - base for p in positions),
+                                slop=slop)
         else:
             upper = chunk.upper()
             if upper == "AND":
@@ -267,11 +350,24 @@ def parse_query(text: str, analyzer=None) -> Query:
             j = text.find('"', i + 1)
             if j == -1:
                 j = n
-            flush(text[i + 1:j], True)
+            body = text[i + 1:j]
             i = j + 1
+            slop = 0  # "..."~N sloppy phrase (QueryParserBase.java:470-724)
+            if i < n and text[i] == "~":
+                m = _SLOP_RE.match(text, i)
+                if m:
+                    slop = int(m.group(1))
+                    i = m.end()
+            flush(body, True, slop)
             continue
         if c == "[":  # range atom contains spaces: [a TO b]
             j = text.find("]", i + 1)
+            if j != -1:
+                flush(text[i:j + 1], False)
+                i = j + 1
+                continue
+        if c == "/":  # /regex/ atom may contain spaces
+            j = text.find("/", i + 1)
             if j != -1:
                 flush(text[i:j + 1], False)
                 i = j + 1

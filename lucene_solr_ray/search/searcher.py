@@ -42,6 +42,36 @@ from .query import (
 )
 
 
+class _Rev:
+    """Descending-order wrapper for non-numeric sort keys."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
+def _merge_sort_key(hit, sort):
+    """Driver-side merge key for field-sorted shard hits
+    (TopFieldCollector merge: field values, tie -> lower doc_id)."""
+    doc_id, _, keys = hit
+    out = []
+    for (fld, desc), v in zip(sort, keys):
+        if desc:
+            out.append(-v if isinstance(v, (int, float, np.integer,
+                                            np.floating)) else _Rev(v))
+        else:
+            out.append(v)
+    out.append(doc_id)
+    return tuple(out)
+
+
 def collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
@@ -175,6 +205,8 @@ class ShardSearcher:
         if len(docs) == 0:
             return empty
         rel = q.positions
+        if q.slop > 0:
+            return self._finish_sloppy_phrase(q, df_map, docs, idxs, plists)
         # vectorized exact-phrase counting across ALL candidate docs at once
         # (ExactPhraseScorer semantics): composite (local_doc << 32 | pos)
         # keys make per-doc position membership a single global searchsorted.
@@ -215,6 +247,44 @@ class ShardSearcher:
         scores = bm25.score_freqs(pf, self.norms[docs - self.base], self.cache, w)
         return docs, scores
 
+    def _phrase_weight(self, q: PhraseQuery, df_map: dict[str, int]):
+        sum_idf = np.float32(0.0)
+        for t in q.terms:
+            sum_idf = np.float32(
+                sum_idf + bm25.idf(df_map.get(t, 0), self.doc_count))
+        return bm25.weight_value(sum_idf, q.boost)
+
+    def _finish_sloppy_phrase(self, q: PhraseQuery, df_map: dict[str, int],
+                              docs: np.ndarray, idxs: list, plists: list):
+        """SloppyPhraseScorer path: conjunction candidates from the exact
+        machinery, per-doc phraseFreq via the shared pq kernel
+        (query.sloppy_phrase_freq — identical code runs in the oracle)."""
+        from .query import sloppy_phrase_freq
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        decoded = []
+        for t_i, (d_i, f_i, row_i) in enumerate(plists):
+            flat_i, offs_i = segment.decode_positions(
+                self._pos_enc[row_i], f_i)
+            decoded.append((flat_i, offs_i))
+        rel = list(q.positions)
+        pf = np.zeros(len(docs), dtype=np.float64)
+        for j in range(len(docs)):
+            pls = []
+            for t_i in range(len(plists)):
+                ix = int(idxs[t_i][j])
+                flat_i, offs_i = decoded[t_i]
+                pls.append(flat_i[offs_i[ix]:offs_i[ix + 1]])
+            pf[j] = sloppy_phrase_freq(pls, rel, q.slop)
+        keep = pf > 0
+        if not keep.any():
+            return empty
+        docs = docs[keep]
+        w = self._phrase_weight(q, df_map)
+        scores = bm25.score_freqs(pf[keep], self.norms[docs - self.base],
+                                  self.cache, w)
+        return docs, scores
+
     def _score_multi_term(self, q: MultiTermQuery):
         """CONSTANT_SCORE_REWRITE over the shard's term dictionary: union
         of matching terms' postings, every doc scored with the boost."""
@@ -243,6 +313,7 @@ class ShardSearcher:
     def _score_boolean(self, q: BooleanQuery, df_map: dict[str, int]):
         must = [self._score_clause(c, df_map) for c in q.must]
         should = [self._score_clause(c, df_map) for c in q.should]
+        msm = getattr(q, "min_should_match", 0)
         if must:
             docs, scores = must[0]
             scores = scores.copy()
@@ -250,6 +321,7 @@ class ShardSearcher:
                 docs, ia, ib = np.intersect1d(docs, d2, assume_unique=True,
                                               return_indices=True)
                 scores = (scores[ia] + s2[ib]).astype(np.float32)
+            n_should_hits = np.zeros(len(docs), dtype=np.int64)
             for d2, s2 in should:
                 pos = np.searchsorted(d2, docs)
                 pos_ok = pos < len(d2)
@@ -258,14 +330,23 @@ class ShardSearcher:
                 add = np.zeros(len(docs), dtype=np.float32)
                 add[hit] = s2[pos[hit]]
                 scores = (scores + add).astype(np.float32)
+                n_should_hits += hit
+            if msm > 0:  # MinShouldMatchSumScorer: >= msm SHOULD clauses
+                keep = n_should_hits >= msm
+                docs, scores = docs[keep], scores[keep]
         else:
             all_docs = np.unique(np.concatenate([d for d, _ in should])) \
                 if should else np.empty(0, dtype=np.int64)
             scores = np.zeros(len(all_docs), dtype=np.float32)
+            n_should_hits = np.zeros(len(all_docs), dtype=np.int64)
             for d2, s2 in should:
                 idx = np.searchsorted(all_docs, d2)
                 scores[idx] = (scores[idx] + s2).astype(np.float32)
+                n_should_hits[idx] += 1
             docs = all_docs
+            if msm > 1:  # pure-should already requires >= 1 match
+                keep = n_should_hits >= msm
+                docs, scores = docs[keep], scores[keep]
         for c in q.must_not:
             d2, _ = self._score_clause(c, df_map)
             if len(d2):
@@ -324,6 +405,7 @@ class ShardSearcher:
     def _is_pure_term_disjunction(query: Query) -> bool:
         return (isinstance(query, BooleanQuery) and not query.must
                 and not query.must_not and len(query.should) >= 2
+                and getattr(query, "min_should_match", 0) <= 1
                 and all(isinstance(c, TermQuery) for c in query.should))
 
     def _score_disjunction_maxscore(self, query: BooleanQuery,
@@ -379,15 +461,67 @@ class ShardSearcher:
             acc = (acc + add).astype(np.float32)
         return cand, acc
 
+    @staticmethod
+    def _range_mask(vals: np.ndarray, lo, hi) -> np.ndarray:
+        """Inclusive-range membership over a doc-value array (None = open
+        bound; docs missing the field never match — PointRangeQuery
+        semantics over docvalues)."""
+        try:
+            v = vals.astype(np.float64)
+            mask = ~np.isnan(v)
+            if lo is not None:
+                mask &= v >= lo
+            if hi is not None:
+                mask &= v <= hi
+            return mask
+        except (TypeError, ValueError):
+            out = np.ones(len(vals), dtype=bool)
+            for i, v in enumerate(vals):
+                if v is None or (lo is not None and v < lo) \
+                        or (hi is not None and v > hi):
+                    out[i] = False
+            return out
+
+    def _apply_filter(self, docs, scores, filter_range):
+        for fld, (lo, hi) in filter_range.items():
+            if len(docs) == 0:
+                break
+            vals = self.docvalues_local(fld, docs)
+            keep = self._range_mask(vals, lo, hi)
+            docs, scores = docs[keep], scores[keep]
+        return docs, scores
+
     def search(self, query: Query, df_map: dict[str, int], k: int = 10,
-               use_maxscore: bool = True):
-        """Top-k (doc_id, score) for this shard."""
-        if use_maxscore and self._is_pure_term_disjunction(query):
+               use_maxscore: bool = True, sort=None, filter_range=None):
+        """Top-k for this shard: (doc_id, score) ranked by score, or
+        (doc_id, score, sort_key_tuple) ranked by ``sort`` — a list of
+        (docvalue_field, descending) pairs (TopFieldCollector.java:1), tie
+        -> lower doc_id. ``filter_range`` = {field: (lo, hi)} intersects
+        the hit set with inclusive docvalue ranges (IntPoint /
+        PointRangeQuery analog) BEFORE ranking."""
+        if (use_maxscore and sort is None and not filter_range
+                and self._is_pure_term_disjunction(query)):
             docs, scores = self._score_disjunction_maxscore(query, df_map, k)
         else:
             docs, scores = self._score_clause(query, df_map)
+        if filter_range:
+            docs, scores = self._apply_filter(docs, scores, filter_range)
         if len(docs) == 0:
             return []
+        if sort:
+            val_arrays = [self.docvalues_local(fld, docs)
+                          for fld, _ in sort]
+            lex_keys = []
+            for (fld, desc), vals in zip(sort, val_arrays):
+                try:
+                    key = vals.astype(np.float64)
+                except (TypeError, ValueError):
+                    _, inv = np.unique(vals.astype(str), return_inverse=True)
+                    key = inv.astype(np.float64)
+                lex_keys.append(-key if desc else key)
+            order = np.lexsort(tuple([docs] + lex_keys[::-1]))[:k]
+            return [(int(docs[i]), np.float32(scores[i]),
+                     tuple(v[i] for v in val_arrays)) for i in order]
         if len(docs) > k:
             # partial selection; keep every doc tied with the k-th score so
             # the lower-doc_id tie-break stays exact, then sort the slice
@@ -498,13 +632,22 @@ class IndexSearcher:
                 df[t] = df.get(t, 0) + d
         return df
 
-    def search(self, query: Query | str, k: int = 10):
+    def search(self, query: Query | str, k: int = 10, sort=None,
+               filter_range=None):
+        """Top-k across shards. ``sort``: [(docvalue_field, descending)]
+        replaces score ranking (TopFieldCollector / Sort); ``filter_range``:
+        {field: (lo, hi)} inclusive docvalue ranges composed with the query
+        (numeric point/range filtering). Returns (doc_id, score) pairs."""
         if isinstance(query, str):
             query = self.parse(query)
         df_map = self.global_df(query)
-        hits: list[tuple[int, np.float32]] = []
+        hits = []
         for sh in self.shards:
-            hits.extend(sh.search(query, df_map, k))
+            hits.extend(sh.search(query, df_map, k, sort=sort,
+                                  filter_range=filter_range))
+        if sort:
+            hits.sort(key=lambda h: _merge_sort_key(h, sort))
+            return [(d, s) for d, s, _ in hits[:k]]
         hits.sort(key=lambda h: (-float(h[1]), h[0]))
         return hits[:k]
 

@@ -1,0 +1,211 @@
+"""Sloppy phrases, minShouldMatch, regexp queries, field sort, and numeric
+range filtering — engine vs single-process oracle + hand-computed Lucene
+SloppyPhraseScorer examples."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.data.transcripts import transcripts_path
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search.oracle import OracleIndex
+from lucene_solr_ray.search.query import (
+    BooleanQuery,
+    PhraseQuery,
+    RegexpQuery,
+    TermQuery,
+    parse_query,
+    sloppy_phrase_freq,
+)
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+
+# --- parser -----------------------------------------------------------
+
+def test_parse_sloppy_phrase():
+    q = parse_query('"segments merge"~2')
+    assert isinstance(q, PhraseQuery) and q.slop == 2
+    q0 = parse_query('"segments merge"')
+    assert isinstance(q0, PhraseQuery) and q0.slop == 0
+
+
+def test_parse_regexp():
+    q = parse_query("/seg.*ts/")
+    assert q == RegexpQuery(pattern="seg.*ts")
+    b = parse_query("ray AND /da.a/")
+    assert isinstance(b, BooleanQuery)
+    assert RegexpQuery(pattern="da.a") in b.must
+
+
+# --- SloppyPhraseScorer kernel (hand-verified Lucene semantics) -------
+
+def _freq(doc_words, phrase_words, slop):
+    pos = {w: [] for w in set(phrase_words)}
+    for i, w in enumerate(doc_words):
+        if w in pos:
+            pos[w].append(i)
+    plists = [pos[w] for w in phrase_words]
+    return sloppy_phrase_freq(plists, list(range(len(phrase_words))), slop)
+
+
+def test_sloppy_exact_match():
+    assert _freq(["a", "b", "c"], ["a", "b"], 0) == 1.0
+    assert _freq(["a", "b", "a", "b"], ["a", "b"], 0) == 2.0
+
+
+def test_sloppy_one_gap():
+    # "a x b" vs "a b": edit distance 1 -> slop factor 1/2
+    assert _freq(["a", "x", "b"], ["a", "b"], 0) == 0.0
+    assert _freq(["a", "x", "b"], ["a", "b"], 1) == pytest.approx(0.5)
+    assert _freq(["a", "x", "b"], ["a", "b"], 2) == pytest.approx(0.5)
+
+
+def test_sloppy_transposed():
+    # "b a" vs "a b": distance 2 (Lucene: requires slop >= 2, factor 1/3)
+    assert _freq(["b", "a"], ["a", "b"], 1) == 0.0
+    assert _freq(["b", "a"], ["a", "b"], 2) == pytest.approx(1 / 3)
+
+
+def test_sloppy_no_term_missing():
+    assert _freq(["a", "x"], ["a", "b"], 5) == 0.0
+
+
+# --- engine vs oracle rank/score identity -----------------------------
+
+@pytest.fixture(scope="module")
+def indexed(ray_session, tmp_path_factory):
+    src = transcripts_path("tiny")
+    out = tmp_path_factory.mktemp("qfeat") / "idx"
+    build_index(src, str(out), num_shards=3)
+    s = IndexSearcher(str(out))
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src, columns=["text", "turn_idx", "role"])
+    oi = OracleIndex()
+    oi.add_all(enumerate(t.column("text").to_pylist()))
+    return s, oi, t
+
+
+FEATURE_QUERIES = [
+    '"ray data"~1', '"ray data"~3', '"data index"~2',
+    '"segments merge batch"~4', "/ra./", "/t0+[0-9]+/", "/zz.*/",
+    "ray AND /da.a/",
+]
+
+
+@pytest.mark.parametrize("q", FEATURE_QUERIES)
+def test_feature_query_rank_identity(indexed, q):
+    s, oi, _ = indexed
+    got = s.search(q, k=10)
+    want = oi.search(q, k=10)
+    assert [(d, float(sc)) for d, sc in got] == \
+        [(d, float(sc)) for d, sc in want], q
+
+
+def test_min_should_match_identity(indexed):
+    s, oi, _ = indexed
+    for msm in (0, 1, 2, 3):
+        q = BooleanQuery(should=[TermQuery("ray"), TermQuery("data"),
+                                 TermQuery("index")],
+                         min_should_match=msm)
+        got = s.search(q, k=20)
+        want = oi.search(q, k=20)
+        assert [(d, float(sc)) for d, sc in got] == \
+            [(d, float(sc)) for d, sc in want], msm
+    # msm filters: higher msm can only shrink the result set
+    q1 = BooleanQuery(should=[TermQuery("ray"), TermQuery("data")],
+                      min_should_match=2)
+    hits2 = {d for d, _ in s.search(q1, k=1000)}
+    q0 = BooleanQuery(should=[TermQuery("ray"), TermQuery("data")])
+    hits_any = {d for d, _ in s.search(q0, k=1000)}
+    assert hits2 <= hits_any
+
+
+def test_min_should_match_with_must(indexed):
+    s, oi, _ = indexed
+    q = BooleanQuery(must=[TermQuery("ray")],
+                     should=[TermQuery("data"), TermQuery("index")],
+                     min_should_match=1)
+    got = s.search(q, k=20)
+    want = oi.search(q, k=20)
+    assert [(d, float(sc)) for d, sc in got] == \
+        [(d, float(sc)) for d, sc in want]
+
+
+# --- search-side field sort (TopFieldCollector) -----------------------
+
+def test_field_sort_matches_recompute(indexed):
+    s, oi, t = indexed
+    from lucene_solr_ray.search.features import _all_hits
+
+    turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    docs, _ = _all_hits(s, "ray")
+    for desc in (True, False):
+        got = s.search("ray", k=15, sort=[("turn_idx", desc)])
+        keyed = sorted(((int(turn[d]), d) for d in docs),
+                       key=lambda kv: (-kv[0] if desc else kv[0], kv[1]))
+        want_ids = [d for _, d in keyed[:15]]
+        assert [d for d, _ in got] == want_ids, desc
+
+
+def test_field_sort_string_key(indexed):
+    s, oi, t = indexed
+    from lucene_solr_ray.search.features import _all_hits
+
+    roles = t.column("role").to_pylist()
+    docs, _ = _all_hits(s, "data")
+    got = s.search("data", k=12, sort=[("role", False), ("turn_idx", True)])
+    turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    keyed = sorted(((roles[d], -int(turn[d]), d) for d in docs))
+    want_ids = [k[2] for k in keyed[:12]]
+    assert [d for d, _ in got] == want_ids
+
+
+# --- numeric range filter composed with BM25 --------------------------
+
+def test_numeric_filter_rank_identity(indexed):
+    s, oi, t = indexed
+    turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    lo, hi = 2, 6
+    got = s.search("ray data", k=10, filter_range={"turn_idx": (lo, hi)})
+    # oracle: score everything, filter by the same range, re-rank
+    scores = oi._score_clause(oi_parse(oi, "ray data"))
+    want = sorted(((d, float(sc)) for d, sc in scores.items()
+                   if lo <= turn[d] <= hi),
+                  key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(d, float(sc)) for d, sc in got] == want
+    assert all(lo <= turn[d] <= hi for d, _ in got)
+
+
+def oi_parse(oi, text):
+    from lucene_solr_ray.search.query import parse_query
+
+    return parse_query(text, oi.analyzer)
+
+
+def test_filter_open_bounds(indexed):
+    s, oi, t = indexed
+    turn = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    got = s.search("ray", k=10, filter_range={"turn_idx": (5, None)})
+    assert got and all(turn[d] >= 5 for d, _ in got)
+    got2 = s.search("ray", k=10, filter_range={"turn_idx": (None, 3)})
+    assert got2 and all(turn[d] <= 3 for d, _ in got2)
+
+
+def test_actor_pool_sort_and_filter(ray_session, indexed, tmp_path_factory):
+    """DistributedSearcher passes sort/filter through and merges equal to
+    the single-process searcher."""
+    s, _, _ = indexed
+    from lucene_solr_ray.search.actors import DistributedSearcher
+
+    dist = DistributedSearcher(s.index_dir, num_actors=2)
+    try:
+        for kwargs in ({"sort": [("turn_idx", True)]},
+                       {"filter_range": {"turn_idx": (2, 6)}},
+                       {"sort": [("role", False)],
+                        "filter_range": {"turn_idx": (1, 8)}}):
+            got = dist.search("ray data", k=10, **kwargs)
+            want = s.search("ray data", k=10, **kwargs)
+            assert [(d, float(sc)) for d, sc in got] == \
+                [(d, float(sc)) for d, sc in want], kwargs
+    finally:
+        dist.close()
