@@ -41,6 +41,15 @@ def main(argv=None) -> int:
     u = sub.add_parser("update", help="append new documents past checkpoint")
     u.add_argument("index_dir")
     u.add_argument("source")
+    u.add_argument("--overwrite", action="store_true",
+                   help="updateDocument semantics: tombstone existing "
+                        "versions of incoming (conv_id, turn_idx) keys")
+
+    d = sub.add_parser("delete", help="tombstone documents by id or key")
+    d.add_argument("index_dir")
+    d.add_argument("--doc-ids", type=int, nargs="*", default=None)
+    d.add_argument("--key", nargs=2, metavar=("CONV_ID", "TURN_IDX"),
+                   action="append", default=None)
 
     s = sub.add_parser("search", help="BM25 top-k query")
     s.add_argument("index_dir")
@@ -51,7 +60,7 @@ def main(argv=None) -> int:
     c.add_argument("index_dir")
 
     args = p.parse_args(argv)
-    if args.cmd in ("update", "search", "check"):
+    if args.cmd in ("update", "search", "check", "delete"):
         from pathlib import Path
 
         if not (Path(args.index_dir) / "manifest.json").exists():
@@ -73,9 +82,16 @@ def main(argv=None) -> int:
     elif args.cmd == "update":
         from .index.update import update_index
 
-        manifest = update_index(args.index_dir, args.source)
+        manifest = update_index(args.index_dir, args.source,
+                                overwrite=args.overwrite)
         print(json.dumps({"version": manifest["version"],
                           "stats": manifest["stats"]}))
+    elif args.cmd == "delete":
+        from .index.update import delete_documents
+
+        keys = ([(c, int(t)) for c, t in args.key] if args.key else None)
+        print(json.dumps(delete_documents(
+            args.index_dir, doc_ids=args.doc_ids, keys=keys)))
     elif args.cmd == "search":
         from .search.searcher import IndexSearcher
 

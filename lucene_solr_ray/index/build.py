@@ -559,8 +559,30 @@ def _build_fused(source: str, index_path: Path, docs_per_shard: int | None,
     actual_shards = max(1, -(-probe_total // docs_per_shard))
     target_rows = max(8192, probe_total // max(1, concurrency * 3))
     tasks, total_docs = _plan_source_tasks(str(source), target_rows)
-    (index_path / "_BUILD_PARAMS.json").write_text(json.dumps(
-        {"docs_per_shard": int(docs_per_shard), "total_docs": int(total_docs)}))
+    params_file = index_path / "_BUILD_PARAMS.json"
+    plan = {"docs_per_shard": int(docs_per_shard),
+            "total_docs": int(total_docs),
+            "tasks": [[str(f), list(map(int, rgs)), int(off), int(nr)]
+                      for f, rgs, off, nr in tasks]}
+    if resume and params_file.exists():
+        prev = json.loads(params_file.read_text())
+        if (prev.get("tasks")
+                and prev.get("docs_per_shard") == plan["docs_per_shard"]):
+            # resume with the PERSISTED plan: _task{i}_SUCCESS markers and
+            # run files are keyed by task index, and a fresh plan depends
+            # on the current cluster size (target_rows = f(concurrency)) —
+            # trusting old markers under a replanned task list silently
+            # corrupts doc_id assignment
+            tasks = [(f, rgs, off, nr) for f, rgs, off, nr in prev["tasks"]]
+            total_docs = int(prev["total_docs"])
+        else:  # incompatible layout: stale markers cannot be trusted
+            for stale in ("runs", "norms", "shards"):
+                shutil.rmtree(index_path / stale, ignore_errors=True)
+            runs_dir.mkdir(parents=True, exist_ok=True)
+            norms_dir.mkdir(parents=True, exist_ok=True)
+            params_file.write_text(json.dumps(plan))
+    else:
+        params_file.write_text(json.dumps(plan))
     _phase("plan")
 
     # wave A: fused read+assign+tokenize+write (runs and norms)

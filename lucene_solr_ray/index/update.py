@@ -87,6 +87,11 @@ class MergingSegmentWriter(SegmentWriter):
             return _manifest_row_table([])
         shard_id = int(group.column("doc_shard")[0].as_py())
         shard_dir = Path(self.index_dir) / "shards" / f"shard={shard_id:05d}"
+        aside = shard_dir.parent / f".merging-shard={shard_id:05d}"
+        if aside.exists() and not shard_dir.exists():
+            # a previous merge crashed between set-aside and replacement:
+            # restore the old segment before redoing the merge
+            os.rename(aside, shard_dir)
         terms_file = shard_dir / "terms.parquet"
         if terms_file.exists():
             base = shard_id * self.docs_per_shard
@@ -113,14 +118,35 @@ class MergingSegmentWriter(SegmentWriter):
                     pa.array(norm_arr[old_docs - base], type=pa.uint8()))
                 group = pa.concat_tables(
                     [old.select(group.column_names), group])
-            # remove the old segment so the parent write path can replace it
-            shutil.rmtree(shard_dir)
-        return super().__call__(group)
+            # set the old segment ASIDE (atomic rename, recoverable above)
+            # rather than deleting it before the replacement is written —
+            # a crash in that window would otherwise lose the shard while
+            # the manifest still references it
+            shutil.rmtree(aside, ignore_errors=True)
+            os.rename(shard_dir, aside)
+        try:
+            out = super().__call__(group)
+        except BaseException:
+            if aside.exists() and not shard_dir.exists():
+                os.rename(aside, shard_dir)  # roll back
+            raise
+        shutil.rmtree(aside, ignore_errors=True)
+        return out
 
 
 def update_index(index_dir: str, source: str | rd.Dataset, *,
-                 batch_size: int = 4096, concurrency: int | None = None) -> dict:
-    """Append new (later-keyed) documents to an existing index."""
+                 batch_size: int = 4096, concurrency: int | None = None,
+                 overwrite: bool = False) -> dict:
+    """Append new documents to an existing index.
+
+    ``overwrite=False`` (default): strictly append-only past the
+    checkpoint (TopicStream watermark). ``overwrite=True``: updateDocument
+    semantics (IndexWriter.java:1503) — incoming (conv_id, turn_idx) keys
+    that already exist have their old doc_ids tombstoned and the new
+    versions are appended with fresh doc_ids; the old versions become
+    unreachable. With overwrite the doc_id order no longer mirrors global
+    key order, so tie-breaks may differ from a from-scratch rebuild
+    (same as the reference, where updated docs get new docIDs)."""
     index_path = Path(index_dir)
     manifest = read_manifest(index_dir)
     params = manifest["params"]
@@ -143,7 +169,7 @@ def update_index(index_dir: str, source: str | rd.Dataset, *,
 
     # append-only checkpoint check (TopicStream watermark semantics)
     checkpoint = manifest.get("checkpoint")
-    if checkpoint is not None:
+    if checkpoint is not None and not overwrite:
         first = ds.take(1)[0]
         if (first["conv_id"], int(first["turn_idx"])) <= tuple(checkpoint):
             raise ValueError(
@@ -152,7 +178,28 @@ def update_index(index_dir: str, source: str | rd.Dataset, *,
 
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
-    counts = ray.get([_count_rows.remote(r) for r in refs])
+    metas = ray.get([_block_meta_update.remote(r) for r in refs])
+    counts = [m["rows"] for m in metas]
+    # the doc_id == rank invariant requires the update batch itself to be
+    # (conv_id, turn_idx)-sorted, same as the build's per-block check —
+    # unsorted input would silently diverge from a from-scratch rebuild
+    prev_last = None
+    for m in metas:
+        if m["rows"] == 0:
+            continue
+        if not m["sorted_within"]:
+            raise ValueError("update rows not sorted by (conv_id, turn_idx)")
+        if prev_last is not None and tuple(m["first"]) < tuple(prev_last):
+            raise ValueError(
+                "update blocks out of (conv_id, turn_idx) order")
+        prev_last = m["last"]
+    if overwrite:
+        # updateDocument: tombstone the existing versions of incoming keys
+        incoming = [k for ks in ray.get([_block_keys.remote(r)
+                                         for r in refs]) for k in ks]
+        if incoming:
+            delete_documents(index_dir, keys=incoming)
+            manifest = read_manifest(index_dir)  # version bumped
     offsets = np.concatenate(([0], np.cumsum(counts))) + base_doc
     new_refs = [
         _add_doc_ids_from.remote(r, int(offsets[i]), docs_per_shard)
@@ -211,10 +258,14 @@ def update_index(index_dir: str, source: str | rd.Dataset, *,
     for r in new_rows:
         shards[r["shard_id"]] = {k: int(v) for k, v in r.items()}
 
-    # checkpoint = last key of the updated input (from the final block)
-    last_block = ray.get(refs[-1])
-    checkpoint = [last_block.column("conv_id")[-1].as_py(),
-                  int(last_block.column("turn_idx")[-1].as_py())]
+    # checkpoint = last key of the updated input (last non-empty block's
+    # order metadata); never moves backward (overwrite batches may carry
+    # old keys)
+    checkpoint = list(prev_last) if prev_last is not None else None
+    old_cp = manifest.get("checkpoint")
+    if old_cp is not None and (checkpoint is None
+                               or tuple(old_cp) > tuple(checkpoint)):
+        checkpoint = list(old_cp)
 
     new_manifest = {
         **manifest,
@@ -236,6 +287,92 @@ def _count_rows(block: pa.Table) -> int:
     return block.num_rows
 
 
+@ray.remote
+def _block_meta_update(block: pa.Table) -> dict:
+    """Row count + (conv_id, turn_idx) order metadata for one block."""
+    n = block.num_rows
+    if n == 0:
+        return {"rows": 0, "first": None, "last": None,
+                "sorted_within": True}
+    cids = np.asarray(block.column("conv_id").to_pylist(), dtype=object)
+    turns = block.column("turn_idx").to_numpy(zero_copy_only=False)
+    if n > 1:
+        a, b = cids[:-1], cids[1:]
+        ok = bool(np.all((a < b) | ((a == b) & (turns[:-1] <= turns[1:]))))
+    else:
+        ok = True
+    return {
+        "rows": n,
+        "first": (str(cids[0]), int(turns[0])),
+        "last": (str(cids[-1]), int(turns[-1])),
+        "sorted_within": ok,
+    }
+
+
 def _merge_segment_group(group: pa.Table, index_dir: str,
                          docs_per_shard: int) -> pa.Table:
     return MergingSegmentWriter(index_dir, docs_per_shard)(group)
+
+
+# --------------------------------------------------------------------------
+# deletes / overwrite (IndexWriter.deleteDocuments / updateDocument,
+# IndexWriter.java:1503; SignatureUpdateProcessor overwrite-on-signature)
+# --------------------------------------------------------------------------
+
+DELETES_NAME = "_DELETES.json"
+
+
+def read_deletes(index_dir: str) -> set[int]:
+    """Tombstoned doc_ids (live-docs complement). Empty set if none."""
+    f = Path(index_dir) / DELETES_NAME
+    if not f.exists():
+        return set()
+    return set(json.loads(f.read_text())["doc_ids"])
+
+
+def delete_documents(index_dir: str, doc_ids=None, keys=None) -> dict:
+    """Tombstone documents by doc_id or by (conv_id, turn_idx) key.
+
+    Lucene semantics: deleted docs become unreachable from every query
+    (liveDocs mask in the searchers) immediately, while index-level
+    statistics (docFreq, docCount, sumTotalTermFreq) keep counting them
+    until a merge rewrites the segments — exactly the reference's
+    maxDoc/numDocs distinction (IndexWriter.deleteDocuments; stats decay
+    at merge, not at delete). The manifest version is bumped (NRT reopen
+    picks the tombstones up).
+    """
+    index_path = Path(index_dir)
+    manifest = read_manifest(index_dir)
+    dels = read_deletes(index_dir)
+    resolved = {int(d) for d in (doc_ids or [])}
+    if keys:
+        import pyarrow.dataset as pads
+
+        want = {(str(c), int(t)) for c, t in keys}
+        t = pads.dataset(str(index_path / "norms"), format="parquet",
+                         partitioning="hive").to_table(
+            columns=["doc_id", "conv_id", "turn_idx"],
+            filter=pads.field("conv_id").isin([c for c, _ in want]))
+        for r in t.to_pylist():
+            if (str(r["conv_id"]), int(r["turn_idx"])) in want:
+                resolved.add(int(r["doc_id"]))
+    newly = resolved - dels
+    all_dels = sorted(dels | resolved)
+    tmp = index_path / (DELETES_NAME + ".tmp")
+    tmp.write_text(json.dumps({"doc_ids": all_dels}))
+    os.replace(tmp, index_path / DELETES_NAME)
+
+    new_manifest = {**manifest,
+                    "version": manifest["version"] + 1,
+                    "created_unix": time.time(),
+                    "deleted_count": len(all_dels)}
+    mtmp = index_path / (MANIFEST_NAME + ".tmp")
+    mtmp.write_text(json.dumps(new_manifest, indent=1))
+    os.replace(mtmp, index_path / MANIFEST_NAME)
+    return {"deleted_now": sorted(newly), "total_deleted": len(all_dels)}
+
+
+@ray.remote
+def _block_keys(block: pa.Table) -> list:
+    return list(zip(block.column("conv_id").to_pylist(),
+                    (int(x) for x in block.column("turn_idx").to_pylist())))

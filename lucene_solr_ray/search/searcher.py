@@ -129,6 +129,20 @@ class ShardSearcher:
             self._bmaxf = []
             self._bminnt = []
 
+        # live-docs mask (tombstones from delete/overwrite-by-id;
+        # IndexWriter.deleteDocuments analog — deleted docs are masked out
+        # of every query, stats keep counting them until a merge)
+        self._deleted: np.ndarray | None = None
+        deletes_file = index_path / "_DELETES.json"
+        if deletes_file.exists():
+            dels = np.asarray(json.loads(deletes_file.read_text())["doc_ids"],
+                              dtype=np.int64)
+            local = dels[(dels >= self.base)
+                         & (dels < self.base + self.docs_per_shard)]
+            if len(local):
+                self._deleted = np.zeros(self.docs_per_shard, dtype=bool)
+                self._deleted[local - self.base] = True
+
         self._decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         norms_part = index_path / "norms" / f"doc_shard={shard_id}"
         self.norms = np.zeros(self.docs_per_shard, dtype=np.uint8)
@@ -175,6 +189,13 @@ class ShardSearcher:
             self._decode_cache[term] = cached
         return cached[0], cached[1], i
 
+    def _live(self, docs: np.ndarray, scores: np.ndarray):
+        """Drop tombstoned docs (liveDocs mask)."""
+        if self._deleted is None or len(docs) == 0:
+            return docs, scores
+        keep = ~self._deleted[docs - self.base]
+        return docs[keep], scores[keep]
+
     # --- phase 2: scoring with global stats ---
     def _score_term(self, q: TermQuery, df_map: dict[str, int]):
         p = self._postings(q.term)
@@ -184,7 +205,7 @@ class ShardSearcher:
         w = bm25.weight_value(
             bm25.idf(df_map.get(q.term, 0), self.doc_count), q.boost)
         scores = bm25.score_freqs(freqs, self.norms[docs - self.base], self.cache, w)
-        return docs, scores
+        return self._live(docs, scores)
 
     def _score_phrase(self, q: PhraseQuery, df_map: dict[str, int]):
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
@@ -245,7 +266,7 @@ class ShardSearcher:
                 sum_idf + bm25.idf(df_map.get(t, 0), self.doc_count))
         w = bm25.weight_value(sum_idf, q.boost)
         scores = bm25.score_freqs(pf, self.norms[docs - self.base], self.cache, w)
-        return docs, scores
+        return self._live(docs, scores)
 
     def _phrase_weight(self, q: PhraseQuery, df_map: dict[str, int]):
         sum_idf = np.float32(0.0)
@@ -283,7 +304,7 @@ class ShardSearcher:
         w = self._phrase_weight(q, df_map)
         scores = bm25.score_freqs(pf[keep], self.norms[docs - self.base],
                                   self.cache, w)
-        return docs, scores
+        return self._live(docs, scores)
 
     def _score_multi_term(self, q: MultiTermQuery):
         """CONSTANT_SCORE_REWRITE over the shard's term dictionary: union
@@ -295,7 +316,8 @@ class ShardSearcher:
         doc_sets = [self._postings(t)[0] for t in terms]
         docs = doc_sets[0] if len(doc_sets) == 1 else \
             np.unique(np.concatenate(doc_sets))
-        return docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32)
+        return self._live(
+            docs, np.full(len(docs), np.float32(q.boost), dtype=np.float32))
 
     def _score_clause(self, q: Query, df_map: dict[str, int]):
         if isinstance(q, TermQuery):
