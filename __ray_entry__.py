@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # facets / aggregates (SURVEY.md §2.6)
         "facet_lang": relational.facet_lang,
         "facet_source_lang": relational.facet_source_lang,
+        "nested_facet_source_lang": relational.nested_facet_source_lang,
         "stats_events": relational.stats_events,
         "rollup_lineitem": relational.rollup_lineitem,
         "distinct_users_events": relational.distinct_users_events,
@@ -112,6 +113,15 @@ def oracle_sql() -> dict[str, str]:
         "facet_source_lang":
             "SELECT source, lang, count(*) AS cnt FROM documents "
             "GROUP BY source, lang",
+        "nested_facet_source_lang":
+            "WITH s AS (SELECT source, count(*) AS s_cnt FROM documents "
+            "GROUP BY source ORDER BY s_cnt DESC, source LIMIT 2), "
+            "sl AS (SELECT source, lang, count(*) AS cnt FROM documents "
+            "GROUP BY source, lang), "
+            "r AS (SELECT sl.source, sl.lang, sl.cnt, row_number() OVER ("
+            "PARTITION BY sl.source ORDER BY sl.cnt DESC, sl.lang) AS rn "
+            "FROM sl JOIN s USING (source)) "
+            "SELECT source, lang, cnt FROM r WHERE rn <= 2",
         "stats_events":
             "SELECT event_type, count(*) AS cnt, min(value) AS min_value, "
             "max(value) AS max_value, round(sum(value), 2) AS sum_value "

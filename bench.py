@@ -56,19 +56,21 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     ray.get([_warm.remote() for _ in range(num_cpus * 2)])
     warm_src = transcripts_path("small")
     shutil.rmtree("/tmp/lsr_bench/warmup", ignore_errors=True)
-    build_index(warm_src, "/tmp/lsr_bench/warmup",
-                num_shards=max(8, num_cpus))
+    build_index(warm_src, "/tmp/lsr_bench/warmup", num_shards=8)
 
     # best-of-N: the sandbox VM's throughput is noisy (+/-30% observed);
-    # min over trials is the standard noise-robust estimator
+    # min over trials is the standard noise-robust estimator.
+    # The job is IDENTICAL at every parallelism level (fixed shard count
+    # and fixed task plan via explicit concurrency) so scaling numbers
+    # compare the same work, not differently-shaped builds.
     trials = int(os.environ.get("LSR_BENCH_TRIALS", "2"))
     index_dir = f"/tmp/lsr_bench/index_{num_cpus}"
     t_build = float("inf")
     for _ in range(trials):
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.time()
-        build_index(src, index_dir, num_shards=max(8, num_cpus),
-                    batch_size=2048)
+        build_index(src, index_dir, num_shards=32,
+                    batch_size=2048, concurrency=31)
         t_build = min(t_build, time.time() - t0)
     timings["index_build"] = round(t_build, 3)
     timings["index_turns_per_sec"] = round(n_turns / t_build, 1)

@@ -170,33 +170,114 @@ class TokenizeStage:
 
 
 def tokenize_table(batch: pa.Table, analyzer) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        analyze = analyzer.analyze
+        """text column -> per-doc postings rows.
 
-        doc_lens = np.empty(len(texts), dtype=np.int32)
-        term_counts = np.empty(len(texts), dtype=np.int64)
-        all_terms: list[str] = []
-        all_freqs: list[int] = []
-        all_pos: list[int] = []
+        Hot-path structure: ONE C-speed regex findall per ASCII doc (the
+        StandardAnalyzer fast path), then every remaining step — stopword
+        filter, position assignment, per-(doc, term) grouping, freq
+        counting — is a vectorized pandas/numpy pass over the batch's
+        flat token stream (the per-doc dict/list loop was ~60%% of
+        tokenize CPU). Non-ASCII docs and non-standard chains go through
+        ``analyzer.analyze`` per doc and merge into the same stream.
+        """
+        import pandas as pd
+
+        from ..analysis.analyzer import StandardAnalyzer
+
+        texts = batch.column("text").to_pylist()
+        n_docs = len(texts)
+
+        fast_capable = isinstance(analyzer, StandardAnalyzer)
+        if fast_capable:
+            from ..analysis.tokenizer import _ascii_scanner
+
+            word_re, _ = _ascii_scanner()
+            findall = word_re.findall
+            mtl = analyzer.tokenizer.max_token_length
+
+        # front-end: raw (unfiltered) token lists for fast docs, analyzed
+        # (already-filtered) term/pos lists for slow docs
+        raw_lists: list = []
+        slow_terms: list[str] = []
+        slow_pos: list[int] = []
+        slow_doc: list[int] = []
+        raw_counts = np.zeros(n_docs, dtype=np.int64)
         for i, text in enumerate(texts):
-            terms, positions = analyze(text or "")
-            doc_lens[i] = len(terms)
-            per_term: dict[str, list[int]] = {}
-            for t, p in zip(terms, positions):
-                per_term.setdefault(t, []).append(p)
-            term_counts[i] = len(per_term)
-            for t, plist in per_term.items():
-                all_terms.append(t)
-                all_freqs.append(len(plist))
-                all_pos.extend(plist)
+            t = text or ""
+            if fast_capable and t.isascii():
+                toks = findall(t.lower())
+                if len(t) > mtl and any(len(x) > mtl for x in toks):
+                    chunked: list[str] = []
+                    for x in toks:
+                        if len(x) <= mtl:
+                            chunked.append(x)
+                        else:
+                            chunked.extend(x[j:j + mtl]
+                                           for j in range(0, len(x), mtl))
+                    toks = chunked
+                raw_lists.append(toks)
+                raw_counts[i] = len(toks)
+            else:
+                terms_i, pos_i = analyzer.analyze(t)
+                slow_terms.extend(terms_i)
+                slow_pos.extend(pos_i)
+                slow_doc.extend([i] * len(terms_i))
+                raw_lists.append(None)
+
+        # flat fast stream + vectorized stopword filter
+        import itertools
+
+        fast_flat = list(itertools.chain.from_iterable(
+            r for r in raw_lists if r is not None))
+        fast_doc = np.repeat(np.arange(n_docs, dtype=np.int64), raw_counts)
+        starts = np.concatenate(([0], np.cumsum(raw_counts)))
+        fast_pos = np.arange(len(fast_flat), dtype=np.int64) - \
+            starts[fast_doc]
+        if fast_flat and (analyzer_stop := getattr(analyzer, "stopwords",
+                                                   None)):
+            keep = ~pd.Series(fast_flat, dtype=object).isin(
+                analyzer_stop).to_numpy()
+            tok_fast = np.asarray(fast_flat, dtype=object)[keep]
+            fast_doc, fast_pos = fast_doc[keep], fast_pos[keep]
+        else:
+            tok_fast = np.asarray(fast_flat, dtype=object)
+
+        if slow_terms:
+            tok_all = np.concatenate(
+                [tok_fast, np.asarray(slow_terms, dtype=object)])
+            doc_all = np.concatenate(
+                [fast_doc, np.asarray(slow_doc, dtype=np.int64)])
+            pos_all = np.concatenate(
+                [fast_pos, np.asarray(slow_pos, dtype=np.int64)])
+        else:
+            tok_all, doc_all, pos_all = tok_fast, fast_doc, fast_pos
+
+        doc_lens = np.bincount(doc_all, minlength=n_docs).astype(np.int32)
+
+        # vectorized per-(doc, term) grouping: factorize + one stable
+        # lexsort; postings stay doc-major with ascending positions
+        if len(tok_all):
+            codes, uniques = pd.factorize(tok_all)
+            order = np.lexsort((pos_all, codes, doc_all))
+            d_s = doc_all[order]
+            c_s = codes[order]
+            all_pos = pos_all[order]
+            new_post = np.empty(len(d_s), dtype=bool)
+            new_post[0] = True
+            new_post[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+            post_starts = np.nonzero(new_post)[0]
+            freqs_arr = np.diff(np.concatenate((post_starts, [len(d_s)])))
+            term_counts = np.bincount(d_s[post_starts],
+                                      minlength=n_docs).astype(np.int64)
+            all_terms = np.asarray(uniques, dtype=object)[c_s[post_starts]]
+        else:
+            freqs_arr = np.empty(0, dtype=np.int64)
+            term_counts = np.zeros(n_docs, dtype=np.int64)
+            all_terms = np.empty(0, dtype=object)
+            all_pos = np.empty(0, dtype=np.int64)
 
         term_offs = np.concatenate(([0], np.cumsum(term_counts))).astype(np.int64)
-        freqs_arr = np.asarray(all_freqs, dtype=np.int64)
-        pos_counts = np.zeros(len(texts), dtype=np.int64)
-        # positions per doc = sum of its freqs
-        if len(freqs_arr):
-            pos_counts = np.diff(np.concatenate(([0], np.cumsum(freqs_arr)))[term_offs])
-        pos_offs = np.concatenate(([0], np.cumsum(pos_counts))).astype(np.int64)
+        pos_offs = np.concatenate(([0], np.cumsum(doc_lens))).astype(np.int64)
 
         cols = {
             "doc_id": batch.column("doc_id"),

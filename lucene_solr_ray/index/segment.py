@@ -177,24 +177,48 @@ def encode_shard_postings(
     from ..util.smallfloat import NORM_TABLE
 
     nt_vals = NORM_TABLE[norm_bytes.astype(np.int64)]
-    skip_last_docs: list[bytes] = []
-    skip_doc_offs: list[bytes] = []
-    skip_freq_offs: list[bytes] = []
-    block_max_freq: list[bytes] = []
-    block_min_nt: list[bytes] = []
-    for i in range(len(uniq_terms)):
-        a, b = term_offsets[i], term_offsets[i + 1]
-        block_bounds = np.arange(a, b, BLOCK_SIZE)
-        last_idx = np.minimum(block_bounds + BLOCK_SIZE, b) - 1
-        skip_last_docs.append(varint.encode_deltas(doc_ids[last_idx]))
-        offs = doc_byte_offs[block_bounds] - doc_byte_offs[a]
-        skip_doc_offs.append(varint.encode_deltas(offs))
-        foffs = freq_byte_offs[block_bounds] - freq_byte_offs[a]
-        skip_freq_offs.append(varint.encode_deltas(foffs))
-        bmaxf = np.maximum.reduceat(freqs[a:b], block_bounds - a)
-        block_max_freq.append(varint.encode(bmaxf.astype(np.uint64)))
-        bminnt = np.minimum.reduceat(nt_vals[a:b], block_bounds - a)
-        block_min_nt.append(bminnt.astype(np.float32).tobytes())
+    # vectorized across ALL terms at once (a per-term loop of tiny numpy
+    # varint encodes costs ~40us x |terms| and dominated shard-encode
+    # time): one global block-start index, one reduceat per metric, one
+    # varint pass per stream, then per-term byte slices. Output bytes are
+    # identical to the per-term encodes (LEB128 is per-value; the delta
+    # streams reset at each term's first block).
+    nterms = len(uniq_terms)
+    nb = -(-df // BLOCK_SIZE)  # blocks per term
+    nb_offsets = np.concatenate(([0], np.cumsum(nb)))
+    tot_blocks = int(nb_offsets[-1])
+    term_of_block = np.repeat(np.arange(nterms), nb)
+    block_j = np.arange(tot_blocks) - nb_offsets[:-1][term_of_block]
+    gstart = term_starts[term_of_block] + BLOCK_SIZE * block_j
+    gend_last = np.minimum(
+        gstart + BLOCK_SIZE,
+        np.asarray(term_offsets)[term_of_block + 1]) - 1
+    group_starts = np.zeros(tot_blocks, dtype=bool)
+    group_starts[nb_offsets[:-1]] = True
+
+    def _delta_stream(vals: np.ndarray) -> list[bytes]:
+        deltas = _delta_with_resets(vals, group_starts, 0)
+        lens = _varint_lengths(deltas)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        return _slice_encoded(varint.encode(deltas.astype(np.uint64)),
+                              offs, nb_offsets)
+
+    skip_last_docs = _delta_stream(doc_ids[gend_last])
+    skip_doc_offs = _delta_stream(
+        doc_byte_offs[gstart] - doc_byte_offs[term_starts[term_of_block]])
+    skip_freq_offs = _delta_stream(
+        freq_byte_offs[gstart] - freq_byte_offs[term_starts[term_of_block]])
+
+    bmaxf = np.maximum.reduceat(freqs, gstart)
+    bm_lens = _varint_lengths(bmaxf)
+    bm_offs = np.concatenate(([0], np.cumsum(bm_lens)))
+    block_max_freq = _slice_encoded(varint.encode(bmaxf.astype(np.uint64)),
+                                    bm_offs, nb_offsets)
+
+    bminnt_raw = np.minimum.reduceat(nt_vals, gstart).astype(
+        np.float32).tobytes()
+    block_min_nt = [bminnt_raw[4 * a:4 * b]
+                    for a, b in zip(nb_offsets[:-1], nb_offsets[1:])]
 
     return pa.table({
         "term": pa.array(uniq_terms.astype(object), type=pa.string()),

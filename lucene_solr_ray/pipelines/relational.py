@@ -29,9 +29,55 @@ def facet_lang(sf_dir: str):
 
 
 def facet_source_lang(sf_dir: str):
-    """Nested bucket facet: documents by (source, lang)."""
+    """Flat two-key facet: documents by (source, lang)."""
     return (read(sf_dir, "documents", ["source", "lang"])
             .groupby(["source", "lang"]).aggregate(Count(alias_name="cnt")))
+
+
+def json_facet(ds, fields: list[str], limits: list[int]):
+    """Nested JSON facet buckets (``solr/core/.../search/facet/
+    FacetField.java`` semantics): per level, buckets sorted by count desc
+    (tie -> value asc) with a per-parent-bucket limit.
+
+    ONE distributed groupby over the full key tuple computes every leaf
+    count (never a per-bucket query fan-out); the bucket tree and the
+    per-parent limits are assembled from that (small, cardinality-bounded)
+    counts table. Returns the nested bucket dict.
+    """
+    counts = (ds.groupby(fields).aggregate(Count(alias_name="cnt"))
+              .to_pandas())
+
+    def build(df: pd.DataFrame, level: int) -> list[dict]:
+        fld = fields[level]
+        totals = (df.groupby(fld, sort=False)["cnt"].sum()
+                  .reset_index()
+                  .sort_values(["cnt", fld], ascending=[False, True])
+                  .head(limits[level]))
+        out = []
+        for _, row in totals.iterrows():
+            bucket = {"val": row[fld], "count": int(row["cnt"])}
+            if level + 1 < len(fields):
+                sub = df[df[fld] == row[fld]]
+                bucket["buckets"] = build(sub, level + 1)
+            out.append(bucket)
+        return out
+
+    return {"buckets": build(counts, 0)}
+
+
+def nested_facet_source_lang(sf_dir: str, top_sources: int = 2,
+                             top_langs: int = 2):
+    """Nested facet as a flat SQL-checkable table: the top-N sources by
+    count, each with its top-M langs (count desc, value asc ties)."""
+    ds = read(sf_dir, "documents", ["source", "lang"])
+    tree = json_facet(ds, ["source", "lang"], [top_sources, top_langs])
+    rows = [(b["val"], sb["val"], sb["count"])
+            for b in tree["buckets"] for sb in b.get("buckets", [])]
+    return pa.table({
+        "source": pa.array([r[0] for r in rows]),
+        "lang": pa.array([r[1] for r in rows]),
+        "cnt": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
 
 
 # --- stats component (StatsComponent.java / StatsValuesFactory.java) ---

@@ -619,6 +619,35 @@ class IndexSearcher:
         out = [(str(uniq[i]), int(counts[i])) for i in order]
         return out[:limit] if limit else out
 
+    def spellcheck(self, term: str, k: int = 5,
+                   max_edits: int = 2) -> list[tuple[str, int]]:
+        """Did-you-mean suggestions (SpellCheckComponent /
+        DirectSpellChecker analog, ``solr/core/.../handler/component/
+        SpellCheckComponent.java``, ``lucene/suggest/.../DirectSpellChecker``):
+        index terms within Damerau-OSA edit distance <= max_edits of the
+        input, ranked by (distance asc, global docFreq desc, term asc).
+        The input term itself is excluded."""
+        from .query import FuzzyQuery, expand_multi_term, levenshtein_within
+
+        agg: dict[str, int] = {}
+        for sh in self.shards:
+            for t in expand_multi_term(
+                    FuzzyQuery(term=term, max_edits=max_edits),
+                    list(sh._terms)):
+                if t == term:
+                    continue
+                agg[t] = agg.get(t, 0) + int(sh._df[sh._terms[t]])
+
+        def dist(t: str) -> int:
+            for d in range(1, max_edits + 1):
+                if levenshtein_within(term, t, d):
+                    return d
+            return max_edits
+
+        ranked = sorted(agg.items(), key=lambda kv: (dist(kv[0]), -kv[1],
+                                                     kv[0]))
+        return ranked[:k]
+
     def suggest(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
         """Prefix suggestions ranked by global docFreq (TermsComponent /
         suggester analog over the term dictionary)."""

@@ -1,0 +1,71 @@
+"""Spellcheck (did-you-mean) and nested JSON facet buckets."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.data.transcripts import transcripts_path
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def searcher(ray_session, tmp_path_factory):
+    src = transcripts_path("tiny")
+    out = tmp_path_factory.mktemp("spell") / "idx"
+    build_index(src, str(out), num_shards=3)
+    return IndexSearcher(str(out))
+
+
+def test_spellcheck_finds_close_terms(searcher):
+    # "dta" is 1 edit from "data" (a frequent term in the corpus)
+    out = searcher.spellcheck("dta", k=5)
+    assert out and out[0][0] == "data"
+    # distances rank before frequency: an exact-1-edit term beats a
+    # more frequent 2-edit term
+    from lucene_solr_ray.search.query import levenshtein_within
+
+    dists = [1 if levenshtein_within("dta", t, 1) else 2 for t, _ in out]
+    assert dists == sorted(dists)
+
+
+def test_spellcheck_excludes_exact_and_ranks_by_df(searcher):
+    out = searcher.spellcheck("data", k=10)
+    assert all(t != "data" for t, _ in out)
+    # df values aggregated across shards are positive
+    assert all(df > 0 for _, df in out)
+
+
+def test_spellcheck_no_matches(searcher):
+    assert searcher.spellcheck("qqqqqqqqqq", k=5) == []
+
+
+def test_nested_facet_matches_pandas(ray_session):
+    from lucene_solr_ray.pipelines.relational import (
+        json_facet,
+        nested_facet_source_lang,
+    )
+    from lucene_solr_ray.pipelines.util import read
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["source", "lang"]).to_pandas()
+    tree = json_facet(read(sf, "documents", ["source", "lang"]),
+                      ["source", "lang"], [2, 2])
+    top_sources = (docs.groupby("source").size()
+                   .reset_index(name="n")
+                   .sort_values(["n", "source"], ascending=[False, True])
+                   .head(2))
+    got_sources = [(b["val"], b["count"]) for b in tree["buckets"]]
+    want_sources = list(zip(top_sources["source"], top_sources["n"]))
+    assert got_sources == want_sources
+    for b in tree["buckets"]:
+        sub = docs[docs["source"] == b["val"]]
+        want = (sub.groupby("lang").size().reset_index(name="n")
+                .sort_values(["n", "lang"], ascending=[False, True]).head(2))
+        got = [(s["val"], s["count"]) for s in b["buckets"]]
+        assert got == list(zip(want["lang"], want["n"])), b["val"]
+    # flat driver-surface variant has one row per (top source, top lang)
+    flat = nested_facet_source_lang(sf).to_pandas()
+    assert len(flat) == sum(len(b["buckets"]) for b in tree["buckets"])
