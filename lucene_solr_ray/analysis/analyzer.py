@@ -65,35 +65,44 @@ class StandardAnalyzer:
     """
 
     def __init__(self, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
-                 stopwords: frozenset[str] | None = ENGLISH_STOP_WORDS):
-        self.tokenizer = StandardTokenizer(max_token_length)
+                 stopwords: frozenset[str] | None = ENGLISH_STOP_WORDS,
+                 tokenizer_cls: type = StandardTokenizer):
+        self.tokenizer = tokenizer_cls(max_token_length)
         self.stopwords = stopwords if stopwords is not None else frozenset()
 
     def analyze(self, text: str) -> tuple[list[str], list[int]]:
         # ASCII fast path: lowercase the whole string once (equivalent to
         # per-token Character.toLowerCase for ASCII) and scan with the
-        # compiled re pattern directly — the indexing hot loop
-        if text.isascii():
-            from .tokenizer import _ascii_scanner
+        # compiled re pattern directly — the indexing hot loop. Subclassed
+        # tokenizers (URL/email variant) must use the tokenizer path.
+        if text.isascii() and type(self.tokenizer) is StandardTokenizer:
+            from .tokenizer import DEFAULT_MAX_TOKEN_LENGTH, _ascii_scanner
 
             word_re, _ = _ascii_scanner()
             raw_tokens = word_re.findall(text.lower())
             mtl = self.tokenizer.max_token_length
             # a token can only exceed mtl if the whole text does
             if len(text) > mtl and any(len(t) > mtl for t in raw_tokens):
-                chunked: list[str] = []
-                for t in raw_tokens:
-                    if len(t) <= mtl:
-                        chunked.append(t)
-                    else:
-                        chunked.extend(t[i:i + mtl]
-                                       for i in range(0, len(t), mtl))
-                raw_tokens = chunked
+                if mtl < DEFAULT_MAX_TOKEN_LENGTH:
+                    # non-default limit: the reference SKIPS over-long
+                    # tokens, leaving a position hole (skippedPositions,
+                    # StandardTokenizer.java:165-166)
+                    raw_tokens = [t if len(t) <= mtl else None
+                                  for t in raw_tokens]
+                else:  # default 255 == jflex buffer: chunking IS the
+                    chunked: list = []  # reference behavior
+                    for t in raw_tokens:
+                        if len(t) <= mtl:
+                            chunked.append(t)
+                        else:
+                            chunked.extend(t[i:i + mtl]
+                                           for i in range(0, len(t), mtl))
+                    raw_tokens = chunked
             stop = self.stopwords
             terms = []
             positions = []
             for pos, term in enumerate(raw_tokens):
-                if term not in stop:
+                if term is not None and term not in stop:
                     terms.append(term)
                     positions.append(pos)
             return terms, positions
@@ -102,8 +111,10 @@ class StandardAnalyzer:
         positions = []
         pos = -1
         stop = self.stopwords
-        for raw in self.tokenizer.tokenize(text):
+        for raw, _, _, _ in self.tokenizer._chunks(text, False):
             pos += 1
+            if raw is None:  # skipped over-long token: position hole
+                continue
             term = java_lowercase(raw)
             if term in stop:
                 continue
@@ -149,6 +160,10 @@ def get_analyzer(name: str = "standard"):
         return StandardAnalyzer(stopwords=None)
     if name == "simple":
         return SimpleAnalyzer()
+    if name == "uax29_url_email":
+        from .tokenizer import UAX29URLEmailTokenizer
+
+        return StandardAnalyzer(tokenizer_cls=UAX29URLEmailTokenizer)
     from .filters import CUSTOM_CHAINS
 
     if name in CUSTOM_CHAINS:

@@ -169,8 +169,16 @@ class StandardTokenizer:
         self.max_token_length = max_token_length
 
     def _chunks(self, text: str, spans: bool):
-        """Yield (text, start, end, type) applying the maxTokenLength split."""
+        """Yield (text, start, end, type) applying the maxTokenLength
+        policy. At the DEFAULT limit (255 == the jflex scanner buffer,
+        LUCENE-5897) over-long runs are chunked — the buffer makes that
+        the reference's actual behavior. For a NON-default limit the
+        reference SKIPS the over-long token and accumulates a position
+        hole (StandardTokenizer.java:165-166 skippedPositions); a skipped
+        token is yielded as ``(None, s, e, typ)`` so callers can keep the
+        hole."""
         mtl = self.max_token_length
+        skip_long = mtl < DEFAULT_MAX_TOKEN_LENGTH
         if text.isascii():
             word_re, num_re = _ascii_scanner()
             for m in word_re.finditer(text):
@@ -179,6 +187,8 @@ class StandardTokenizer:
                 typ = NUM if num_re.fullmatch(tok) else ALPHANUM
                 if e - s <= mtl:
                     yield tok, s, e, typ
+                elif skip_long:
+                    yield None, s, e, typ
                 else:
                     for off in range(s, e, mtl):
                         yield text[off:min(off + mtl, e)], off, min(off + mtl, e), typ
@@ -204,12 +214,63 @@ class StandardTokenizer:
                 typ = HIRAGANA
             if e - s <= mtl:
                 yield tok, s, e, typ
+            elif skip_long:
+                yield None, s, e, typ
             else:
                 for off in range(s, e, mtl):
                     yield text[off:min(off + mtl, e)], off, min(off + mtl, e), typ
 
     def tokenize(self, text: str) -> list[str]:
-        return [t for t, _, _, _ in self._chunks(text, False)]
+        return [t for t, _, _, _ in self._chunks(text, False)
+                if t is not None]
 
     def tokenize_full(self, text: str) -> list[Token]:
-        return [Token(t, s, e, ty) for t, s, e, ty in self._chunks(text, True)]
+        return [Token(t, s, e, ty) for t, s, e, ty in self._chunks(text, True)
+                if t is not None]
+
+
+# --- URL/email-aware variant ------------------------------------------
+
+URL = "<URL>"
+EMAIL = "<EMAIL>"
+
+#: practical approximations of the jflex grammar's RFC coverage
+#: (UAX29URLEmailTokenizer.jflex): scheme:// and www. URLs, RFC-5321-ish
+#: local@domain emails. Trailing sentence punctuation is excluded.
+_EMAIL_RE = (r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
+             r"[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?"
+             r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?)+")
+_URL_RE = (r"(?:(?:https?|ftp)://|www\.)"
+           r"[^\s<>\"'`]+[^\s<>\"'`.,;:!?)\]}]")
+_URL_EMAIL = re.compile(
+    f"(?P<EMAIL>{_EMAIL_RE})|(?P<URL>{_URL_RE})", re.IGNORECASE)
+
+
+class UAX29URLEmailTokenizer(StandardTokenizer):
+    """Email/URL-aware UAX#29 tokenizer
+    (``lucene/analysis/common/src/java/org/apache/lucene/analysis/standard/
+    UAX29URLEmailTokenizer.java``): e-mail addresses and URLs come through
+    as single tokens typed <EMAIL>/<URL>; the text between them tokenizes
+    exactly like StandardTokenizer. The jflex grammar's full RFC coverage
+    is approximated (scheme:// and www. URLs; common emails) — documented
+    divergence for exotic address forms."""
+
+    def _chunks(self, text: str, spans: bool):
+        pos = 0
+        for m in _URL_EMAIL.finditer(text):
+            s, e = m.span()
+            for tok, ts, te, ty in super()._chunks(text[pos:s], spans):
+                yield tok, ts + pos, te + pos, ty
+            tok = m.group()
+            if len(tok) <= self.max_token_length:
+                yield tok, s, e, EMAIL if m.lastgroup == "EMAIL" else URL
+            elif self.max_token_length < DEFAULT_MAX_TOKEN_LENGTH:
+                yield None, s, e, EMAIL if m.lastgroup == "EMAIL" else URL
+            else:
+                for off in range(s, e, self.max_token_length):
+                    stop_at = min(off + self.max_token_length, e)
+                    yield (text[off:stop_at], off, stop_at,
+                           EMAIL if m.lastgroup == "EMAIL" else URL)
+            pos = e
+        for tok, ts, te, ty in super()._chunks(text[pos:], spans):
+            yield tok, ts + pos, te + pos, ty

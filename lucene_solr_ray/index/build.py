@@ -187,13 +187,20 @@ def tokenize_table(batch: pa.Table, analyzer) -> pa.Table:
         texts = batch.column("text").to_pylist()
         n_docs = len(texts)
 
-        fast_capable = isinstance(analyzer, StandardAnalyzer)
+        from ..analysis.tokenizer import StandardTokenizer as _StdTok
+
+        fast_capable = (isinstance(analyzer, StandardAnalyzer)
+                        and type(analyzer.tokenizer) is _StdTok)
         if fast_capable:
-            from ..analysis.tokenizer import _ascii_scanner
+            from ..analysis.tokenizer import (
+                DEFAULT_MAX_TOKEN_LENGTH,
+                _ascii_scanner,
+            )
 
             word_re, _ = _ascii_scanner()
             findall = word_re.findall
             mtl = analyzer.tokenizer.max_token_length
+            mtl_default = mtl >= DEFAULT_MAX_TOKEN_LENGTH
 
         # front-end: raw (unfiltered) token lists for fast docs, analyzed
         # (already-filtered) term/pos lists for slow docs
@@ -207,6 +214,15 @@ def tokenize_table(batch: pa.Table, analyzer) -> pa.Table:
             if fast_capable and t.isascii():
                 toks = findall(t.lower())
                 if len(t) > mtl and any(len(x) > mtl for x in toks):
+                    if not mtl_default:
+                        # non-default limit: over-long tokens are SKIPPED
+                        # with position holes — analyze() owns that path
+                        terms_i, pos_i = analyzer.analyze(t)
+                        slow_terms.extend(terms_i)
+                        slow_pos.extend(pos_i)
+                        slow_doc.extend([i] * len(terms_i))
+                        raw_lists.append(None)
+                        continue
                     chunked: list[str] = []
                     for x in toks:
                         if len(x) <= mtl:

@@ -101,12 +101,26 @@ def test_emoji_and_punct_dropped():
 
 
 def test_max_token_length_chunks():
-    # scanner buffer == maxTokenLength, growth disabled (LUCENE-5897):
+    # DEFAULT limit == jflex scanner buffer, growth disabled (LUCENE-5897):
     # over-long runs are split into <=255-char chunks, not dropped
     long = "x" * 300
     assert toks(f"alpha {long} beta") == ["alpha", "x" * 255, "x" * 45, "beta"]
+
+
+def test_non_default_max_token_length_skips_with_hole():
+    # NON-default limit: the reference SKIPS tokens over maxTokenLength
+    # and accumulates skippedPositions (StandardTokenizer.java:165-166)
     t = StandardTokenizer(max_token_length=5)
-    assert t.tokenize("abcdefghij kl") == ["abcde", "fghij", "kl"]
+    assert t.tokenize("abcdefghij kl") == ["kl"]
+    from lucene_solr_ray.analysis.analyzer import StandardAnalyzer
+
+    an = StandardAnalyzer(max_token_length=5, stopwords=None)
+    terms, positions = an.analyze("abcdefghij kl mn")
+    assert terms == ["kl", "mn"]
+    assert positions == [1, 2]  # the skipped token held position 0
+    # non-ascii path: same hole accounting
+    terms2, positions2 = an.analyze("ábcdefghij kl")
+    assert terms2 == ["kl"] and positions2 == [1]
 
 
 def test_empty_and_whitespace():
@@ -204,3 +218,52 @@ def test_tokenizer_never_crashes_on_unicode(text):
     terms, positions = StandardAnalyzer().analyze(text)
     assert len(terms) == len(positions)
     assert positions == sorted(positions)
+
+
+# --- UAX29URLEmailTokenizer (email/URL-aware variant) ---
+
+def test_url_email_tokenizer_keeps_addresses_whole():
+    from lucene_solr_ray.analysis.tokenizer import (
+        EMAIL,
+        URL,
+        UAX29URLEmailTokenizer,
+    )
+
+    t = UAX29URLEmailTokenizer()
+    out = t.tokenize_full("mail bob.smith+tag@example.co.uk or "
+                          "https://ray.io/docs?x=1 now")
+    texts = [tok.text for tok in out]
+    assert "bob.smith+tag@example.co.uk" in texts
+    assert "https://ray.io/docs?x=1" in texts
+    types = {tok.text: tok.type for tok in out}
+    assert types["bob.smith+tag@example.co.uk"] == EMAIL
+    assert types["https://ray.io/docs?x=1"] == URL
+    assert texts[0] == "mail" and texts[-1] == "now"
+    # offsets are absolute in the original string
+    for tok in out:
+        assert ("mail bob.smith+tag@example.co.uk or "
+                "https://ray.io/docs?x=1 now")[tok.start:tok.end] == tok.text
+
+
+def test_url_email_tokenizer_www_and_gap_text():
+    from lucene_solr_ray.analysis.tokenizer import UAX29URLEmailTokenizer
+
+    t = UAX29URLEmailTokenizer()
+    assert t.tokenize("see www.example.com, thanks") == \
+        ["see", "www.example.com", "thanks"]
+    # trailing sentence punctuation stays out of the URL
+    assert t.tokenize("go to http://a.b/c.") == ["go", "to", "http://a.b/c"]
+
+
+def test_url_email_analyzer_chain():
+    from lucene_solr_ray.analysis import get_analyzer
+
+    an = get_analyzer("uax29_url_email")
+    terms, positions = an.analyze("The page HTTPS://Example.COM/A is live")
+    # lowercase filter applies to URL tokens; stopwords still dropped
+    assert "https://example.com/a" in terms
+    assert "the" not in terms
+    # plain text through the same analyzer matches the standard chain
+    std = get_analyzer("standard")
+    assert an.analyze("ray data builds indexes") == \
+        std.analyze("ray data builds indexes")
