@@ -81,6 +81,9 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
         pl = ray.get(planes_ref)
         m = _embed_matrix(batch)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # normalized vectors ride the shuffle as float32 blobs, not
+        # object-dtype arrays (half the bytes, no per-element boxing)
+        blobs = [v.tobytes() for v in m.astype(np.float32)]
         frames = []
         for t in range(pl.shape[0]):
             signs = (m @ pl[t]) > 0
@@ -90,7 +93,7 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
                 "table": t,
                 "bucket": codes,
                 "vec_id": batch["vec_id"].to_numpy(),
-                "vec": list(m),
+                "vec": blobs,
             }))
         return pd.concat(frames, ignore_index=True)
 
@@ -103,7 +106,8 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
         if len(g) < 2:
             return empty
         ids = g["vec_id"].to_numpy()
-        m = np.stack(g["vec"].to_numpy())
+        m = np.stack([np.frombuffer(b, dtype=np.float32)
+                      for b in g["vec"]]).astype(np.float64)
         sims = m @ m.T
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sims[ia, ib] >= threshold
@@ -114,12 +118,19 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
         return pd.DataFrame({"vec_a": lo, "vec_b": hi,
                              "cosine": sims[ia[keep], ib[keep]]})
 
-    from ray.data.aggregate import Max
+    from .util import bucketed_group_agg
 
     found = (buckets.groupby(["table", "bucket"])
              .map_groups(pairs, batch_format="pandas"))
-    out = (found.groupby(["vec_a", "vec_b"])
-           .aggregate(Max("cosine", alias_name="cosine")).to_pandas())
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["vec_a", "vec_b"], sort=False)["cosine"].max()
+                .reset_index())
+
+    # dedup candidates found in multiple tables: vectorized per hash
+    # bucket (a plain per-pair aggregate pays ~1ms/group Python overhead)
+    out = bucketed_group_agg(found, ["vec_a", "vec_b"], dedup_pairs,
+                             pre=dedup_pairs).to_pandas()
     if out.empty:  # keep a stable schema even with zero pairs
         out = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
                             "vec_b": pd.Series(dtype=np.int64),

@@ -169,42 +169,67 @@ def range_filter_events(sf_dir: str):
 # --- distinct (UniqueAgg exact cardinality, search/facet/UniqueAgg.java) ---
 
 def distinct_users_events(sf_dir: str):
-    """Exact count-distinct user_id per event_type: per-batch partial dedup,
-    one shuffle on the (type, user) pairs, then a count per type."""
+    """Exact count-distinct user_id per event_type: per-batch partial
+    dedup, ONE bucket shuffle on hash(type, user) with vectorized
+    per-bucket distinct counting, then a tiny per-type sum (the naive
+    groupby over all (type, user) pairs pays per-group Python overhead
+    on |distinct pairs| groups)."""
+    from ray.data.aggregate import Sum
+
+    from .util import bucketed_group_agg
+
     ds = read(sf_dir, "events", ["event_type", "user_id"])
-    # partial dedup inside batches to shrink the shuffle
-    dedup = ds.map_batches(
-        lambda t: t.group_by(["event_type", "user_id"]).aggregate([]),
-        batch_format="pyarrow")
-    pairs = dedup.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
-    return (pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["event_type", "user_id"])
+
+    def count_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["event_type", "user_id"])
+        return (g.groupby("event_type", sort=False).size()
+                .reset_index(name="n_users"))
+
+    partial = bucketed_group_agg(ds, ["event_type", "user_id"],
+                                 count_partial, pre=dedup_pairs)
+    return (partial.groupby("event_type")
+            .aggregate(Sum("n_users", alias_name="n_users"))
             .select_columns(["event_type", "n_users"]))
 
 
 # --- collapse (CollapsingQParserPlugin) / grouping (lucene/grouping) ---
 
 def collapse_orders(sf_dir: str):
-    """Best order per customer: max totalprice, tie -> min orderkey."""
+    """Best order per customer: max totalprice, tie -> min orderkey.
+    Vectorized per hash bucket (ONE sort + drop_duplicates per bucket;
+    per-customer map_groups pays per-group overhead on |customers|)."""
+    from .util import bucketed_group_agg
+
     ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
     def best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True])
-        return g.head(1)
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+        return g.drop_duplicates("o_custkey")
 
-    return ds.groupby("o_custkey").map_groups(best, batch_format="pandas")
+    return bucketed_group_agg(ds, ["o_custkey"], best, pre=best)
 
 
 def group_topk_orders(sf_dir: str):
-    """Top-2 orders per customer by (totalprice desc, orderkey asc)."""
+    """Top-2 orders per customer by (totalprice desc, orderkey asc) —
+    vectorized per hash bucket; the per-batch partial keeps each key's
+    local top-2 (a superset of the global top-2)."""
+    from .util import bucketed_group_agg
+
     ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
     def top2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True]).head(2)
-        return g[["o_custkey", "o_orderkey"]]
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+        return g.groupby("o_custkey", sort=False).head(2)
 
-    return ds.groupby("o_custkey").map_groups(top2, batch_format="pandas")
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return top2(g)[["o_custkey", "o_orderkey"]]
+
+    return bucketed_group_agg(ds, ["o_custkey"], finish, pre=top2)
 
 
 # --- set ops (MergeStream.java:40 sorted union) ---

@@ -106,6 +106,9 @@ def bucketed_group_agg(
         num_buckets = max(4, 2 * cpus)
 
     def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0 and not all(k in batch.columns for k in keys):
+            # upstream group ops can emit zero-column empty blocks
+            return pd.DataFrame({"__bucket": pd.Series(dtype=np.int64)})
         if pre is not None:
             batch = pre(batch)
         h = np.zeros(len(batch), dtype=np.uint64)
