@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk_orders": relational.group_topk_orders,
         # scalar expressions / range queries (§2.9)
         "select_expr_lineitem": relational.select_expr_lineitem,
+        "function_query_lineitem": relational.function_query_lineitem,
         "range_filter_events": relational.range_filter_events,
         # set ops / dedup (§2.8)
         "merge_union_events": relational.merge_union_events,
@@ -156,6 +157,11 @@ def oracle_sql() -> dict[str, str]:
             "round(l_extendedprice * (1 - l_discount), 4) AS revenue, "
             "l_quantity * 2 AS qty2 FROM lineitem "
             "WHERE l_shipdate < TIMESTAMP '1997-01-01'",
+        "function_query_lineitem":
+            "SELECT l_orderkey, l_linenumber, "
+            "round(l_extendedprice * (1 - l_discount) "
+            "+ 10 / (l_quantity + 10) + log10(l_extendedprice), 4) "
+            "AS fscore FROM lineitem",
         "range_filter_events":
             "SELECT event_type, count(*) AS cnt, "
             "round(sum(value), 2) AS sum_value FROM events "

@@ -144,6 +144,30 @@ def select_expr_lineitem(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def function_query_lineitem(sf_dir: str):
+    """Composable function query (ValueSource zoo): one registry-parsed
+    expression — sum/mul/sub/recip/log over lineitem columns — evaluated
+    vectorized per batch (``functions.valuesource``)."""
+    from ..functions import compile_expr
+
+    fn = compile_expr(
+        "sum(mul(l_extendedprice,sub(1,l_discount)),"
+        "recip(l_quantity,1,10,10),log(l_extendedprice))")
+    ds = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_quantity",
+               "l_extendedprice", "l_discount"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "fscore": fn(t),
+        })
+        return round_col(out, "fscore", 4)
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- range filter (PointRangeQuery / TrieField range) ---
 
 def range_filter_events(sf_dir: str):

@@ -1,0 +1,72 @@
+"""Function-query / ValueSource registry: parser, kernels, composition."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_solr_ray.functions import compile_expr, parse_func
+from lucene_solr_ray.functions.valuesource import Const, Field, Func
+
+T = pa.table({
+    "x": pa.array([1.0, 4.0, 9.0, 16.0]),
+    "y": pa.array([2, 0, -2, 10], type=pa.int64()),
+})
+
+
+def _vals(expr):
+    return compile_expr(expr)(T).to_numpy(zero_copy_only=False)
+
+
+def test_parse_shapes():
+    ast = parse_func("sum(mul(x,2),log(y))")
+    assert ast == Func("sum", (Func("mul", (Field("x"), Const(2.0))),
+                               Func("log", (Field("y"),))))
+    with pytest.raises(ValueError, match="unknown function"):
+        parse_func("nope(x)")
+    with pytest.raises(ValueError, match="takes"):
+        parse_func("div(x)")
+    with pytest.raises(ValueError, match="trailing"):
+        parse_func("x y")
+
+
+def test_arithmetic_kernels():
+    assert _vals("sum(x,y,1)").tolist() == [4.0, 5.0, 8.0, 27.0]
+    assert _vals("mul(x,y)").tolist() == [2.0, 0.0, -18.0, 160.0]
+    assert _vals("sub(x,y)").tolist() == [-1.0, 4.0, 11.0, 6.0]
+    assert _vals("div(x,2)").tolist() == [0.5, 2.0, 4.5, 8.0]
+    assert _vals("max(x,y)").tolist() == [2.0, 4.0, 9.0, 16.0]
+    assert _vals("min(x,y)").tolist() == [1.0, 0.0, -2.0, 10.0]
+
+
+def test_math_kernels():
+    assert _vals("sqrt(x)").tolist() == [1.0, 2.0, 3.0, 4.0]
+    np.testing.assert_allclose(_vals("log(x)"), np.log10([1, 4, 9, 16]))
+    np.testing.assert_allclose(_vals("ln(x)"), np.log([1, 4, 9, 16]))
+    assert _vals("abs(y)").tolist() == [2.0, 0.0, 2.0, 10.0]
+    assert _vals("pow(x,2)").tolist() == [1.0, 16.0, 81.0, 256.0]
+
+
+def test_reference_composites():
+    # linear(x, m, c) = m*x + c
+    assert _vals("linear(x,2,1)").tolist() == [3.0, 9.0, 19.0, 33.0]
+    # recip(x, m, a, b) = a / (m*x + b) — the recency-boost staple
+    np.testing.assert_allclose(_vals("recip(x,1,10,10)"),
+                               10.0 / (np.array([1, 4, 9, 16.0]) + 10))
+    # scale to [0, 1]
+    np.testing.assert_allclose(_vals("scale(x,0,1)"),
+                               (np.array([1, 4, 9, 16.0]) - 1) / 15)
+    # map values in [0,4] to 0, others pass through
+    assert _vals("map(x,0,4,0)").tolist() == [0.0, 0.0, 9.0, 16.0]
+    # if(cond, a, b)
+    assert _vals("if(sub(x,4),1,2)").tolist() == [1.0, 2.0, 1.0, 1.0]
+
+
+def test_constant_expression_broadcasts():
+    assert _vals("mul(2,3)").tolist() == [6.0] * 4
+
+
+def test_deep_composition():
+    got = _vals("sum(mul(x,sub(1,div(y,10))),recip(x,1,10,10))")
+    x = np.array([1, 4, 9, 16.0])
+    y = np.array([2, 0, -2, 10.0])
+    np.testing.assert_allclose(got, x * (1 - y / 10) + 10 / (x + 10))
