@@ -269,6 +269,67 @@ def make_synonym_filter(mapping: dict[str, list[str]]) -> Filter:
 
 # ---------------------------------------------------------------- chain --
 
+def trim_filter(tokens: TokenStream) -> TokenStream:
+    """TrimFilter (analysis/miscellaneous/TrimFilter.java): strip
+    leading/trailing whitespace; empty results are dropped (keeps the
+    position hole like the reference with a following filter)."""
+    return [(t.strip(), p) for t, p in tokens if t.strip()]
+
+
+def reverse_string_filter(tokens: TokenStream) -> TokenStream:
+    """ReverseStringFilter (analysis/reverse/ReverseStringFilter.java)."""
+    return [(t[::-1], p) for t, p in tokens]
+
+
+def make_truncate_filter(length: int = 10) -> Filter:
+    """TruncateTokenFilter (analysis/miscellaneous/TruncateTokenFilter.java)."""
+
+    def truncate(tokens: TokenStream) -> TokenStream:
+        return [(t[:length], p) for t, p in tokens]
+
+    return truncate
+
+
+def make_limit_token_count_filter(max_tokens: int = 100) -> Filter:
+    """LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter.java):
+    keep only the first N tokens of the stream."""
+
+    def limit(tokens: TokenStream) -> TokenStream:
+        return tokens[:max_tokens]
+
+    return limit
+
+
+def make_pattern_replace_filter(pattern: str, replacement: str) -> Filter:
+    """PatternReplaceFilter (analysis/pattern/PatternReplaceFilter.java):
+    regex substitution per token; tokens that become empty are dropped."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def pattern_replace(tokens: TokenStream) -> TokenStream:
+        out = []
+        for t, p in tokens:
+            t2 = rx.sub(replacement, t)
+            if t2:
+                out.append((t2, p))
+        return out
+
+    return pattern_replace
+
+
+def make_keyword_marker_stem_filter(keywords: set[str]) -> Filter:
+    """KeywordMarkerFilter + PorterStemFilter composition
+    (miscellaneous/SetKeywordMarkerFilter.java): marked keywords bypass
+    the stemmer."""
+    kw = frozenset(keywords)
+
+    def stem_unless_keyword(tokens: TokenStream) -> TokenStream:
+        return [(t if t in kw else porter_stem(t), p) for t, p in tokens]
+
+    return stem_unless_keyword
+
+
 class CustomAnalyzer:
     """Tokenizer + filter chain with the same ``analyze`` protocol the
     index build consumes (CustomAnalyzer.java builder analog)."""

@@ -121,3 +121,69 @@ def test_stemmed_index_round_trip(ray_session, tmp_path):
     # "engine" and "engines" both stem to "engin": query-side chain matches
     hits = s.search("engines", k=10)
     assert {d for d, _ in hits} == {0, 1}
+
+
+# --- round-2 filter additions ---
+
+def test_trim_filter():
+    from lucene_solr_ray.analysis.filters import trim_filter
+
+    assert trim_filter([(" ab ", 0), ("  ", 1), ("c", 2)]) == \
+        [("ab", 0), ("c", 2)]
+
+
+def test_reverse_string_filter():
+    from lucene_solr_ray.analysis.filters import reverse_string_filter
+
+    assert reverse_string_filter([("abc", 0), ("x", 1)]) == \
+        [("cba", 0), ("x", 1)]
+
+
+def test_truncate_filter():
+    from lucene_solr_ray.analysis.filters import make_truncate_filter
+
+    f = make_truncate_filter(3)
+    assert f([("abcdef", 0), ("ab", 1)]) == [("abc", 0), ("ab", 1)]
+
+
+def test_limit_token_count_filter():
+    from lucene_solr_ray.analysis.filters import make_limit_token_count_filter
+
+    f = make_limit_token_count_filter(2)
+    assert f([("a", 0), ("b", 1), ("c", 2)]) == [("a", 0), ("b", 1)]
+
+
+def test_pattern_replace_filter():
+    from lucene_solr_ray.analysis.filters import make_pattern_replace_filter
+
+    f = make_pattern_replace_filter(r"[0-9]+", "#")
+    assert f([("ab12cd", 0), ("345", 1)]) == [("ab#cd", 0), ("#", 1)]
+    g = make_pattern_replace_filter(r".*", "")
+    assert g([("gone", 0)]) == []  # emptied tokens drop
+
+
+def test_keyword_marker_stem_filter():
+    from lucene_solr_ray.analysis.filters import (
+        make_keyword_marker_stem_filter,
+        porter_stem,
+    )
+
+    f = make_keyword_marker_stem_filter({"running"})
+    assert f([("running", 0), ("jumping", 1)]) == \
+        [("running", 0), (porter_stem("jumping"), 1)]
+
+
+def test_new_filters_compose_in_chain():
+    from lucene_solr_ray.analysis.filters import (
+        CustomAnalyzer,
+        lowercase_filter,
+        make_pattern_replace_filter,
+        make_truncate_filter,
+    )
+
+    an = CustomAnalyzer([lowercase_filter,
+                         make_pattern_replace_filter(r"[0-9]", ""),
+                         make_truncate_filter(4)])
+    terms, positions = an.analyze("Hello99 WORLDWIDE x1")
+    assert terms == ["hell", "worl", "x"]
+    assert positions == [0, 1, 2]
