@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": knn.knn_cosine,
         "knn_ivf": knn.knn_ivf,
+        "knn_cosine_batch": knn.knn_cosine_batch,
         # sketches / percentiles (§2.6 PercentileAgg, HLLAgg)
         "exact_median_events": sketches.exact_median_events,
         "date_histogram_events": sketches.date_histogram_events,
@@ -269,6 +270,16 @@ def oracle_sql() -> dict[str, str]:
             "512)), i -> ord(substring(lower(text), i, 1))::BIGINT)), "
             "(h, c) -> (h * 257 + c) % 2147483647) AS fingerprint "
             "FROM documents",
+        "knn_cosine_batch":
+            "WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id IN (0, 7, 42)) "
+            "SELECT query_vec_id, vec_id, round(sim, 6) AS sim FROM ("
+            "SELECT q.query_vec_id, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) "
+            "AS sim, row_number() OVER (PARTITION BY q.query_vec_id "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], "
+            "q.qe::DOUBLE[]) DESC, e.vec_id) AS rn "
+            "FROM embeddings e CROSS JOIN q) WHERE rn <= 5",
         "knn_cosine":
             "SELECT vec_id, round(sim, 6) AS sim FROM ("
             "SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], "

@@ -53,6 +53,53 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10):
                           round_away(out.column("sim"), 6))
 
 
+def knn_cosine_batch(sf_dir: str, query_vec_ids=(0, 7, 42), k: int = 5):
+    """Batched brute-force top-k: the QUERY MATRIX is broadcast once
+    (``ray.put``) and every batch does a single (batch x dim) @ (dim x Q)
+    matmul; per-(batch, query) partial top-k bounds the driver merge to
+    k rows per query per batch. Returns (query_vec_id, vec_id, sim)."""
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    ids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    rows = [np.asarray(qt.column("embedding")[int(np.where(ids == q)[0][0])]
+                       .as_py(), dtype=np.float64)
+            for q in query_vec_ids]
+    qm = np.stack(rows)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put(qm)
+    qid_arr = np.asarray(query_vec_ids, dtype=np.int64)
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qmat = ray.get(q_ref)
+        m = _embed_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ qmat.T) / np.where(norms == 0, 1.0, norms)[:, None]
+        vids = batch["vec_id"].to_numpy()
+        frames = []
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            top = np.argsort(-col, kind="stable")[:k]
+            frames.append(pd.DataFrame({
+                "query_vec_id": qid_arr[j],
+                "vec_id": vids[top],
+                "sim": col[top],
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(score, batch_format="pandas").to_pandas()
+    outs = []
+    for q in query_vec_ids:
+        sub = parts[parts["query_vec_id"] == q]
+        outs.append(sub.sort_values(["sim", "vec_id"],
+                                    ascending=[False, True]).head(k))
+    out = pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                               preserve_index=False)
+    return out.set_column(out.column_names.index("sim"), "sim",
+                          round_away(out.column("sim"), 6))
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
                             n_planes: int = 4, n_tables: int = 16,
                             seed: int = 42):

@@ -171,20 +171,21 @@ def function_query_lineitem(sf_dir: str):
 # --- range filter (PointRangeQuery / TrieField range) ---
 
 def range_filter_events(sf_dir: str):
-    """Count + rounded sum of value per type for a ts/value range."""
-    ds = read(sf_dir, "events", ["event_type", "ts", "value"])
+    """Count + rounded sum of value per type for a ts/value range.
 
-    def fil(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.and_(pc.greater_equal(t.column("ts"),
-                                     pa.scalar(np.datetime64("2024-01-08", "us"))),
-                    pc.less(t.column("ts"),
-                            pa.scalar(np.datetime64("2024-01-22", "us")))),
-            pc.greater_equal(t.column("value"), pa.scalar(10.0)))
-        return t.filter(m)
+    The predicate is pushed INTO the parquet read (row-group statistics
+    prune whole chunks before they ever leave storage; Ray applies the
+    residual exactly) — nothing outside the range is scanned."""
+    import pyarrow.dataset as pads
 
-    out = (ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("event_type")
+    import ray.data as rd
+
+    expr = ((pads.field("ts") >= pa.scalar(np.datetime64("2024-01-08", "us")))
+            & (pads.field("ts") < pa.scalar(np.datetime64("2024-01-22", "us")))
+            & (pads.field("value") >= pa.scalar(10.0)))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"], filter=expr)
+    out = (ds.groupby("event_type")
            .aggregate(Count(alias_name="cnt"), Sum("value", alias_name="sum_value")))
     return out.map_batches(lambda t: round_col(t, "sum_value", 2),
                            batch_format="pyarrow")

@@ -153,3 +153,69 @@ def highlight(text: str, query: Query | str, analyzer_name: str = "standard",
     out.append(text[cur:hi])
     return ("..." if lo > 0 else "") + "".join(out) + \
         ("..." if hi < len(text) else "")
+
+
+def boosted_search(searcher: IndexSearcher, query: Query | str,
+                   boost_expr: str, k: int = 10):
+    """FunctionScoreQuery / Solr ``{!boost b=f(...)}``
+    (``lucene/queries/.../function/FunctionScoreQuery.java``): final
+    score = BM25 score * f(docvalues), with f a function-registry
+    expression (``functions.valuesource``) over docvalue fields —
+    e.g. ``recip(turn_idx,1,10,10)`` for a recency-style boost."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import parse_func
+    from ..functions.valuesource import Field, Func, eval_expr
+
+    ast = parse_func(boost_expr)
+
+    def fields_of(node) -> set[str]:
+        if isinstance(node, Field):
+            return {node.name}
+        if isinstance(node, Func):
+            out: set[str] = set()
+            for a in node.args:
+                out |= fields_of(a)
+            return out
+        return set()
+
+    docs, scores = _all_hits(searcher, query)
+    if len(docs) == 0:
+        return []
+    cols = {}
+    for f in sorted(fields_of(ast)):
+        vals = searcher.docvalues(f)
+        if vals is None:
+            raise KeyError(f"field {f!r} was not indexed as a doc value")
+        cols[f] = pa.array(
+            np.asarray(vals[docs], dtype=np.float64), type=pa.float64())
+    boost = eval_expr(ast, pa.table(cols or {"__d": pa.array(
+        np.zeros(len(docs)))}))
+    if isinstance(boost, pa.Scalar):
+        boost_np = np.full(len(docs), boost.as_py())
+    else:
+        boost_np = boost.to_numpy(zero_copy_only=False)
+    final = scores.astype(np.float64) * boost_np
+    order = np.lexsort((docs, -final))[:k]
+    return [(int(docs[i]), float(final[i])) for i in order]
+
+
+def field_stats(searcher: IndexSearcher, query: Query | str, field: str):
+    """StatsComponent over the query's FULL hit set
+    (``solr/core/.../handler/component/StatsComponent.java``):
+    count/min/max/sum/mean of a numeric docvalue."""
+    import numpy as np
+
+    docs, _ = _all_hits(searcher, query)
+    vals = searcher.docvalues(field)
+    if vals is None:
+        raise KeyError(f"field {field!r} was not indexed as a doc value")
+    v = np.asarray([x for x in vals[docs] if x is not None],
+                   dtype=np.float64)
+    if len(v) == 0:
+        return {"count": 0, "min": None, "max": None, "sum": 0.0,
+                "mean": None}
+    return {"count": int(len(v)), "min": float(v.min()),
+            "max": float(v.max()), "sum": float(v.sum()),
+            "mean": float(v.mean())}

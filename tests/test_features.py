@@ -86,3 +86,54 @@ def test_highlight_respects_analysis(searcher):
     # query-side analysis lowercases; highlight matches original casing
     out = highlight("Ray Data rocks", "ray")
     assert "<b>Ray</b>" in out
+
+
+# --- round 2: function-boosted search + search-side stats ---
+
+def test_boosted_search_matches_recompute(searcher):
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from lucene_solr_ray.search.features import _all_hits, boosted_search
+
+    s, src = searcher
+    table = _pq.read_table(src, columns=["turn_idx"])
+    turn = table.column("turn_idx").to_numpy(zero_copy_only=False)
+    got = boosted_search(s, "ray data", "recip(turn_idx,1,10,10)", k=8)
+    docs, scores = _all_hits(s, "ray data")
+    boost = 10.0 / (turn[docs].astype(np.float64) + 10.0)
+    final = scores.astype(np.float64) * boost
+    order = np.lexsort((docs, -final))[:8]
+    want = [(int(docs[i]), float(final[i])) for i in order]
+    assert got == want
+    # boosting reorders vs plain BM25 for at least some rank
+    plain = [d for d, _ in s.search("ray data", k=8)]
+    assert [d for d, _ in got] != plain or len(plain) <= 1
+
+
+def test_boosted_search_unknown_field(searcher):
+    import pytest as _pytest
+
+    from lucene_solr_ray.search.features import boosted_search
+
+    s, _ = searcher
+    with _pytest.raises(KeyError):
+        boosted_search(s, "ray", "recip(nonexistent,1,10,10)")
+
+
+def test_field_stats(searcher):
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from lucene_solr_ray.search.features import _all_hits, field_stats
+
+    s, src = searcher
+    table = _pq.read_table(src, columns=["turn_idx"])
+    turn = table.column("turn_idx").to_numpy(zero_copy_only=False)
+    st = field_stats(s, "ray", "turn_idx")
+    docs, _ = _all_hits(s, "ray")
+    v = turn[docs].astype(np.float64)
+    assert st["count"] == len(v)
+    assert st["min"] == v.min() and st["max"] == v.max()
+    assert st["sum"] == v.sum()
+    assert abs(st["mean"] - v.mean()) < 1e-12
