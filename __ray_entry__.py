@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_percentiles_events": sketches.tdigest_percentiles,
         # windowed aggregates (§2.10)
         "tumbling_window_events": windows.tumbling_window_events,
+        "hopping_window_events": windows.hopping_window_events,
         "session_windows_events": windows.session_windows_events,
         # export / sinks (§2.2)
         "export_sorted_orders": export.export_sorted_orders,
@@ -232,6 +233,13 @@ def oracle_sql() -> dict[str, str]:
             "AS window_start, count(*) AS cnt, round(sum(value), 2) "
             "AS sum_value FROM events GROUP BY event_type, "
             "date_trunc('hour', ts)",
+        "hopping_window_events":
+            "SELECT event_type, ws AS window_start, count(*) AS cnt, "
+            "round(sum(value), 2) AS sum_value FROM ("
+            "SELECT event_type, value, unnest(["
+            "epoch(date_trunc('hour', ts))::BIGINT, "
+            "epoch(date_trunc('hour', ts))::BIGINT - 3600]) AS ws "
+            "FROM events) GROUP BY event_type, ws",
         "session_windows_events":
             "WITH g AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "

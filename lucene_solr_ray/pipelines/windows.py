@@ -65,3 +65,35 @@ def session_windows_events(sf_dir: str, gap_minutes: int = 30):
                 .size().reset_index(name="n_events"))
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def hopping_window_events(sf_dir: str, size_sec: int = 7200,
+                          step_sec: int = 3600):
+    """Hopping (sliding) windows: each event lands in size/step
+    overlapping windows (here 2h windows every 1h -> 2 per event). The
+    window assignment is a vectorized per-batch explode; the aggregate is
+    one grouped count/sum like the tumbling case."""
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"])
+    n_windows = size_sec // step_sec
+
+    def win(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[us]").astype(np.int64) // 1_000_000
+        last = (epoch // step_sec) * step_sec  # latest window containing t
+        offs = np.arange(n_windows, dtype=np.int64) * step_sec
+        starts = (np.repeat(last, n_windows)
+                  - np.tile(offs, len(epoch)))
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": pa.array(np.repeat(et, n_windows)),
+            "window_start": pa.array(starts, type=pa.int64()),
+            "value": pa.array(np.repeat(val, n_windows)),
+        })
+
+    out = (ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(alias_name="cnt"),
+                      Sum("value", alias_name="sum_value")))
+    return out.map_batches(lambda t: round_col(t, "sum_value", 2),
+                           batch_format="pyarrow")
