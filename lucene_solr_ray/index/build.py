@@ -169,7 +169,22 @@ class TokenizeStage:
         return tokenize_table(batch, self.analyzer)
 
 
+#: inner chunking for the vectorized tokenize back-end: bounds the flat
+#: token stream each factorize/lexsort touches (a 140k-doc fused task
+#: would otherwise sort ~2M-element key arrays per worker — at 30+
+#: concurrent workers that saturates the memory bus)
+_TOKENIZE_CHUNK_DOCS = 8192
+
+
 def tokenize_table(batch: pa.Table, analyzer) -> pa.Table:
+    if batch.num_rows > _TOKENIZE_CHUNK_DOCS:
+        return pa.concat_tables(
+            _tokenize_chunk(batch.slice(i, _TOKENIZE_CHUNK_DOCS), analyzer)
+            for i in range(0, batch.num_rows, _TOKENIZE_CHUNK_DOCS))
+    return _tokenize_chunk(batch, analyzer)
+
+
+def _tokenize_chunk(batch: pa.Table, analyzer) -> pa.Table:
         """text column -> per-doc postings rows.
 
         Hot-path structure: ONE C-speed regex findall per ASCII doc (the
