@@ -7,6 +7,12 @@ df == decoded list length; ttf == sum of freqs; per-doc positions strictly
 ascending with counts matching freqs; skip/block metadata consistent.
 Globally: manifest stats equal the per-shard sums, and the norms docmap
 covers every doc_id exactly once.
+
+Shards are checked in PARALLEL as Ray tasks when a Ray session is active
+(single-process CheckIndex over a 13M-doc index takes tens of minutes;
+at 100 TB it must fan out like everything else); the per-term position
+validation is vectorized (one boundary-masked diff per posting list, not
+a Python loop per document).
 """
 
 from __future__ import annotations
@@ -21,74 +27,110 @@ import pyarrow.parquet as pq
 from . import segment
 
 
-def check_index(index_dir: str) -> dict:
-    """Raises AssertionError on any violation; returns a summary report."""
+def _check_shard(index_dir: str, sh: dict, docs_per_shard: int) -> dict:
+    index_path = Path(index_dir)
+    sid = sh["shard_id"]
+    base = sid * docs_per_shard
+    t = pq.read_table(index_path / "shards" / f"shard={sid:05d}"
+                      / "terms.parquet")
+    terms = t.column("term").to_pylist()
+    assert terms == sorted(terms), f"shard {sid}: terms not sorted"
+    assert len(set(terms)) == len(terms), f"shard {sid}: duplicate terms"
+    assert len(terms) == sh["term_count"], f"shard {sid}: term_count mismatch"
+    df = t.column("df").to_numpy(zero_copy_only=False)
+    ttf = t.column("ttf").to_numpy(zero_copy_only=False)
+    doc_enc = t.column("doc_ids_enc").to_pylist()
+    freq_enc = t.column("freqs_enc").to_pylist()
+    pos_enc = t.column("positions_enc").to_pylist()
+    skip_last = t.column("skip_last_docs").to_pylist()
+    skip_doffs = t.column("skip_doc_offs").to_pylist()
+    skip_foffs = t.column("skip_freq_offs").to_pylist()
+    bmax = t.column("block_max_freq").to_pylist()
+    bmin = t.column("block_min_nt").to_pylist()
+    postings_here = 0
+    for i in range(len(terms)):
+        docs = segment.decode_doc_ids(doc_enc[i], base)
+        freqs = segment.decode_freqs(freq_enc[i])
+        assert len(docs) == df[i], f"shard {sid} term {terms[i]}: df != list length"
+        assert len(freqs) == df[i]
+        assert np.all(np.diff(docs) > 0), \
+            f"shard {sid} term {terms[i]}: doc_ids not strictly ascending"
+        assert docs[0] >= base and docs[-1] < base + docs_per_shard, \
+            f"shard {sid} term {terms[i]}: doc_id outside shard range"
+        assert int(freqs.sum()) == int(ttf[i]), \
+            f"shard {sid} term {terms[i]}: ttf != sum(freqs)"
+        assert np.all(freqs > 0)
+        pos_flat, offs = segment.decode_positions(pos_enc[i], freqs)
+        assert len(pos_flat) == int(freqs.sum())
+        # positions strictly ascending within each doc, all >= 0 — one
+        # boundary-masked diff over the flat stream
+        assert np.all(pos_flat >= 0), \
+            f"shard {sid} term {terms[i]}: negative position"
+        if len(pos_flat) > 1:
+            diffs = np.diff(pos_flat)
+            boundary = np.zeros(len(diffs), dtype=bool)
+            b = offs[1:-1] - 1
+            b = b[(b >= 0) & (b < len(diffs))]
+            boundary[b] = True
+            assert np.all(diffs[~boundary] > 0), \
+                f"shard {sid} term {terms[i]}: positions not ascending"
+        last = segment.decode_skip_last_docs(skip_last[i])
+        nblocks = (len(docs) + segment.BLOCK_SIZE - 1) // segment.BLOCK_SIZE
+        assert len(last) == nblocks and last[-1] == docs[-1]
+        doffs = segment.decode_skip_doc_offs(skip_doffs[i])
+        foffs = segment.decode_skip_doc_offs(skip_foffs[i])
+        assert len(doffs) == len(foffs) == nblocks
+        # block-selective decode of the LAST block round-trips
+        bi = nblocks - 1
+        prev = int(last[bi - 1]) if bi > 0 else base
+        bdocs, bfreqs = segment.decode_block(
+            doc_enc[i], freq_enc[i], doffs, foffs, bi, nblocks,
+            int(df[i]), prev)
+        start = bi * segment.BLOCK_SIZE
+        np.testing.assert_array_equal(bdocs, docs[start:])
+        np.testing.assert_array_equal(bfreqs, freqs[start:])
+        bmaxf = segment.decode_block_max_freq(bmax[i])
+        bminnt = segment.decode_block_min_nt(bmin[i])
+        assert len(bmaxf) == nblocks and len(bminnt) == nblocks
+        assert np.all(bmaxf >= 1) and np.all(bminnt > 0)
+        postings_here += len(docs)
+    assert postings_here == sh["posting_count"], f"shard {sid}: posting_count"
+    return {"postings": postings_here, "terms": len(terms),
+            "sum_ttf": int(ttf.sum())}
+
+
+def check_index(index_dir: str, parallel: bool | None = None) -> dict:
+    """Raises AssertionError on any violation; returns a summary report.
+
+    ``parallel=None`` auto-detects an active Ray session and fans the
+    per-shard checks out as tasks; pass False to force in-process."""
     index_path = Path(index_dir)
     manifest = json.loads((index_path / "manifest.json").read_text())
     docs_per_shard = manifest["params"]["docs_per_shard"]
 
-    total_postings = 0
-    total_terms = 0
-    sum_ttf = 0
-    for sh in manifest["shards"]:
-        sid = sh["shard_id"]
-        base = sid * docs_per_shard
-        t = pq.read_table(index_path / "shards" / f"shard={sid:05d}" / "terms.parquet")
-        terms = t.column("term").to_pylist()
-        assert terms == sorted(terms), f"shard {sid}: terms not sorted"
-        assert len(set(terms)) == len(terms), f"shard {sid}: duplicate terms"
-        assert len(terms) == sh["term_count"], f"shard {sid}: term_count mismatch"
-        df = t.column("df").to_numpy(zero_copy_only=False)
-        ttf = t.column("ttf").to_numpy(zero_copy_only=False)
-        postings_here = 0
-        for i in range(len(terms)):
-            docs = segment.decode_doc_ids(t.column("doc_ids_enc")[i].as_py(), base)
-            freqs = segment.decode_freqs(t.column("freqs_enc")[i].as_py())
-            assert len(docs) == df[i], f"shard {sid} term {terms[i]}: df != list length"
-            assert len(freqs) == df[i]
-            assert np.all(np.diff(docs) > 0), \
-                f"shard {sid} term {terms[i]}: doc_ids not strictly ascending"
-            assert docs[0] >= base and docs[-1] < base + docs_per_shard, \
-                f"shard {sid} term {terms[i]}: doc_id outside shard range"
-            assert int(freqs.sum()) == int(ttf[i]), \
-                f"shard {sid} term {terms[i]}: ttf != sum(freqs)"
-            assert np.all(freqs > 0)
-            pos_flat, offs = segment.decode_positions(
-                t.column("positions_enc")[i].as_py(), freqs)
-            assert len(pos_flat) == int(freqs.sum())
-            for j in range(len(docs)):
-                p = pos_flat[offs[j]:offs[j + 1]]
-                assert np.all(np.diff(p) > 0) and np.all(p >= 0), \
-                    f"shard {sid} term {terms[i]} doc {docs[j]}: bad positions"
-            last = segment.decode_skip_last_docs(t.column("skip_last_docs")[i].as_py())
-            nblocks = (len(docs) + segment.BLOCK_SIZE - 1) // segment.BLOCK_SIZE
-            assert len(last) == nblocks and last[-1] == docs[-1]
-            doffs = segment.decode_skip_doc_offs(
-                t.column("skip_doc_offs")[i].as_py())
-            foffs = segment.decode_skip_doc_offs(
-                t.column("skip_freq_offs")[i].as_py())
-            assert len(doffs) == len(foffs) == nblocks
-            # block-selective decode of the LAST block round-trips
-            bi = nblocks - 1
-            prev = int(last[bi - 1]) if bi > 0 else base
-            bdocs, bfreqs = segment.decode_block(
-                t.column("doc_ids_enc")[i].as_py(),
-                t.column("freqs_enc")[i].as_py(),
-                doffs, foffs, bi, nblocks, int(df[i]), prev)
-            start = bi * segment.BLOCK_SIZE
-            np.testing.assert_array_equal(bdocs, docs[start:])
-            np.testing.assert_array_equal(bfreqs, freqs[start:])
-            bmaxf = segment.decode_block_max_freq(
-                t.column("block_max_freq")[i].as_py())
-            bminnt = segment.decode_block_min_nt(
-                t.column("block_min_nt")[i].as_py())
-            assert len(bmaxf) == nblocks and len(bminnt) == nblocks
-            assert np.all(bmaxf >= 1) and np.all(bminnt > 0)
-            postings_here += len(docs)
-        assert postings_here == sh["posting_count"], f"shard {sid}: posting_count"
-        total_postings += postings_here
-        total_terms += len(terms)
-        sum_ttf += int(ttf.sum())
+    use_ray = parallel
+    if use_ray is None:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            use_ray = False
+
+    if use_ray:
+        import ray
+
+        task = ray.remote(_check_shard)
+        partials = ray.get([
+            task.remote(str(index_dir), sh, docs_per_shard)
+            for sh in manifest["shards"]])
+    else:
+        partials = [_check_shard(str(index_dir), sh, docs_per_shard)
+                    for sh in manifest["shards"]]
+
+    total_postings = sum(p["postings"] for p in partials)
+    total_terms = sum(p["terms"] for p in partials)
+    sum_ttf = sum(p["sum_ttf"] for p in partials)
 
     # norms / docmap coverage
     norms = pads.dataset(str(index_path / "norms"), format="parquet",
