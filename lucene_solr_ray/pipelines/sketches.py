@@ -202,5 +202,13 @@ def date_histogram_events(sf_dir: str):
     def day(t: pa.Table) -> pa.Table:
         return pa.table({"day": pc.floor_temporal(t.column("ts"), unit="day")})
 
+    def fix_unit(t: pa.Table) -> pa.Table:
+        # the groupby's pandas round-trip narrows the key to timestamp[s];
+        # DuckDB date_trunc returns timestamp[us] and dtype-exact
+        # comparison includes the unit
+        return t.set_column(t.column_names.index("day"), "day",
+                            t.column("day").cast(pa.timestamp("us")))
+
     return (ds.map_batches(day, batch_format="pyarrow")
-            .groupby("day").aggregate(Count(alias_name="cnt")))
+            .groupby("day").aggregate(Count(alias_name="cnt"))
+            .map_batches(fix_unit, batch_format="pyarrow"))
