@@ -55,6 +55,13 @@ def main(argv=None) -> int:
     s.add_argument("index_dir")
     s.add_argument("query")
     s.add_argument("-k", type=int, default=10)
+    s.add_argument("--sort", default=None, metavar="FIELD[:desc]",
+                   help="rank by a docvalue field instead of score "
+                        "(e.g. turn_idx:desc)")
+    s.add_argument("--filter", default=None, nargs=3,
+                   metavar=("FIELD", "LO", "HI"),
+                   help="inclusive docvalue range filter; use '-' for an "
+                        "open bound")
 
     c = sub.add_parser("check", help="validate index invariants")
     c.add_argument("index_dir")
@@ -96,7 +103,27 @@ def main(argv=None) -> int:
         from .search.searcher import IndexSearcher
 
         searcher = IndexSearcher(args.index_dir)
-        hits = searcher.search(args.query, k=args.k)
+        sort = None
+        if args.sort:
+            field, _, direction = args.sort.partition(":")
+            sort = [(field, direction.lower() == "desc")]
+        filter_range = None
+        if args.filter:
+            field, lo, hi = args.filter
+
+            def _bound(x):
+                if x == "-":
+                    return None
+                try:
+                    return int(x)
+                except ValueError:
+                    try:
+                        return float(x)
+                    except ValueError:
+                        return x
+            filter_range = {field: (_bound(lo), _bound(hi))}
+        hits = searcher.search(args.query, k=args.k, sort=sort,
+                               filter_range=filter_range)
         print(json.dumps(searcher.resolve_hits(hits), default=str))
     elif args.cmd == "check":
         from .index.check import check_index
