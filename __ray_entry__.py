@@ -93,6 +93,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows_events": windows.session_windows_events,
         # export / sinks (§2.2)
         "export_sorted_orders": export.export_sorted_orders,
+        # streaming-expression language (§2.11 extension surface)
+        "stream_expr_join_rollup": __import__(
+            "lucene_solr_ray.pipelines.streaming_expr",
+            fromlist=["stream_expr_join_rollup"]).stream_expr_join_rollup,
         # multimodal plumbing (decode stubbed; shape real)
         "media_features": multimodal.media_features,
         # full-text + sketches (non-SQL-expressible: rows-only here,
@@ -248,6 +252,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts)::BIGINT AS session_id FROM g) "
             "SELECT user_id, session_id, count(*) AS n_events "
             "FROM s GROUP BY user_id, session_id",
+        "stream_expr_join_rollup":
+            'SELECT o_orderstatus, round(sum(l_quantity), 2) '
+            'AS "sum(l_quantity)", count(*) AS "count(*)" '
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus",
         "export_sorted_orders":
             "SELECT o_orderkey, o_orderdate, o_totalprice, row_number() "
             "OVER (ORDER BY o_orderdate, o_orderkey) AS rnk FROM orders",

@@ -1,0 +1,300 @@
+"""Streaming-expression language: parse and evaluate the reference's
+composable stream syntax over Ray Datasets.
+
+Re-expression of the Solr streaming expression surface
+(``solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/expr/
+StreamExpressionParser.java`` and the stream registry in
+``solr/core/.../handler/StreamHandler.java``): an expression string like
+
+    innerJoin(
+      search(lineitem, fl="l_orderkey,l_extendedprice"),
+      search(orders, fl="o_orderkey,o_custkey"),
+      on="l_orderkey=o_orderkey")
+
+parses into a tree and evaluates to a ``ray.data.Dataset`` — each stream
+function maps onto the Ray-Data-first operator implemented elsewhere in
+this package (native hash-shuffle joins, bucketed aggregation, dataset
+sort/limit/union). ``search`` reads a test table with column pruning (the
+reference's search() hits a collection; here collections are the parquet
+tables, and ``q=...`` full-text search is served by the documents index).
+
+Supported stream functions (the commonly-composed core): search, select,
+innerJoin, leftOuterJoin, hashJoin, intersect, complement, merge, unique,
+sort, top, rollup + metrics sum()/count()/min()/max()/avg().
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from .util import bucketed_group_agg, native_join, read
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+# --- parser (StreamExpressionParser analog) -----------------------------
+
+@dataclass
+class Expr:
+    name: str
+    args: list          # positional: Expr or bare string
+    params: dict        # key="value" named parameters
+
+
+_TOK = re.compile(r"""\s*(
+      [A-Za-z_][A-Za-z0-9_.]*      # identifier
+    | "(?:[^"\\]|\\.)*"            # double-quoted string
+    | [(),=*]
+)""", re.VERBOSE)
+
+
+def parse_expr(text: str) -> Expr:
+    tokens: list[str] = []
+    i = 0
+    while i < len(text):
+        if text[i:].strip() == "":
+            break
+        m = _TOK.match(text, i)
+        if not m:
+            raise ValueError(f"bad stream syntax at {text[i:i+30]!r}")
+        tokens.append(m.group(1))
+        i = m.end()
+
+    pos = 0
+
+    def peek():
+        return tokens[pos] if pos < len(tokens) else None
+
+    def take(expected=None):
+        nonlocal pos
+        t = peek()
+        if t is None or (expected and t != expected):
+            raise ValueError(f"expected {expected!r}, got {t!r}")
+        pos += 1
+        return t
+
+    def unquote(t: str) -> str:
+        if t.startswith('"'):
+            return t[1:-1].replace('\\"', '"')
+        return t
+
+    def body(name: str) -> Expr:
+        take("(")
+        args: list = []
+        params: dict = {}
+        while peek() != ")":
+            t = take()
+            if peek() == "(":  # nested stream function
+                args.append(body(t))
+            elif peek() == "=":
+                take("=")
+                params[t] = unquote(take())
+            else:
+                args.append(unquote(t))
+            if peek() == ",":
+                take(",")
+        take(")")
+        return Expr(name, args, params)
+
+    out = body(take())
+    if pos != len(tokens):
+        raise ValueError(f"trailing tokens: {tokens[pos:]}")
+    return out
+
+
+# --- evaluator ----------------------------------------------------------
+
+def _sort_spec(spec: str):
+    """'f1 asc, f2 desc' -> (keys, descending flags)."""
+    keys, desc = [], []
+    for part in spec.split(","):
+        bits = part.split()
+        keys.append(bits[0])
+        desc.append(len(bits) > 1 and bits[1].lower() == "desc")
+    return keys, desc
+
+
+def _eval_search(e: Expr, sf_dir: str) -> rd.Dataset:
+    if not e.args or e.args[0] not in TABLES:
+        raise ValueError(f"search: unknown collection {e.args[:1]}")
+    table = e.args[0]
+    cols = None
+    if "fl" in e.params:
+        cols = [c.strip() for c in e.params["fl"].split(",")]
+    q = e.params.get("q")
+    if q and table == "documents":
+        # full-text search over the documents index (BM25); fl selects
+        # from the hit rows (doc_id, score)
+        from .fulltext import docs_index
+        from ..search.searcher import IndexSearcher
+
+        searcher = IndexSearcher(docs_index(sf_dir))
+        k = int(e.params.get("rows", 10))
+        hits = searcher.search(q, k=k)
+        t = pa.table({
+            "doc_id": pa.array([d for d, _ in hits], type=pa.int64()),
+            "score": pa.array([float(s) for _, s in hits],
+                              type=pa.float64()),
+        })
+        return rd.from_arrow(t)
+    ds = read(sf_dir, table, cols)
+    if "fq" in e.params:  # simple range filter: field:[lo TO hi]
+        m = re.fullmatch(r"(\w+):\[(\S+) TO (\S+)\]", e.params["fq"])
+        if not m:
+            raise ValueError(f"unsupported fq: {e.params['fq']!r}")
+        field, lo, hi = m.group(1), float(m.group(2)), float(m.group(3))
+
+        def fil(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            col = t.column(field)
+            return t.filter(pc.and_(pc.greater_equal(col, pa.scalar(lo)),
+                                    pc.less_equal(col, pa.scalar(hi))))
+
+        ds = ds.map_batches(fil, batch_format="pyarrow")
+    return ds
+
+
+_METRIC = re.compile(r"(sum|count|min|max|avg)\((\*|\w+)\)")
+
+
+def _eval_rollup(e: Expr, sf_dir: str) -> rd.Dataset:
+    src = evaluate(e.args[0], sf_dir)
+    over = [c.strip() for c in e.params["over"].split(",")]
+    metrics = []
+    for a in e.args[1:]:
+        if isinstance(a, Expr):  # metrics parse as nested calls
+            if a.name not in ("sum", "count", "min", "max", "avg"):
+                raise ValueError(f"rollup: bad metric {a.name!r}")
+            metrics.append((a.name, a.args[0] if a.args else "*"))
+            continue
+        m = _METRIC.fullmatch(a) if isinstance(a, str) else None
+        if not m:
+            raise ValueError(f"rollup: bad metric {a!r}")
+        metrics.append((m.group(1), m.group(2)))
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        grouped = g.groupby(over, sort=False)
+        cols = {}
+        for op, fld in metrics:
+            name = f"{op}({fld})"
+            if op == "count":
+                cols[name] = grouped.size()
+            elif op == "sum":
+                cols[name] = grouped[fld].sum()
+            elif op == "min":
+                cols[name] = grouped[fld].min()
+            elif op == "max":
+                cols[name] = grouped[fld].max()
+            else:
+                cols[name] = grouped[fld].mean()
+        return pd.DataFrame(cols).reset_index()
+
+    # rollup is NOT generally mergeable from partials (avg), so the
+    # bucket shuffle co-locates each key and aggregates once per bucket
+    return bucketed_group_agg(src, over, agg)
+
+
+def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
+    """Evaluate a stream expression (string or parsed tree) to a Dataset."""
+    if isinstance(e, str):
+        e = parse_expr(e)
+    name = e.name
+
+    if name == "search":
+        return _eval_search(e, sf_dir)
+    if name == "select":
+        src = evaluate(e.args[0], sf_dir)
+        cols, renames = [], {}
+        rest = e.args[1:]
+        i = 0
+        while i < len(rest):  # "field as alias" arrives as 3 tokens
+            if i + 2 < len(rest) and rest[i + 1] == "as":
+                cols.append(rest[i])
+                renames[rest[i]] = rest[i + 2]
+                i += 3
+            elif i + 2 == len(rest) and rest[i + 1] == "as":
+                raise ValueError("select: dangling 'as'")
+            else:
+                cols.append(rest[i])
+                i += 1
+        out = src.select_columns(cols)
+        return out.rename_columns(renames) if renames else out
+    if name in ("innerJoin", "leftOuterJoin", "hashJoin"):
+        left = evaluate(e.args[0], sf_dir)
+        right = evaluate(e.args[1], sf_dir)
+        lk, _, rk = e.params["on"].partition("=")
+        jt = "left_outer" if name == "leftOuterJoin" else "inner"
+        return native_join(left, right, on=lk.strip(),
+                           right_on=(rk or lk).strip(), join_type=jt)
+    if name in ("intersect", "complement"):
+        left = evaluate(e.args[0], sf_dir)
+        right = evaluate(e.args[1], sf_dir)
+        lk, _, rk = e.params["on"].partition("=")
+        rk = (rk or lk).strip()
+        lk = lk.strip()
+        import ray
+
+        from .joins import anti_join, semi_join
+
+        keys = np.asarray(
+            [r[rk] for r in right.select_columns([rk]).take_all()])
+        fn = semi_join if name == "intersect" else anti_join
+        return fn(left, keys, on=lk)
+    if name == "merge":
+        parts = [evaluate(a, sf_dir) for a in e.args]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+    if name == "unique":
+        src = evaluate(e.args[0], sf_dir)
+        over = [c.strip() for c in e.params["over"].split(",")]
+
+        def first(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(over)
+
+        return bucketed_group_agg(src, over, first, pre=first)
+    if name == "sort":
+        src = evaluate(e.args[0], sf_dir)
+        keys, desc = _sort_spec(e.params["by"])
+        return src.sort(keys, descending=desc)
+    if name == "top":
+        src = evaluate(e.args[0], sf_dir)
+        keys, desc = _sort_spec(e.params["sort"])
+        n = int(e.params["n"])
+        return src.sort(keys, descending=desc).limit(n)
+    if name == "rollup":
+        return _eval_rollup(e, sf_dir)
+    raise ValueError(f"unknown stream function {name!r}")
+
+
+def stream_expr_join_rollup(sf_dir: str):
+    """Driver-surface demo: a full streaming expression — join + rollup —
+    parsed and evaluated end-to-end (sums rounded for cross-engine float
+    comparison)."""
+    from .util import round_col
+
+    ds = evaluate(
+        'rollup('
+        '  innerJoin('
+        '    search(lineitem, fl="l_orderkey,l_quantity"),'
+        '    search(orders, fl="o_orderkey,o_orderstatus"),'
+        '    on="l_orderkey=o_orderkey"),'
+        '  over="o_orderstatus", sum(l_quantity), count(*))', sf_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = round_col(t, "sum(l_quantity)", 2)
+        idx = t.column_names.index("count(*)")
+        return t.set_column(idx, "count(*)",
+                            t.column("count(*)").cast(pa.int64()))
+
+    return ds.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,127 @@
+"""Streaming-expression language: parse + evaluate against pandas/DuckDB
+recomputation over the sf tables."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lucene_solr_ray.pipelines.streaming_expr import Expr, evaluate, parse_expr
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "events"):
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _df(expr: str) -> pd.DataFrame:
+    out = evaluate(expr, SF).to_pandas()
+    return out[sorted(out.columns)].sort_values(
+        by=sorted(out.columns)).reset_index(drop=True)
+
+
+def _sql(con, q: str) -> pd.DataFrame:
+    out = con.sql(q).df()
+    return out[sorted(out.columns)].sort_values(
+        by=sorted(out.columns)).reset_index(drop=True)
+
+
+def test_parse_tree():
+    e = parse_expr('innerJoin(search(orders, fl="o_orderkey"), '
+                   'search(customer), on="o_custkey=c_custkey")')
+    assert e.name == "innerJoin"
+    assert e.args[0] == Expr("search", ["orders"], {"fl": "o_orderkey"})
+    assert e.args[1].name == "search"
+    assert e.params["on"] == "o_custkey=c_custkey"
+    with pytest.raises(ValueError, match="unknown stream function"):
+        evaluate("daemonize(search(orders))", SF)
+
+
+def test_search_select(ray_session, con):
+    got = _df('select(search(orders, fl="o_orderkey,o_totalprice"), '
+              'o_orderkey, o_totalprice as price)')
+    want = _sql(con, "SELECT o_orderkey, o_totalprice AS price FROM orders")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_search_fq_range(ray_session, con):
+    got = _df('search(orders, fl="o_orderkey,o_totalprice", '
+              'fq="o_totalprice:[100000 TO 200000]")')
+    want = _sql(con, "SELECT o_orderkey, o_totalprice FROM orders "
+                     "WHERE o_totalprice BETWEEN 100000 AND 200000")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_inner_join(ray_session, con):
+    got = _df('innerJoin(search(orders, fl="o_orderkey,o_custkey"), '
+              'search(customer, fl="c_custkey,c_name"), '
+              'on="o_custkey=c_custkey")')
+    want = _sql(con, "SELECT o_orderkey, o_custkey, c_name FROM orders "
+                     "JOIN customer ON o_custkey = c_custkey")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_left_outer_join(ray_session, con):
+    got = _df('leftOuterJoin(search(customer, fl="c_custkey,c_name"), '
+              'search(orders, fl="o_custkey,o_orderkey"), '
+              'on="c_custkey=o_custkey")')
+    want = _sql(con, "SELECT c_custkey, c_name, o_orderkey FROM customer "
+                     "LEFT JOIN orders ON c_custkey = o_custkey")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_intersect_complement(ray_session, con):
+    big = ('search(orders, fl="o_custkey,o_totalprice", '
+           'fq="o_totalprice:[420000 TO 999999999]")')
+    got = _df(f'intersect(search(customer, fl="c_custkey,c_name"), '
+              f'{big}, on="c_custkey=o_custkey")')
+    want = _sql(con, "SELECT c_custkey, c_name FROM customer WHERE "
+                     "c_custkey IN (SELECT o_custkey FROM orders "
+                     "WHERE o_totalprice >= 420000)")
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    got2 = _df(f'complement(search(customer, fl="c_custkey,c_name"), '
+               f'{big}, on="c_custkey=o_custkey")')
+    want2 = _sql(con, "SELECT c_custkey, c_name FROM customer WHERE "
+                      "c_custkey NOT IN (SELECT o_custkey FROM orders "
+                      "WHERE o_totalprice >= 420000)")
+    assert len(want2) > 0
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+def test_rollup_metrics(ray_session, con):
+    got = _df('rollup(search(lineitem, '
+              'fl="l_returnflag,l_quantity"), over="l_returnflag", '
+              'sum(l_quantity), count(*), avg(l_quantity))')
+    want = _sql(con, 'SELECT l_returnflag, sum(l_quantity) AS "sum(l_quantity)", '
+                     'count(*) AS "count(*)", avg(l_quantity) AS "avg(l_quantity)" '
+                     "FROM lineitem GROUP BY l_returnflag")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_top_and_sort(ray_session, con):
+    out = evaluate('top(search(orders, fl="o_orderkey,o_totalprice"), '
+                   'sort="o_totalprice desc", n="5")', SF).to_pandas()
+    want = con.sql("SELECT o_orderkey, o_totalprice FROM orders "
+                   "ORDER BY o_totalprice DESC LIMIT 5").df()
+    assert sorted(out["o_totalprice"]) == sorted(want["o_totalprice"])
+
+
+def test_unique_and_merge(ray_session, con):
+    got = _df('unique(merge(search(orders, fl="o_custkey"), '
+              'search(orders, fl="o_custkey")), over="o_custkey")')
+    want = _sql(con, "SELECT DISTINCT o_custkey FROM orders")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_fulltext_search_stream(ray_session):
+    out = evaluate('search(documents, q="table scan", rows="5")',
+                   SF).to_pandas()
+    assert list(out.columns) == ["doc_id", "score"]
+    assert 0 < len(out) <= 5
+    assert (out["score"].to_numpy()[:-1] >= out["score"].to_numpy()[1:]).all()
