@@ -219,3 +219,25 @@ def field_stats(searcher: IndexSearcher, query: Query | str, field: str):
     return {"count": int(len(v)), "min": float(v.min()),
             "max": float(v.max()), "sum": float(v.sum()),
             "mean": float(v.mean())}
+
+
+def elevate(searcher: IndexSearcher, query: Query | str,
+            elevated_ids: list[int], k: int = 10,
+            exclude_ids: list[int] | None = None):
+    """QueryElevationComponent (``solr/core/.../handler/component/
+    QueryElevationComponent.java``): pin the configured doc_ids to the top
+    (in the given order) regardless of score, optionally exclude others;
+    the rest rank by BM25 below the elevated set."""
+    excl = set(exclude_ids or [])
+    elev = [d for d in elevated_ids if d not in excl]
+    hits = searcher.search(query, k=k + len(elev) + len(excl))
+    scores = {d: s for d, s in hits}
+    out = [(d, float(scores.get(d, 0.0))) for d in elev]
+    seen = set(elev) | excl
+    for d, s in hits:
+        if d in seen:
+            continue
+        out.append((d, float(s)))
+        if len(out) >= k:
+            break
+    return out[:k]

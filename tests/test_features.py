@@ -137,3 +137,22 @@ def test_field_stats(searcher):
     assert st["min"] == v.min() and st["max"] == v.max()
     assert st["sum"] == v.sum()
     assert abs(st["mean"] - v.mean()) < 1e-12
+
+
+def test_query_elevation(searcher):
+    from lucene_solr_ray.search.features import elevate
+
+    s, _ = searcher
+    base = s.search("ray", k=10)
+    assert len(base) >= 3
+    pin = [base[5][0] if len(base) > 5 else base[-1][0], base[2][0]]
+    out = elevate(s, "ray", pin, k=10)
+    assert [d for d, _ in out[:2]] == pin
+    # remaining ranking preserves BM25 order minus the pinned docs
+    rest = [d for d, _ in out[2:]]
+    want_rest = [d for d, _ in base if d not in pin][:len(rest)]
+    assert rest == want_rest
+    # exclusion removes a doc entirely
+    out2 = elevate(s, "ray", pin[:1], k=10, exclude_ids=[pin[1]])
+    assert pin[1] not in [d for d, _ in out2]
+    assert out2[0][0] == pin[0]
