@@ -81,3 +81,80 @@ def to_transcript_schema(ds: rd.Dataset, id_col: str | None = "id") -> rd.Datase
         })
 
     return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+def load_trec_docs(path: str) -> rd.Dataset:
+    """TREC SGML corpus reader (``lucene/benchmark/src/java/org/apache/
+    lucene/benchmark/byTask/feeds/TrecContentSource.java`` /
+    TrecDocParser): ``<DOC>`` blocks with ``<DOCNO>`` ids; the text is
+    everything inside ``<TEXT>``(s), with remaining SGML tags stripped.
+
+    Files are read whole per task (TREC files are many and modestly
+    sized — the reference reads them the same way) and split into docs
+    with one vectorized regex pass per file.
+    """
+    import re
+
+    doc_re = re.compile(r"<DOC>(.*?)</DOC>", re.DOTALL)
+    docno_re = re.compile(r"<DOCNO>\s*(.*?)\s*</DOCNO>", re.DOTALL)
+    text_re = re.compile(r"<TEXT>(.*?)</TEXT>", re.DOTALL)
+    tag_re = re.compile(r"<[^>]+>")
+
+    ds = rd.read_binary_files(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for blob in batch.column("bytes"):
+            content = blob.as_py().decode("utf-8", errors="replace")
+            for m in doc_re.finditer(content):
+                block = m.group(1)
+                dn = docno_re.search(block)
+                body_parts = text_re.findall(block) or [block]
+                body = tag_re.sub(" ", " ".join(body_parts))
+                ids.append(dn.group(1) if dn else f"doc-{len(ids)}")
+                texts.append(" ".join(body.split()))
+        return pa.table({
+            "id": pa.array(ids, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def load_reuters_docs(path: str) -> rd.Dataset:
+    """Reuters-21578-style SGML reader (``lucene/benchmark/.../feeds/
+    ReutersContentSource.java``; also covers the extracted one-file-per-
+    doc layout): ``<REUTERS>`` blocks with ``<TITLE>`` and ``<BODY>``;
+    id from the NEWID attribute."""
+    import re
+
+    doc_re = re.compile(r"<REUTERS[^>]*NEWID=\"(\d+)\"[^>]*>(.*?)</REUTERS>",
+                        re.DOTALL)
+    title_re = re.compile(r"<TITLE>(.*?)</TITLE>", re.DOTALL)
+    body_re = re.compile(r"<BODY>(.*?)</BODY>", re.DOTALL)
+    tag_re = re.compile(r"<[^>]+>")
+
+    ds = rd.read_binary_files(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for blob in batch.column("bytes"):
+            content = blob.as_py().decode("utf-8", errors="replace")
+            for m in doc_re.finditer(content):
+                newid, block = m.group(1), m.group(2)
+                title = title_re.search(block)
+                body = body_re.search(block)
+                parts = []
+                if title:
+                    parts.append(title.group(1))
+                if body:
+                    parts.append(body.group(1))
+                text = tag_re.sub(" ", " ".join(parts) or block)
+                ids.append(newid)
+                texts.append(" ".join(text.split()))
+        return pa.table({
+            "id": pa.array(ids, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -56,3 +56,69 @@ def test_text_loader(ray_session, files, tmp_path):
     ds = load_text_lines(str(files / "docs.txt"))
     rows = sorted(r["text"] for r in ds.take_all())
     assert rows == sorted(t for _, t in DOCS)
+
+
+# --- round 2: TREC / Reuters corpus readers ---
+
+def test_trec_reader(ray_session, tmp_path):
+    from lucene_solr_ray.sources.loaders import load_trec_docs
+
+    (tmp_path / "f1.sgml").write_text(
+        "<DOC>\n<DOCNO> FBIS-1 </DOCNO>\n<HEADER>skip me</HEADER>\n"
+        "<TEXT>\nAlpha beta <P>gamma</P> delta.\n</TEXT>\n</DOC>\n"
+        "<DOC>\n<DOCNO>FBIS-2</DOCNO>\n<TEXT>second doc</TEXT>"
+        "<TEXT>more text</TEXT>\n</DOC>\n")
+    out = load_trec_docs(str(tmp_path / "f1.sgml")).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert out["id"].tolist() == ["FBIS-1", "FBIS-2"]
+    assert out["text"][0] == "Alpha beta gamma delta."
+    assert out["text"][1] == "second doc more text"
+
+
+def test_reuters_reader(ray_session, tmp_path):
+    from lucene_solr_ray.sources.loaders import load_reuters_docs
+
+    (tmp_path / "reut.sgm").write_text(
+        '<REUTERS TOPICS="YES" NEWID="42">\n<DATE>1-MAR-1987</DATE>\n'
+        "<TEXT>\n<TITLE>GRAIN PRICES UP</TITLE>\n"
+        "<BODY>Wheat rose sharply today.\nReuter\n</BODY></TEXT>\n"
+        "</REUTERS>\n"
+        '<REUTERS NEWID="43"><TEXT><TITLE>NO BODY HERE</TITLE></TEXT>'
+        "</REUTERS>\n")
+    out = load_reuters_docs(str(tmp_path / "reut.sgm")).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert out["id"].tolist() == ["42", "43"]
+    assert out["text"][0] == "GRAIN PRICES UP Wheat rose sharply today. Reuter"
+    assert out["text"][1] == "NO BODY HERE"
+
+
+def test_trec_corpus_indexes_end_to_end(ray_session, tmp_path):
+    """Reader output feeds build_index through the transcript adapter."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+    from lucene_solr_ray.sources.loaders import load_trec_docs
+
+    blocks = "".join(
+        f"<DOC><DOCNO>D{i:03d}</DOCNO><TEXT>document number {i} about "
+        f"{'ray data' if i % 2 else 'index merge'}</TEXT></DOC>\n"
+        for i in range(40))
+    (tmp_path / "c.sgml").write_text(blocks)
+    docs = load_trec_docs(str(tmp_path / "c.sgml"))
+
+    import pyarrow as pa
+
+    def to_schema(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t.column("id"),
+            "turn_idx": pa.array([0] * len(t), type=pa.int32()),
+            "text": t.column("text"),
+        })
+
+    ds = docs.map_batches(to_schema, batch_format="pyarrow")
+    idx = tmp_path / "idx"
+    build_index(ds, str(idx), num_shards=2, assume_sorted=False)
+    s = IndexSearcher(str(idx))
+    hits = s.search("ray AND data", k=5)
+    assert hits
+    rows = s.resolve_hits(hits)
+    assert all(r["conv_id"].startswith("D") for r in rows)
