@@ -156,6 +156,23 @@ class OracleIndex:
             return self._score_boolean(q)
         if isinstance(q, MatchNoDocs):
             return {}
+        from .query import ConstantScoreQuery, DisMaxQuery
+
+        if isinstance(q, ConstantScoreQuery):
+            return {d: np.float32(q.boost)
+                    for d in self._score_clause(q.query)}
+        if isinstance(q, DisMaxQuery):
+            # DisjunctionMaxScorer.score(): float max + double sum, then
+            # (float)(max + (sum - max) * tieBreaker)
+            per = [self._score_clause(c) for c in q.clauses]
+            out: dict[int, np.float32] = {}
+            for d in set().union(*[set(m) for m in per]) if per else set():
+                vals = [m[d] for m in per if d in m]
+                mx = max(vals)
+                ssum = float(np.sum([float(v) for v in vals]))
+                out[d] = np.float32(
+                    float(mx) + (ssum - float(mx)) * q.tie_breaker)
+            return out
         raise TypeError(f"unsupported query node: {type(q)}")
 
     def _score_boolean(self, q: BooleanQuery) -> dict[int, np.float32]:

@@ -57,6 +57,27 @@ class MatchNoDocs(Query):
     """A clause that analyzed away entirely (e.g. a pure-stopword term)."""
 
 
+@dataclass
+class DisMaxQuery(Query):
+    """DisjunctionMaxQuery (``lucene/core/src/java/org/apache/lucene/
+    search/DisjunctionMaxQuery.java``, the dismax parser's scoring core):
+    a doc matching any clause scores max(clause scores) +
+    tie_breaker * (sum of the other matching clauses' scores)."""
+
+    clauses: list = field(default_factory=list)
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """ConstantScoreQuery (``search/ConstantScoreQuery.java``): every
+    matching doc of the wrapped query scores exactly ``boost`` (the
+    filter-query wrapper)."""
+
+    query: Query = None
+    boost: float = 1.0
+
+
 @dataclass(frozen=True)
 class MultiTermQuery(Query):
     """Base for term-expanding queries. Reference semantics: the default

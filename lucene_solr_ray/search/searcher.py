@@ -73,6 +73,8 @@ def _merge_sort_key(hit, sort):
 
 
 def collect_terms(q: Query) -> set[str]:
+    from .query import ConstantScoreQuery, DisMaxQuery
+
     if isinstance(q, TermQuery):
         return {q.term}
     if isinstance(q, PhraseQuery):
@@ -82,6 +84,13 @@ def collect_terms(q: Query) -> set[str]:
         for c in q.clauses():
             out |= collect_terms(c)
         return out
+    if isinstance(q, DisMaxQuery):
+        out = set()
+        for c in q.clauses:
+            out |= collect_terms(c)
+        return out
+    if isinstance(q, ConstantScoreQuery):
+        return collect_terms(q.query)
     return set()
 
 
@@ -330,7 +339,34 @@ class ShardSearcher:
             return self._score_boolean(q, df_map)
         if isinstance(q, MatchNoDocs):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        from .query import ConstantScoreQuery, DisMaxQuery
+
+        if isinstance(q, ConstantScoreQuery):
+            docs, _ = self._score_clause(q.query, df_map)
+            return docs, np.full(len(docs), np.float32(q.boost),
+                                 dtype=np.float32)
+        if isinstance(q, DisMaxQuery):
+            return self._score_dismax(q, df_map)
         raise TypeError(f"unsupported query node: {type(q)}")
+
+    def _score_dismax(self, q, df_map: dict[str, int]):
+        """DisjunctionMaxScorer: float32 max + float64 sum per doc, final
+        (float)(max + (sum - max) * tieBreaker)."""
+        per = [self._score_clause(c, df_map) for c in q.clauses]
+        per = [(d, s) for d, s in per if len(d)]
+        if not per:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        all_docs = np.unique(np.concatenate([d for d, _ in per]))
+        smax = np.zeros(len(all_docs), dtype=np.float32)
+        ssum = np.zeros(len(all_docs), dtype=np.float64)
+        for d2, s2 in per:
+            idx = np.searchsorted(all_docs, d2)
+            ssum[idx] += s2.astype(np.float64)
+            np.maximum.at(smax, idx, s2)
+        scores = (smax.astype(np.float64)
+                  + (ssum - smax.astype(np.float64)) * q.tie_breaker
+                  ).astype(np.float32)
+        return all_docs, scores
 
     def _score_boolean(self, q: BooleanQuery, df_map: dict[str, int]):
         must = [self._score_clause(c, df_map) for c in q.must]

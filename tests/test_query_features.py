@@ -209,3 +209,48 @@ def test_actor_pool_sort_and_filter(ray_session, indexed, tmp_path_factory):
                 [(d, float(sc)) for d, sc in want], kwargs
     finally:
         dist.close()
+
+
+# --- DisjunctionMax + ConstantScore -----------------------------------
+
+def test_dismax_identity_and_math(indexed):
+    import numpy as np
+
+    from lucene_solr_ray.search.query import DisMaxQuery
+
+    s, oi, _ = indexed
+    for tie in (0.0, 0.3, 1.0):
+        q = DisMaxQuery([TermQuery("ray"), TermQuery("data"),
+                         PhraseQuery(("ray", "data"), (0, 1))],
+                        tie_breaker=tie)
+        got = s.search(q, k=15)
+        want = oi.search(q, k=15)
+        assert [(d, float(sc)) for d, sc in got] == \
+            [(d, float(sc)) for d, sc in want], tie
+    # tie=1.0 equals the boolean sum-of-clauses ranking
+    q1 = DisMaxQuery([TermQuery("ray"), TermQuery("data")], tie_breaker=1.0)
+    qb = BooleanQuery(should=[TermQuery("ray"), TermQuery("data")])
+    d1 = [d for d, _ in s.search(q1, k=20)]
+    db = [d for d, _ in s.search(qb, k=20)]
+    assert d1 == db
+    # tie=0: score is exactly the max clause score
+    q0 = DisMaxQuery([TermQuery("ray"), TermQuery("data")], tie_breaker=0.0)
+    for d, sc in s.search(q0, k=5):
+        sr = dict(oi._score_clause(TermQuery("ray"))).get(d, np.float32(0))
+        sd = dict(oi._score_clause(TermQuery("data"))).get(d, np.float32(0))
+        assert abs(sc - max(sr, sd)) < 1e-6
+
+
+def test_constant_score_query(indexed):
+    from lucene_solr_ray.search.query import ConstantScoreQuery
+
+    s, oi, _ = indexed
+    inner = BooleanQuery(must=[TermQuery("ray"), TermQuery("data")])
+    q = ConstantScoreQuery(query=inner, boost=2.5)
+    got = s.search(q, k=50)
+    want = oi.search(q, k=50)
+    assert [(d, float(sc)) for d, sc in got] == \
+        [(d, float(sc)) for d, sc in want]
+    assert got and all(float(sc) == 2.5 for _, sc in got)
+    # same matching docs as the unwrapped query
+    assert {d for d, _ in got} == {d for d, _ in s.search(inner, k=50)}
