@@ -539,21 +539,41 @@ def compute_stats(runs: rd.Dataset) -> dict:
 # fused fast path: one task per source row-group span
 # --------------------------------------------------------------------------
 
-def _plan_source_tasks(source: str, target_rows: int):
-    """Driver-side plan from parquet footers only: list of
-    (file, [row_group_idx...], doc_id_offset, n_rows). At petabyte scale
-    this loop itself shards over files; footer reads stay O(files)."""
+@ray.remote
+def _footer_rg_rows(f: str) -> list[int]:
+    md = pq.ParquetFile(f).metadata
+    return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
+
+def _read_footers(source: str):
+    """(files, per-file row-group row counts) — footer reads fan out as
+    Ray tasks past a handful of files (a 100 TB corpus has thousands of
+    files; a serial driver loop over their footers was the one remaining
+    serial stage in the build plan)."""
     src = Path(source)
-    files = sorted(str(p) for p in ([src] if src.is_file() else src.glob("*.parquet")))
+    files = sorted(str(p) for p in
+                   ([src] if src.is_file() else src.glob("*.parquet")))
+    if len(files) > 8 and ray.is_initialized():
+        rg_rows = ray.get([_footer_rg_rows.remote(f) for f in files])
+    else:
+        rg_rows = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            rg_rows.append([md.row_group(i).num_rows
+                            for i in range(md.num_row_groups)])
+    return files, rg_rows
+
+
+def _assemble_plan(files, rg_rows, target_rows: int):
+    """(file, [row_group_idx...], doc_id_offset, n_rows) tasks from the
+    pre-read footer metadata."""
     tasks = []
     offset = 0
-    for f in files:
-        md = pq.ParquetFile(f).metadata
+    for f, rows in zip(files, rg_rows):
         cur_rgs: list[int] = []
         cur_rows = 0
         cur_offset = offset
-        for rg in range(md.num_row_groups):
-            n = md.row_group(rg).num_rows
+        for rg, n in enumerate(rows):
             cur_rgs.append(rg)
             cur_rows += n
             offset += n
@@ -563,6 +583,11 @@ def _plan_source_tasks(source: str, target_rows: int):
         if cur_rgs:
             tasks.append((f, cur_rgs, cur_offset, cur_rows))
     return tasks, offset
+
+
+def _plan_source_tasks(source: str, target_rows: int):
+    files, rg_rows = _read_footers(source)
+    return _assemble_plan(files, rg_rows, target_rows)
 
 
 @ray.remote
@@ -661,16 +686,16 @@ def _build_fused(source: str, index_path: Path, docs_per_shard: int | None,
     runs_dir.mkdir(parents=True, exist_ok=True)
     norms_dir.mkdir(parents=True, exist_ok=True)
 
-    # plan from footers (no data read)
-    probe_total = sum(pq.ParquetFile(f).metadata.num_rows for f in (
-        [str(source)] if Path(source).is_file()
-        else sorted(str(p) for p in Path(source).glob("*.parquet"))))
+    # plan from footers (no data read; footers fan out as Ray tasks when
+    # the corpus spans many files)
+    files, rg_rows = _read_footers(str(source))
+    probe_total = sum(sum(r) for r in rg_rows)
     if docs_per_shard is None:
         num_shards = num_shards or 8
         docs_per_shard = max(1, -(-probe_total // num_shards))
     actual_shards = max(1, -(-probe_total // docs_per_shard))
     target_rows = max(8192, probe_total // max(1, concurrency * 3))
-    tasks, total_docs = _plan_source_tasks(str(source), target_rows)
+    tasks, total_docs = _assemble_plan(files, rg_rows, target_rows)
     params_file = index_path / "_BUILD_PARAMS.json"
     plan = {"docs_per_shard": int(docs_per_shard),
             "total_docs": int(total_docs),
