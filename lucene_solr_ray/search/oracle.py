@@ -156,8 +156,23 @@ class OracleIndex:
             return self._score_boolean(q)
         if isinstance(q, MatchNoDocs):
             return {}
-        from .query import ConstantScoreQuery, DisMaxQuery
+        from .query import ConstantScoreQuery, DisMaxQuery, SpanFirstQuery
 
+        if isinstance(q, SpanFirstQuery):
+            plist = self.postings.get(q.term)
+            if not plist:
+                return {}
+            w = bm25.weight_value(
+                bm25.idf(len(plist), self.doc_count), q.boost)
+            cache = self._norm_cache()
+            out = {}
+            for doc_id, _, pos in plist:
+                f = sum(1 for p in pos if p < q.end)
+                if f:
+                    fv = np.float32(f)
+                    norm = cache[self.norms[doc_id]]
+                    out[doc_id] = np.float32(np.float32(w) * fv / (fv + norm))
+            return out
         if isinstance(q, ConstantScoreQuery):
             return {d: np.float32(q.boost)
                     for d in self._score_clause(q.query)}

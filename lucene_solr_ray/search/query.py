@@ -69,6 +69,20 @@ class DisMaxQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanFirstQuery(Query):
+    """SpanFirstQuery over a single term (``lucene/core/src/java/org/
+    apache/lucene/search/spans/SpanFirstQuery.java``): matches docs where
+    the term occurs at a position < ``end``; freq = number of such
+    positions (single-term spans have zero width, slop factor 1), weight
+    = idf like a TermQuery. The general span algebra (SpanNear etc.) is
+    not reproduced — sloppy phrases cover the proximity use case."""
+
+    term: str = ""
+    end: int = 1
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     """ConstantScoreQuery (``search/ConstantScoreQuery.java``): every
     matching doc of the wrapped query scores exactly ``boost`` (the

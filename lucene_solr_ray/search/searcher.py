@@ -73,9 +73,11 @@ def _merge_sort_key(hit, sort):
 
 
 def collect_terms(q: Query) -> set[str]:
-    from .query import ConstantScoreQuery, DisMaxQuery
+    from .query import ConstantScoreQuery, DisMaxQuery, SpanFirstQuery
 
     if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, SpanFirstQuery):
         return {q.term}
     if isinstance(q, PhraseQuery):
         return set(q.terms)
@@ -339,8 +341,10 @@ class ShardSearcher:
             return self._score_boolean(q, df_map)
         if isinstance(q, MatchNoDocs):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        from .query import ConstantScoreQuery, DisMaxQuery
+        from .query import ConstantScoreQuery, DisMaxQuery, SpanFirstQuery
 
+        if isinstance(q, SpanFirstQuery):
+            return self._score_span_first(q, df_map)
         if isinstance(q, ConstantScoreQuery):
             docs, _ = self._score_clause(q.query, df_map)
             return docs, np.full(len(docs), np.float32(q.boost),
@@ -348,6 +352,25 @@ class ShardSearcher:
         if isinstance(q, DisMaxQuery):
             return self._score_dismax(q, df_map)
         raise TypeError(f"unsupported query node: {type(q)}")
+
+    def _score_span_first(self, q, df_map: dict[str, int]):
+        """SpanFirstQuery: freq = positions < end, vectorized via the
+        decoded position stream + reduceat over posting boundaries."""
+        p = self._postings(q.term)
+        if p is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        docs, freqs, row = p
+        flat, offs = segment.decode_positions(self._pos_enc[row], freqs)
+        hits = (flat < q.end).astype(np.int64)
+        f = np.add.reduceat(hits, offs[:-1]) if len(flat) else \
+            np.zeros(len(docs), dtype=np.int64)
+        keep = f > 0
+        docs, f = docs[keep], f[keep]
+        w = bm25.weight_value(
+            bm25.idf(df_map.get(q.term, 0), self.doc_count), q.boost)
+        scores = bm25.score_freqs(f, self.norms[docs - self.base],
+                                  self.cache, w)
+        return self._live(docs, scores)
 
     def _score_dismax(self, q, df_map: dict[str, int]):
         """DisjunctionMaxScorer: float32 max + float64 sum per doc, final

@@ -254,3 +254,27 @@ def test_constant_score_query(indexed):
     assert got and all(float(sc) == 2.5 for _, sc in got)
     # same matching docs as the unwrapped query
     assert {d for d, _ in got} == {d for d, _ in s.search(inner, k=50)}
+
+
+def test_span_first_identity_and_semantics(indexed):
+    from lucene_solr_ray.search.query import SpanFirstQuery
+
+    s, oi, t = indexed
+    for end in (1, 3, 8):
+        q = SpanFirstQuery(term="ray", end=end)
+        got = s.search(q, k=30)
+        want = oi.search(q, k=30)
+        assert [(d, float(sc)) for d, sc in got] == \
+            [(d, float(sc)) for d, sc in want], end
+    # every hit actually has the term within the first `end` positions
+    texts = t.column("text").to_pylist()
+    q3 = SpanFirstQuery(term="ray", end=3)
+    for d, _ in s.search(q3, k=50):
+        terms, positions = oi.analyzer.analyze(texts[d])
+        early = [p for tm, p in zip(terms, positions)
+                 if tm == "ray" and p < 3]
+        assert early, d
+    # growing the window can only add matches
+    h1 = {d for d, _ in s.search(SpanFirstQuery(term="ray", end=1), k=500)}
+    h8 = {d for d, _ in s.search(SpanFirstQuery(term="ray", end=8), k=500)}
+    assert h1 <= h8
