@@ -70,3 +70,33 @@ def test_deep_composition():
     x = np.array([1, 4, 9, 16.0])
     y = np.array([2, 0, -2, 10.0])
     np.testing.assert_allclose(got, x * (1 - y / 10) + 10 / (x + 10))
+
+
+# --- fuzz: the parser never crashes unexpectedly ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_parse_func_total(text):
+    """parse_func either returns an AST or raises ValueError — never
+    crashes with anything else."""
+    try:
+        parse_func(text)
+    except ValueError:
+        pass
+
+
+@given(st.recursive(
+    st.sampled_from(["x", "y", "1", "2.5"]),
+    lambda inner: st.tuples(
+        st.sampled_from(["sum", "mul", "max", "min"]),
+        st.lists(inner, min_size=2, max_size=3)).map(
+        lambda t: f"{t[0]}({','.join(t[1])})"),
+    max_leaves=8))
+@settings(max_examples=150, deadline=None)
+def test_generated_expressions_evaluate(expr):
+    out = compile_expr(expr)(T)
+    assert len(out) == len(T)

@@ -125,3 +125,18 @@ def test_fulltext_search_stream(ray_session):
     assert list(out.columns) == ["doc_id", "score"]
     assert 0 < len(out) <= 5
     assert (out["score"].to_numpy()[:-1] >= out["score"].to_numpy()[1:]).all()
+
+
+# --- fuzz: stream parser is total (ValueError or tree, never a crash) --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_stream_parser_total(text):
+    try:
+        parse_expr(text)
+    except ValueError:
+        pass
