@@ -707,6 +707,29 @@ class IndexSearcher:
                                                      kv[0]))
         return ranked[:k]
 
+    def terms(self, prefix: str = "", regex: str | None = None,
+              limit: int = 10, sort: str = "count") -> list[tuple[str, int]]:
+        """TermsComponent (``solr/core/.../handler/component/
+        TermsComponent.java``): enumerate index terms with global docFreq,
+        filtered by prefix and/or regex, sorted by count desc (value asc
+        ties) or by value ('index' order)."""
+        import re as _re
+
+        rx = _re.compile(regex) if regex else None
+        agg: dict[str, int] = {}
+        for sh in self.shards:
+            for t, i in sh._terms.items():
+                if prefix and not t.startswith(prefix):
+                    continue
+                if rx is not None and not rx.fullmatch(t):
+                    continue
+                agg[t] = agg.get(t, 0) + int(sh._df[i])
+        if sort == "index":
+            ranked = sorted(agg.items())
+        else:
+            ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:limit]
+
     def suggest(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
         """Prefix suggestions ranked by global docFreq (TermsComponent /
         suggester analog over the term dictionary)."""

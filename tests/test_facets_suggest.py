@@ -108,3 +108,23 @@ def test_facet_missing_field_docs_omitted(searcher):
         s._docvalue_cache.pop("role", None)
     assert "None" not in got
     assert sum(got.values()) == sum(full.values()) - len(blanked)
+
+
+def test_terms_component(searcher):
+    s, src = searcher
+    # count order: df desc, value asc ties; all terms carry positive df
+    out = s.terms(limit=10)
+    assert len(out) == 10
+    dfs = [d for _, d in out]
+    assert dfs == sorted(dfs, reverse=True)
+    # prefix filter
+    t0 = s.terms(prefix="t0", limit=50)
+    assert t0 and all(t.startswith("t0") for t, _ in t0)
+    # regex filter + index order
+    rx = s.terms(regex="t0+1.*", limit=20, sort="index")
+    assert rx and [t for t, _ in rx] == sorted(t for t, _ in rx)
+    # global df equals the sum the suggester computes
+    sug = dict(s.suggest("t0", k=5))
+    for t, d in s.terms(prefix="t0", limit=5):
+        if t in sug:
+            assert sug[t] == d
