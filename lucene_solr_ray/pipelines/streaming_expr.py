@@ -236,6 +236,10 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
         return native_join(left, right, on=lk.strip(),
                            right_on=(rk or lk).strip(), join_type=jt)
     if name in ("intersect", "complement"):
+        # broadcast key-set semantics (IntersectStream/ComplementStream):
+        # the SECOND stream is the small side, as in the reference's
+        # sorted-stream conventions — its join keys are collected and
+        # broadcast, the first stream filters vectorized
         left = evaluate(e.args[0], sf_dir)
         right = evaluate(e.args[1], sf_dir)
         lk, _, rk = e.params["on"].partition("=")
