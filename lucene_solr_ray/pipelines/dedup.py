@@ -36,7 +36,12 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Min
 
-from .util import bucketed_group_agg, native_join, read
+from .util import bucketed_group_agg, materialize_typed, native_join, read
+
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+_VERIFIED_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("jaccard", pa.float64())])
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 # -- exact --------------------------------------------------------------
 
@@ -215,25 +220,13 @@ def _verified_pairs_ds(sf_dir: str, threshold: float) -> rd.Dataset:
     # materialize the candidate pairs (bounded by the near-dup rate, far
     # smaller than the corpus; blocks stay in the distributed object
     # store) so the band-bucket shuffle and the verify joins don't
-    # contend for executor resources inside one streaming DAG
-
-    def pair_schema(t: pa.Table) -> pa.Table:
-        # groupby over empty partitions can emit zero-column blocks;
-        # normalize so the join partitioner always sees the key columns
-        if t.num_columns == 0:
-            return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                             "doc_b": pa.array([], type=pa.int64())})
-        return t.select(["doc_a", "doc_b"])
-
-    cand = (minhash_candidates(sf_dir)
-            .map_batches(pair_schema, batch_format="pyarrow")
-            .materialize())
-    if cand.count() == 0:  # schema-less empty side would break the join
-        return rd.from_arrow(pa.table({
-            "doc_a": pa.array([], type=pa.int64()),
-            "doc_b": pa.array([], type=pa.int64()),
-            "jaccard": pa.array([], type=pa.float64()),
-        }))
+    # contend for executor resources inside one streaming DAG.
+    # materialize_typed also purges the zero-column empty blocks that
+    # groupby emits for empty hash partitions — those crash the join's
+    # build side at high partition counts (see util.materialize_typed).
+    cand = materialize_typed(minhash_candidates(sf_dir), _PAIR_SCHEMA)
+    if cand.count() == 0:
+        return rd.from_arrow(_VERIFIED_SCHEMA.empty_table())
     docs = read(sf_dir, "documents", ["doc_id", "text"])
     sh = docs.map_batches(_shingle_blob_batch, batch_format="pandas")
     j1 = native_join(cand, sh, on="doc_a", right_on="doc_id")
@@ -294,7 +287,8 @@ def minhash_dedup_keep(sf_dir: str, threshold: float = 0.6,
     Returns (doc_id, keep) for every document.
     """
     docs = read(sf_dir, "documents", ["doc_id"])
-    pairs = _verified_pairs_ds(sf_dir, threshold).materialize()
+    pairs = materialize_typed(_verified_pairs_ds(sf_dir, threshold),
+                              _VERIFIED_SCHEMA)
 
     def all_keep(t: pa.Table) -> pa.Table:
         return t.append_column("keep", pa.array(np.ones(len(t), dtype=bool)))
@@ -304,65 +298,58 @@ def minhash_dedup_keep(sf_dir: str, threshold: float = 0.6,
 
     def as_edges(a: str, b: str):
         def fn(t: pa.Table) -> pa.Table:
-            # normalize zero-column empty blocks so shuffle partitioners
-            # always see the key columns
-            if t.num_columns == 0:
-                return pa.table({"src": pa.array([], type=pa.int64()),
-                                 "dst": pa.array([], type=pa.int64())})
             return pa.table({"src": t.column(a), "dst": t.column(b)})
         return fn
 
-    fwd = pairs.map_batches(as_edges("doc_a", "doc_b"), batch_format="pyarrow")
-    rev = pairs.map_batches(as_edges("doc_b", "doc_a"), batch_format="pyarrow")
-    edges = fwd.union(rev).materialize()
+    # every dataset that feeds a hash-shuffle join/groupby goes through
+    # materialize_typed: map-level normalizers cannot repair the
+    # zero-column empty blocks groupby emits for empty partitions
+    # (map_batches skips empty blocks), and one such block on a join's
+    # build side is an ArrowInvalid crash at production parallelism.
+    edges = materialize_typed(
+        pairs.map_batches(as_edges("doc_a", "doc_b"), batch_format="pyarrow")
+        .union(pairs.map_batches(as_edges("doc_b", "doc_a"),
+                                 batch_format="pyarrow")),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]))
 
     def init_labels(t: pa.Table) -> pa.Table:
-        ids = (np.unique(t.column("src").to_numpy(zero_copy_only=False))
-               if t.num_columns else np.empty(0, dtype=np.int64))
+        ids = np.unique(t.column("src").to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(ids, type=pa.int64()),
                          "label": pa.array(ids, type=pa.int64())})
 
-    def norm_labels(t: pa.Table) -> pa.Table:
-        # keep every round's label table in Arrow blocks with a fixed
-        # schema (mixing pandas/arrow blocks breaks the sort sampler)
-        if t.num_columns == 0:
-            return pa.table({"node": pa.array([], type=pa.int64()),
-                             "label": pa.array([], type=pa.int64())})
-        return pa.table({"node": t.column("node").cast(pa.int64()),
-                         "label": t.column("label").cast(pa.int64())})
-
-    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
-              .groupby("node").aggregate(Min("label", alias_name="label"))
-              .map_batches(norm_labels, batch_format="pyarrow")
-              .materialize())
+    labels = materialize_typed(
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("label", alias_name="label")),
+        _LABEL_SCHEMA)
     prev_sum = labels.sum("label")
 
     def as_labels(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0:
-            return pa.table({"node": pa.array([], type=pa.int64()),
-                             "label": pa.array([], type=pa.int64())})
         return pa.table({"node": t.column("dst"), "label": t.column("label")})
 
     for _ in range(max_rounds):
         msgs = native_join(edges, labels, on="src", right_on="node",
                            partitions_cap=8)
         incoming = msgs.map_batches(as_labels, batch_format="pyarrow")
-        labels = (incoming.union(labels)
-                  .groupby("node").aggregate(Min("label", alias_name="label"))
-                  .map_batches(norm_labels, batch_format="pyarrow")
-                  .materialize())
+        labels = materialize_typed(
+            incoming.union(labels)
+            .groupby("node").aggregate(Min("label", alias_name="label")),
+            _LABEL_SCHEMA)
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
 
     def only_dropped(batch: pd.DataFrame) -> pd.DataFrame:
-        if "label" not in batch.columns:
-            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
-                                 "label": pd.Series(dtype=np.int64)})
         return batch[batch["label"] < batch["node"]]
 
-    drop = labels.map_batches(only_dropped, batch_format="pandas")
+    # purge the 0-row blocks the filter leaves behind: Ray's hash shuffle
+    # broadcasts the schema to otherwise-empty partitions only from the
+    # FIRST shuffle task, and an empty input block returns early without
+    # broadcasting — so a small, mostly-empty-blocked side can leave join
+    # partitions schema-less (the 32-CPU ArrowInvalid crash).
+    drop = materialize_typed(
+        labels.map_batches(only_dropped, batch_format="pandas"),
+        _LABEL_SCHEMA)
     joined = native_join(docs, drop, on="doc_id", right_on="node",
                          join_type="left_outer")
 

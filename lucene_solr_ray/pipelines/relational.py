@@ -317,7 +317,7 @@ def leftouter_customer_orders(sf_dir: str):
     (0 when none). Per-customer counts via bucketed partial aggregation,
     then a native left-outer join — the counts side stays a Dataset
     (never pulled to the driver; at scale it is O(|customers|))."""
-    from .util import bucketed_group_agg, native_join
+    from .util import bucketed_group_agg, materialize_typed, native_join
 
     def partial(g: pd.DataFrame) -> pd.DataFrame:
         return (g.groupby("o_custkey", sort=False).size()
@@ -327,8 +327,12 @@ def leftouter_customer_orders(sf_dir: str):
         return (g.groupby("o_custkey", sort=False)["n_orders"].sum()
                 .reset_index())
 
-    counts = bucketed_group_agg(read(sf_dir, "orders", ["o_custkey"]),
-                                ["o_custkey"], merge, pre=partial)
+    # materialize_typed purges the schema-less empty blocks that group ops
+    # emit for empty partitions — those crash the join at high parallelism
+    counts = materialize_typed(
+        bucketed_group_agg(read(sf_dir, "orders", ["o_custkey"]),
+                           ["o_custkey"], merge, pre=partial),
+        pa.schema([("o_custkey", pa.int64()), ("n_orders", pa.int64())]))
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
     joined = native_join(cust, counts, on="c_custkey", right_on="o_custkey",
                          join_type="left_outer")

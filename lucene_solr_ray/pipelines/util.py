@@ -41,6 +41,44 @@ def round_col(batch: pa.Table, col: str, ndigits: int, out: str | None = None) -
     return batch.append_column(out, rounded)
 
 
+def _block_as_schema(block, schema: pa.Schema) -> pa.Table:
+    """Convert one block (pandas or arrow) to a pyarrow table with exactly
+    ``schema`` (column selection + cast)."""
+    import pandas as pd
+
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    return pa.table(
+        {name: block.column(name).cast(schema.field(name).type)
+         for name in schema.names})
+
+
+def materialize_typed(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Materialize ``ds`` and rebuild it from only its NON-EMPTY blocks,
+    each cast to ``schema``.
+
+    Why this exists: Ray's groupby/map_groups/aggregate ops emit
+    zero-column (schema-less) empty blocks for empty hash partitions, and
+    ``map_batches`` never invokes its fn on an empty block — the block is
+    forwarded untouched. So fn-level schema normalizers cannot repair
+    these, and a schema-less block reaching a hash-shuffle join's
+    build side crashes pyarrow with "No match ... for key field". The
+    fix has to happen at the block level: drop empty blocks, declare the
+    schema on the rest (tiny remote task per block; no driver copies).
+    The partition-count-dependence (more CPUs -> more empty partitions)
+    is why the bug appears only at production parallelism.
+    """
+    import ray
+
+    mat = ds.materialize()
+    refs = [r for b in mat.iter_internal_ref_bundles()
+            for r, m in zip(b.block_refs, b.metadata) if m.num_rows]
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    cast = ray.remote(num_cpus=0.1)(_block_as_schema)
+    return rd.from_arrow_refs([cast.remote(r, schema) for r in refs])
+
+
 def native_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -1,0 +1,63 @@
+"""32-CPU regression tests for partition-count-dependent schema bugs.
+
+The pytest session pins ``num_cpus=4`` (tests/conftest.py), which makes the
+suite structurally blind to bugs that only appear at production
+parallelism: Ray's hash-shuffle ops emit schema-less empty blocks for
+empty partitions, ``map_batches`` never invokes its fn on an empty block,
+and the shuffle's schema broadcast is skipped when the first shuffle task
+sees an empty input block.  With 32 CPUs there are more partitions, so
+empty partitions/blocks are far more likely — round 2's
+``minhash_dedup_keep`` was green at 8 CPUs and crashed with ArrowInvalid
+at 32 for exactly this reason.
+
+These tests therefore run the affected pipelines in a SUBPROCESS with a
+fresh ``ray.init(num_cpus=32)``.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+SF_DIR = "/root/testdata/sf0.001"
+
+_SCRIPT = """
+import ray
+ray.init(address="local", num_cpus=32, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+from lucene_solr_ray.pipelines.dedup import minhash_dedup_keep
+from lucene_solr_ray.pipelines.relational import leftouter_customer_orders
+
+out = minhash_dedup_keep({sf!r}).to_pandas()
+assert len(out) == 500, len(out)
+assert out["keep"].sum() > 0
+assert (~out["keep"]).sum() >= 0
+
+lo = leftouter_customer_orders({sf!r}).to_pandas()
+assert len(lo) > 0
+print("PARALLELISM_OK", len(out), int(out["keep"].sum()), len(lo))
+ray.shutdown()
+""".format(sf=SF_DIR)
+
+
+def test_dedup_and_join_at_32_cpus():
+    """minhash_dedup_keep + leftouter join must survive num_cpus=32
+    (regression: round-2 ArrowInvalid in HashShuffleAggregator.finalize)."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        cwd=str(REPO_ROOT),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"32-CPU run failed\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-4000:]}")
+    assert "PARALLELISM_OK" in proc.stdout
