@@ -407,10 +407,23 @@ def simhash_fingerprints(sf_dir: str):
     return ds.map_batches(_simhash_batch, batch_format="pandas")
 
 
-def simhash_neardup(sf_dir: str, max_hamming: int = 3):
+def simhash_neardup(sf_dir: str, max_hamming: int = 3,
+                    max_bucket_pairing: int = 2048, window: int = 64):
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, found
     via LSH over the four 16-bit fingerprint chunks (two fingerprints
-    within Hamming 3 of each other must agree exactly on >= 1 chunk)."""
+    within Hamming 3 of each other must agree exactly on >= 1 chunk —
+    pigeonhole over 4 chunks and <= 3 differing bits).
+
+    Buckets up to ``max_bucket_pairing`` members are paired exhaustively
+    (the radius-3 guarantee holds exactly). A hotter bucket — a single
+    (chunk, value) shared by >> 10^3 docs at corpus scale — would emit
+    C(m, 2) pairs, so it switches to Manku-style sorted-neighborhood
+    pairing ("Detecting Near-Duplicates for Web Crawling", WWW'07):
+    rotate each fingerprint so the shared chunk occupies the top bits,
+    sort, and pair each member with its next ``window`` neighbors —
+    O(m * window) pairs, and Hamming-close fingerprints (whose differing
+    bits are low-order after the rotation) stay adjacent in sort order.
+    """
     fps = simhash_fingerprints(sf_dir)
 
     def chunked(batch: pd.DataFrame) -> pd.DataFrame:
@@ -435,7 +448,20 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
             return empty
         ids = g["doc_id"].to_numpy()
         h = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
+        m = len(ids)
+        if m <= max_bucket_pairing:
+            ia, ib = np.triu_indices(m, k=1)
+        else:
+            # hot bucket: rotate the shared chunk to the top bits, sort,
+            # pair each fingerprint with its next `window` sort-neighbors
+            c = int(g["chunk"].iloc[0])
+            k = np.uint64((48 - 16 * c) % 64)
+            rot = h if k == 0 else ((h << k) | (h >> (np.uint64(64) - k)))
+            order = np.argsort(rot, kind="stable")
+            ia = np.concatenate([order[:-d] for d in range(1, window + 1)
+                                 if d < m])
+            ib = np.concatenate([order[d:] for d in range(1, window + 1)
+                                 if d < m])
         x = h[ia] ^ h[ib]
         dist = np.zeros(len(x), dtype=np.int64)
         while x.any():
@@ -444,7 +470,9 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
         keep = dist <= np.int64(max_hamming)
         if not keep.any():
             return empty
-        return pd.DataFrame({"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]],
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame({"doc_a": np.minimum(a, b),
+                             "doc_b": np.maximum(a, b),
                              "hamming": dist[keep]})
 
     found = (fps.map_batches(chunked, batch_format="pandas")

@@ -101,8 +101,9 @@ def knn_cosine_batch(sf_dir: str, query_vec_ids=(0, 7, 42), k: int = 5):
 
 
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
-                            n_planes: int = 4, n_tables: int = 16,
-                            seed: int = 42):
+                            n_planes: int | None = None, n_tables: int = 16,
+                            seed: int = 42, target_bucket: int = 512,
+                            max_bucket_pairing: int = 2048):
     """Embedding-cosine near-duplicate pairs via multi-table
     random-hyperplane LSH.
 
@@ -114,14 +115,31 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
     (n_planes, n_tables). The only shuffle is the (table, bucket) groupby;
     duplicate candidates across tables are deduped by a second tiny
     groupby on the verified pairs.
+
+    Scale controls (a fixed 4-plane table is 16 buckets — quadratic in
+    disguise at corpus scale):
+
+    - ``n_planes`` defaults to ``max(4, ceil(log2(N / target_bucket)))``
+      so the expected bucket size stays ~``target_bucket`` as N grows.
+    - A bucket that still exceeds ``max_bucket_pairing`` (skewed
+      embedding mass) is split recursively INSIDE the group with extra
+      deterministic hyperplanes (no additional shuffle) until sub-buckets
+      are pairable; pairs split apart by an extra plane can still collide
+      in any of the other ``n_tables - 1`` tables, so the recall model
+      degrades gracefully instead of the runtime degrading quadratically.
     """
     import pandas as pd
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_vecs = ds.count()  # parquet metadata count: no scan
+    if n_planes is None:
+        n_planes = max(4, int(np.ceil(np.log2(max(1.0, n_vecs / target_bucket)))))
     probe = ds.take(1)[0]
     dim = len(probe["embedding"])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, dim, n_planes))
+    # extra split planes for hot buckets, shared by every group/table
+    split_planes = np.random.default_rng(seed + 1).standard_normal((24, dim))
     planes_ref = ray.put(planes)
 
     def bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -155,15 +173,42 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
         ids = g["vec_id"].to_numpy()
         m = np.stack([np.frombuffer(b, dtype=np.float32)
                       for b in g["vec"]]).astype(np.float64)
-        sims = m @ m.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        if not keep.any():
+        out_a, out_b, out_s = [], [], []
+
+        def emit(idx: np.ndarray, ia: np.ndarray, ib: np.ndarray):
+            sims = np.einsum("ij,ij->i", m[idx[ia]], m[idx[ib]])
+            keep = sims >= threshold
+            if keep.any():
+                a, b = ids[idx[ia[keep]]], ids[idx[ib[keep]]]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_s.append(sims[keep])
+
+        def rec(idx: np.ndarray, depth: int):
+            n = len(idx)
+            if n < 2:
+                return
+            if n <= max_bucket_pairing:
+                ia, ib = np.triu_indices(n, k=1)
+                emit(idx, ia, ib)
+                return
+            if depth >= len(split_planes):
+                # degenerate bucket (e.g. > cap identical vectors): chain
+                # pairing bounds the output; transitive duplicates are
+                # recoverable by clustering the emitted pairs
+                order = np.argsort(ids[idx], kind="stable")
+                emit(idx, order[:-1], order[1:])
+                return
+            s = m[idx] @ split_planes[depth] > 0
+            rec(idx[s], depth + 1)
+            rec(idx[~s], depth + 1)
+
+        rec(np.arange(len(ids)), 0)
+        if not out_a:
             return empty
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi,
-                             "cosine": sims[ia[keep], ib[keep]]})
+        return pd.DataFrame({"vec_a": np.concatenate(out_a),
+                             "vec_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_s)})
 
     from .util import bucketed_group_agg
 

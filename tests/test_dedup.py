@@ -145,3 +145,48 @@ def test_shingle_hash_kernel_vectorized_consistency():
     # different texts hash differently (w.h.p.)
     assert not np.array_equal(dedup._shingle_set("hello world this is a"),
                               dedup._shingle_set("goodbye moon that was b"))
+
+
+def test_simhash_hot_bucket_bounded(ray_session, tmp_path):
+    """A deliberately hot (chunk, value) bucket — thousands of docs with
+    near-identical fingerprints — must pair in O(m * window), not C(m, 2),
+    and still find sorted-neighborhood near-dups."""
+    import time
+
+    # many copies of a few near-identical texts: all land in the same
+    # 16-bit chunk buckets with tiny Hamming distances
+    n = 3000
+    texts = [f"the quick brown fox jumps over the lazy dog variant {i % 4}"
+             for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    t0 = time.monotonic()
+    out = dedup.simhash_neardup(str(tmp_path), max_hamming=3,
+                                max_bucket_pairing=256,
+                                window=8).to_pandas()
+    elapsed = time.monotonic() - t0
+    # identical texts share fingerprints -> sort-adjacent -> found
+    assert len(out) > 0
+    assert (out["doc_a"] < out["doc_b"]).all()
+    # boundedness: window pairing emits <= m * window * chunks pairs
+    assert len(out) < n * 8 * 4, len(out)
+    assert elapsed < 120, elapsed
+
+
+def test_simhash_neardup_exhaustive_small_unchanged(ray_session, tmp_path):
+    """On a bucket under the cap the radius-3 guarantee is exact — the cap
+    path must not perturb small-corpus results."""
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta",
+             "alpha beta gamma epsilon", "totally different words here"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    }), str(tmp_path / "documents.parquet"))
+    a = dedup.simhash_neardup(str(tmp_path)).to_pandas()
+    b = dedup.simhash_neardup(str(tmp_path),
+                              max_bucket_pairing=100000).to_pandas()
+    assert a.equals(b)
+    got = {(int(x), int(y)) for x, y in zip(a["doc_a"], a["doc_b"])}
+    assert (0, 1) in got  # identical texts

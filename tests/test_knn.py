@@ -64,3 +64,67 @@ def test_ivf_index_is_bucket_partitioned(ray_session, tmp_path):
     # rebuild is a no-op (manifest detected)
     knn.build_ivf_index(SF, out, n_centroids=8, seed=1)
     assert d.to_table(columns=["vec_id"]).num_rows == 3 * n
+
+
+def _brute_force_pairs(sf_dir: str, threshold: float):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    keep = sims[ia, ib] >= threshold
+    return {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i, j in zip(ia[keep], ib[keep])}
+
+
+def test_embedding_neardup_recall_vs_brute_force(ray_session):
+    """Multi-table sign-LSH + exact verify: no false positives, and
+    recall >= 0.8 of the brute-force cosine>=threshold pair set."""
+    want = _brute_force_pairs(SF, 0.3)
+    got_df = knn.embedding_neardup_pairs(SF, threshold=0.3).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(got_df["vec_a"], got_df["vec_b"])}
+    assert got <= want  # exact verify: zero false positives
+    assert len(want) > 0
+    assert len(got & want) / len(want) >= 0.8, (len(got), len(want))
+
+
+def test_embedding_neardup_hot_bucket_bounded(ray_session, tmp_path):
+    """A corpus that is one giant LSH bucket (near-identical vectors) must
+    complete via recursive splitting / chain fallback in O(n) pairs, not
+    C(n, 2)."""
+    import pyarrow as pa
+    import time
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(64)
+    n = 3000
+    vecs = base + 1e-6 * rng.standard_normal((n, 64))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+    t0 = time.monotonic()
+    out = knn.embedding_neardup_pairs(
+        str(tmp_path), threshold=0.99, max_bucket_pairing=256).to_pandas()
+    elapsed = time.monotonic() - t0
+    # all n vectors are mutual near-dups; bounded pairing must still
+    # connect them transitively: the pair graph has one component
+    assert len(out) >= n - 1
+    parent = dict()
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+    for a, b in zip(out["vec_a"], out["vec_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[ra] = rb
+    roots = {find(i) for i in range(n)}
+    assert len(roots) == 1
+    # boundedness: emitted pairs are O(n * tables), nowhere near C(n,2)
+    assert len(out) < n * 40, len(out)
+    assert elapsed < 120, elapsed
