@@ -58,6 +58,133 @@ class SearchActor:
                 out[str(v)] = out.get(str(v), 0) + int(c)
         return out
 
+    def conv_partial(self, query: Query, df_map: dict[str, int],
+                     score_mode: str) -> dict[str, float]:
+        """Per-conversation aggregated turn scores over this actor's
+        shards' FULL hit sets. Shard cuts can straddle a conversation, so
+        the partial is per-conv (exact to merge by max/sum on the driver);
+        the driver only ever sees |matching conversations| entries, never
+        the per-turn hit set."""
+        out: dict[str, float] = {}
+        for sh in self.searchers:
+            docs, scores = sh._score_clause(query, df_map)
+            if len(docs) == 0:
+                continue
+            convs = sh.docvalues_local("conv_id", docs).astype(str)
+            uniq, inv = np.unique(convs, return_inverse=True)
+            agg = np.full(len(uniq), -np.inf)
+            if score_mode == "max":
+                np.maximum.at(agg, inv, scores.astype(np.float64))
+            elif score_mode == "total":
+                agg = np.zeros(len(uniq))
+                np.add.at(agg, inv, scores.astype(np.float32).astype(np.float64))
+            else:
+                raise ValueError(score_mode)
+            for c, s in zip(uniq, agg):
+                if score_mode == "max":
+                    out[c] = max(out.get(c, -np.inf), float(s))
+                else:
+                    out[c] = out.get(c, 0.0) + float(s)
+        return out
+
+    def collapse_partial(self, query: Query, df_map: dict[str, int]
+                         ) -> dict[str, tuple[float, int]]:
+        """Per-conversation best (score, doc) head, lower doc on ties."""
+        out: dict[str, tuple[float, int]] = {}
+        for sh in self.searchers:
+            docs, scores = sh._score_clause(query, df_map)
+            if len(docs) == 0:
+                continue
+            convs = sh.docvalues_local("conv_id", docs).astype(str)
+            order = np.lexsort((docs, -scores.astype(np.float32), convs))
+            convs_s = convs[order]
+            heads = np.concatenate(([True], convs_s[1:] != convs_s[:-1]))
+            for i in order[heads]:
+                cand = (float(np.float32(scores[i])), int(docs[i]))
+                cur = out.get(convs[i])
+                if cur is None or (-cand[0], cand[1]) < (-cur[0], cur[1]):
+                    out[convs[i]] = cand
+        return out
+
+    def stats_partial(self, query: Query, df_map: dict[str, int],
+                      field: str) -> tuple[int, float | None, float | None, float]:
+        """(count, min, max, sum) of a docvalue over the full hit set."""
+        count, sum_, mn, mx = 0, 0.0, None, None
+        for sh in self.searchers:
+            docs, _ = sh._score_clause(query, df_map)
+            if len(docs) == 0:
+                continue
+            vals = sh.docvalues_local(field, docs)
+            v = np.asarray([x for x in vals if x is not None],
+                           dtype=np.float64)
+            if len(v) == 0:
+                continue
+            count += len(v)
+            sum_ += float(v.sum())
+            mn = float(v.min()) if mn is None else min(mn, float(v.min()))
+            mx = float(v.max()) if mx is None else max(mx, float(v.max()))
+        return count, mn, mx, sum_
+
+    def scores_for_docs(self, query: Query, df_map: dict[str, int],
+                        doc_ids: list[int]) -> dict[int, float]:
+        """Scores of the given docs under `query` (rerank second pass):
+        only the requested top-N intersection ships to the driver."""
+        wanted = np.asarray(doc_ids, dtype=np.int64)
+        out: dict[int, float] = {}
+        for sh in self.searchers:
+            docs, scores = sh._score_clause(query, df_map)
+            if len(docs) == 0:
+                continue
+            mask = np.isin(docs, wanted)
+            for d, s in zip(docs[mask], scores[mask]):
+                out[int(d)] = float(s)
+        return out
+
+    def boosted_partial(self, query: Query, df_map: dict[str, int],
+                        boost_expr: str, k: int) -> list[tuple[int, float]]:
+        """Per-actor top-k of BM25 * f(docvalues). The boost is per-doc,
+        so per-actor pruning to k is exact under the global merge."""
+        import pyarrow as pa
+
+        from ..functions import parse_func
+        from ..functions.valuesource import Field, Func, eval_expr
+
+        ast = parse_func(boost_expr)
+
+        def fields_of(node) -> set[str]:
+            if isinstance(node, Field):
+                return {node.name}
+            if isinstance(node, Func):
+                out: set[str] = set()
+                for a in node.args:
+                    out |= fields_of(a)
+                return out
+            return set()
+
+        hits: list[tuple[int, float]] = []
+        for sh in self.searchers:
+            docs, scores = sh._score_clause(query, df_map)
+            if len(docs) == 0:
+                continue
+            cols = {}
+            for f in sorted(fields_of(ast)):
+                vals = sh.docvalues_local(f, docs)
+                # missing doc values evaluate as 0 (FunctionScoreQuery)
+                vals = np.asarray(
+                    [0.0 if x is None else x for x in vals], dtype=np.float64)
+                cols[f] = pa.array(vals, type=pa.float64())
+            boost = eval_expr(ast, pa.table(
+                cols or {"__d": pa.array(np.zeros(len(docs)))}))
+            if isinstance(boost, pa.Scalar):
+                boost_np = np.full(len(docs), boost.as_py())
+            else:
+                boost_np = boost.to_numpy(zero_copy_only=False)
+            final = scores.astype(np.float64) * boost_np
+            order = np.lexsort((docs, -final))[:k]
+            hits.extend((int(docs[i]), float(final[i])) for i in order)
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]
+
     def search_batch(self, queries: list[Query], df_maps: list[dict[str, int]],
                      k: int, sort=None, filter_range=None
                      ) -> list[list[tuple]]:
@@ -142,6 +269,112 @@ class DistributedSearcher:
                filter_range=None):
         return self.search_batch([query], k, sort=sort,
                                  filter_range=filter_range)[0]
+
+    def _stats_phase(self, parsed: Query) -> dict[str, int]:
+        """Phase-1 global docFreq for one query (one actor round trip)."""
+        all_terms = sorted(collect_terms(parsed))
+        partials = ray.get([a.local_df.remote(all_terms) for a in self.actors])
+        df: dict[str, int] = {}
+        for p in partials:
+            for t, d in p.items():
+                df[t] = df.get(t, 0) + d
+        return df
+
+    def search_conversations(self, query: Query | str, k: int = 10,
+                             score_mode: str = "max"):
+        """Distributed block join (parent/child): per-actor per-conv
+        aggregates over the full hit sets, merged by max/sum on the
+        driver — the driver never sees per-turn hits."""
+        parsed = self.parse(query) if isinstance(query, str) else query
+        df = self._stats_phase(parsed)
+        partials = ray.get([a.conv_partial.remote(parsed, df, score_mode)
+                            for a in self.actors])
+        agg: dict[str, float] = {}
+        for p in partials:
+            for c, s in p.items():
+                if score_mode == "max":
+                    agg[c] = max(agg.get(c, -np.inf), s)
+                else:
+                    agg[c] = agg.get(c, 0.0) + s
+        out = sorted(agg.items(), key=lambda kv: (-np.float32(kv[1]), kv[0]))
+        return [(c, np.float32(s)) for c, s in out[:k]]
+
+    def collapse(self, query: Query | str, k: int = 10):
+        """Distributed field collapse on conversation: per-actor heads
+        merged by (score desc, doc asc) per conversation."""
+        parsed = self.parse(query) if isinstance(query, str) else query
+        df = self._stats_phase(parsed)
+        partials = ray.get([a.collapse_partial.remote(parsed, df)
+                            for a in self.actors])
+        best: dict[str, tuple[float, int]] = {}
+        for p in partials:
+            for c, cand in p.items():
+                cur = best.get(c)
+                if cur is None or (-cand[0], cand[1]) < (-cur[0], cur[1]):
+                    best[c] = cand
+        heads = [(doc, np.float32(score), conv)
+                 for conv, (score, doc) in best.items()]
+        heads.sort(key=lambda h: (-h[1], h[0]))
+        return heads[:k]
+
+    def field_stats(self, query: Query | str, field: str):
+        """Distributed StatsComponent over the full hit set: per-actor
+        (count, min, max, sum) partials, merged on the driver."""
+        parsed = self.parse(query) if isinstance(query, str) else query
+        df = self._stats_phase(parsed)
+        partials = ray.get([a.stats_partial.remote(parsed, df, field)
+                            for a in self.actors])
+        count, sum_, mn, mx = 0, 0.0, None, None
+        for c, pmn, pmx, ps in partials:
+            count += c
+            sum_ += ps
+            if pmn is not None:
+                mn = pmn if mn is None else min(mn, pmn)
+            if pmx is not None:
+                mx = pmx if mx is None else max(mx, pmx)
+        if count == 0:
+            return {"count": 0, "min": None, "max": None, "sum": 0.0,
+                    "mean": None}
+        return {"count": count, "min": mn, "max": mx, "sum": sum_,
+                "mean": sum_ / count}
+
+    def rerank(self, query: Query | str, rerank_query: Query | str,
+               k: int = 10, top_n: int = 50, weight: float = 2.0):
+        """Distributed QueryRescorer: first-pass top-N via the normal
+        scatter/gather, second pass fetches ONLY the top-N docs' rerank
+        scores (never the rerank query's full hit set)."""
+        first = self.search(query, k=top_n)
+        if not first:
+            return []
+        parsed_r = (self.parse(rerank_query)
+                    if isinstance(rerank_query, str) else rerank_query)
+        df = self._stats_phase(parsed_r)
+        doc_ids = [int(d) for d, _ in first]
+        partials = ray.get([a.scores_for_docs.remote(parsed_r, df, doc_ids)
+                            for a in self.actors])
+        rmap: dict[int, float] = {}
+        for p in partials:
+            rmap.update(p)
+        out = []
+        for doc_id, score in first:
+            extra = rmap.get(int(doc_id), 0.0)
+            combined = np.float32(
+                score + np.float32(weight) * np.float32(extra))
+            out.append((int(doc_id), combined))
+        out.sort(key=lambda h: (-float(h[1]), h[0]))
+        return out[:k]
+
+    def boosted_search(self, query: Query | str, boost_expr: str,
+                       k: int = 10):
+        """Distributed FunctionScoreQuery: the boost is per-doc, so
+        per-actor top-k partials merge exactly."""
+        parsed = self.parse(query) if isinstance(query, str) else query
+        df = self._stats_phase(parsed)
+        partials = ray.get([a.boosted_partial.remote(parsed, df, boost_expr, k)
+                            for a in self.actors])
+        hits = [h for p in partials for h in p]
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return [(d, float(s)) for d, s in hits[:k]]
 
     def facet(self, query: Query | str, field: str,
               limit: int | None = None) -> list[tuple[str, int]]:

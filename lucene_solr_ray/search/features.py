@@ -188,8 +188,11 @@ def boosted_search(searcher: IndexSearcher, query: Query | str,
         vals = searcher.docvalues(f)
         if vals is None:
             raise KeyError(f"field {f!r} was not indexed as a doc value")
-        cols[f] = pa.array(
-            np.asarray(vals[docs], dtype=np.float64), type=pa.float64())
+        # missing doc values evaluate as 0 (FunctionScoreQuery semantics),
+        # not TypeError from a None in the float64 cast
+        picked = np.asarray(
+            [0.0 if x is None else x for x in vals[docs]], dtype=np.float64)
+        cols[f] = pa.array(picked, type=pa.float64())
     boost = eval_expr(ast, pa.table(cols or {"__d": pa.array(
         np.zeros(len(docs)))}))
     if isinstance(boost, pa.Scalar):

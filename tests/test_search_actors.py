@@ -53,3 +53,77 @@ def test_check_index_detects_corruption(built, tmp_path):
     pq.write_table(t.slice(0, max(1, t.num_rows // 2)), shard / "terms.parquet")
     with pytest.raises(AssertionError):
         check_index(str(bad))
+
+
+@pytest.fixture(scope="module")
+def dist_pair(built):
+    local = IndexSearcher(built)
+    dist = DistributedSearcher(built, num_actors=2)
+    yield local, dist
+    dist.close()
+
+
+FEATURE_QUERIES = ["ray", "data index", "ray AND data", "the"]
+
+
+def test_distributed_block_join_matches_local(dist_pair):
+    from lucene_solr_ray.search.features import search_conversations
+
+    local, dist = dist_pair
+    for q in FEATURE_QUERIES:
+        for mode in ("max", "total"):
+            want = search_conversations(local, q, k=8, score_mode=mode)
+            got = dist.search_conversations(q, k=8, score_mode=mode)
+            assert [c for c, _ in got] == [c for c, _ in want], (q, mode)
+            for (gc, gs), (wc, ws) in zip(got, want):
+                assert abs(float(gs) - float(ws)) < 1e-5
+
+
+def test_distributed_collapse_matches_local(dist_pair):
+    from lucene_solr_ray.search.features import collapse_search
+
+    local, dist = dist_pair
+    for q in FEATURE_QUERIES:
+        want = collapse_search(local, q, k=8)
+        got = dist.collapse(q, k=8)
+        assert [(d, c) for d, _, c in got] == [(d, c) for d, _, c in want], q
+        for (gd, gs, gc), (wd, ws, wc) in zip(got, want):
+            assert abs(float(gs) - float(ws)) < 1e-5
+
+
+def test_distributed_field_stats_matches_local(dist_pair):
+    from lucene_solr_ray.search.features import field_stats
+
+    local, dist = dist_pair
+    for q in FEATURE_QUERIES:
+        want = field_stats(local, q, "turn_idx")
+        got = dist.field_stats(q, "turn_idx")
+        assert got["count"] == want["count"], q
+        for key in ("min", "max", "sum", "mean"):
+            if want[key] is None:
+                assert got[key] is None
+            else:
+                assert abs(got[key] - want[key]) < 1e-9, (q, key)
+
+
+def test_distributed_rerank_matches_local(dist_pair):
+    from lucene_solr_ray.search.features import rerank
+
+    local, dist = dist_pair
+    want = rerank(local, "ray", '"ray data"', k=8, top_n=20)
+    got = dist.rerank("ray", '"ray data"', k=8, top_n=20)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(float(gs) - float(ws)) < 1e-5
+
+
+def test_distributed_boosted_search_matches_local(dist_pair):
+    from lucene_solr_ray.search.features import boosted_search
+
+    local, dist = dist_pair
+    expr = "recip(turn_idx,1,10,10)"
+    want = boosted_search(local, "ray", expr, k=8)
+    got = dist.boosted_search("ray", expr, k=8)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(float(gs) - float(ws)) < 1e-9
