@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": relational.facet_lang,
         "facet_source_lang": relational.facet_source_lang,
         "nested_facet_source_lang": relational.nested_facet_source_lang,
+        "range_facet_events": relational.range_facet_events,
+        "pivot_facet_orders": relational.pivot_facet_orders,
         "stats_events": relational.stats_events,
         "rollup_lineitem": relational.rollup_lineitem,
         "distinct_users_events": relational.distinct_users_events,
@@ -117,6 +119,34 @@ def oracle_sql() -> dict[str, str]:
     return {
         "facet_lang":
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+        "range_facet_events":
+            "WITH b AS (SELECT 50 + 50*i AS lo FROM generate_series(0,5) t(i)), "
+            "c AS (SELECT 50 + 50*CAST(floor((value-50)/50) AS BIGINT) AS lo, "
+            "count(*) AS n FROM events WHERE value >= 50 AND value < 350 "
+            "GROUP BY 1) "
+            "SELECT CAST(b.lo AS VARCHAR) AS bucket, "
+            "CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt FROM b LEFT JOIN c USING (lo) "
+            "UNION ALL SELECT 'before', count(*) FROM events WHERE value < 50 "
+            "UNION ALL SELECT 'after', count(*) FROM events WHERE value >= 350 "
+            "UNION ALL SELECT 'between', count(*) FROM events "
+            "WHERE value >= 50 AND value < 350",
+        "pivot_facet_orders":
+            "WITH oy AS (SELECT o_orderstatus, o_orderpriority, "
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders), "
+            "l1 AS (SELECT o_orderstatus, count(*) AS c1 FROM oy "
+            "GROUP BY 1 ORDER BY c1 DESC, o_orderstatus LIMIT 3), "
+            "g2 AS (SELECT oy.o_orderstatus, oy.o_orderpriority, count(*) AS c2 "
+            "FROM oy JOIN l1 USING (o_orderstatus) GROUP BY 1, 2), "
+            "l2 AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY c2 DESC, o_orderpriority) AS rn FROM g2), "
+            "g3 AS (SELECT oy.o_orderstatus, oy.o_orderpriority, oy.o_year, "
+            "count(*) AS cnt FROM oy JOIN (SELECT o_orderstatus, "
+            "o_orderpriority FROM l2 WHERE rn <= 3) k "
+            "USING (o_orderstatus, o_orderpriority) GROUP BY 1, 2, 3), "
+            "l3 AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus, "
+            "o_orderpriority ORDER BY cnt DESC, o_year) AS rn3 FROM g3) "
+            "SELECT o_orderstatus, o_orderpriority, o_year, cnt "
+            "FROM l3 WHERE rn3 <= 2",
         "facet_source_lang":
             "SELECT source, lang, count(*) AS cnt FROM documents "
             "GROUP BY source, lang",

@@ -80,6 +80,145 @@ def nested_facet_source_lang(sf_dir: str, top_sources: int = 2,
     })
 
 
+# --- range facets (RangeFacetProcessor.java:45; RangeFacetRequest) ---
+
+def range_facet(ds, field: str, start: float, end: float, gap: float,
+                hardend: bool = False, include_other: bool = True):
+    """Numeric range facet with Solr ``facet.range`` semantics
+    (``solr/core/.../handler/component/RangeFacetProcessor.java:45``):
+    buckets ``[lo, lo+gap)`` from ``start`` while ``lo < end`` (the last
+    bucket's upper edge is clamped to ``end`` when ``hardend``, else it
+    overshoots), ``include=lower`` edge handling, plus the
+    ``before`` / ``after`` / ``between`` other-buckets. Empty buckets are
+    emitted with count 0 (Solr default mincount=0).
+
+    One vectorized bincount per batch (bucket count is tiny, values
+    stream), then a small groupby merge — no driver-side pass.
+    Returns (bucket, cnt): bucket is the range start as a string, or
+    one of ``before`` / ``after`` / ``between``.
+    """
+    from ray.data.aggregate import Sum
+
+    n_buckets = int(np.ceil((end - start) / gap))
+    actual_end = end if hardend else start + n_buckets * gap
+    # index layout: 0..n_buckets-1 ranges, then before/after/between
+    i_before, i_after, i_between = n_buckets, n_buckets + 1, n_buckets + 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        counts = np.zeros(n_buckets + 3, dtype=np.int64)
+        below = v < start
+        above = v >= actual_end
+        mid = ~(below | above)
+        vm = v[mid]
+        idx = np.floor((vm - start) / gap).astype(np.int64)
+        # hardend clamps the last bucket's width; values in [start+n*gap
+        # rounding edge] stay in the last bucket
+        np.clip(idx, 0, n_buckets - 1, out=idx)
+        counts[:n_buckets] = np.bincount(idx, minlength=n_buckets)
+        counts[i_before] = int(below.sum())
+        counts[i_after] = int(above.sum())
+        counts[i_between] = int(mid.sum())
+        return pa.table({"i": pa.array(np.arange(n_buckets + 3)),
+                         "cnt": pa.array(counts)})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("i").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def label(t: pa.Table) -> pa.Table:
+        idx = t.column("i").to_numpy(zero_copy_only=False)
+        names = []
+        keep = np.ones(len(idx), dtype=bool)
+        for j, i in enumerate(idx):
+            if i < n_buckets:
+                lo = start + i * gap
+                names.append(str(int(lo)) if float(lo).is_integer()
+                             else str(float(lo)))
+            elif i == i_before:
+                names.append("before")
+            elif i == i_after:
+                names.append("after")
+            else:
+                names.append("between")
+            if i >= n_buckets and not include_other:
+                keep[j] = False
+        out = pa.table({"bucket": pa.array(names, type=pa.string()),
+                        "cnt": t.column("cnt").cast(pa.int64())})
+        return out.filter(pa.array(keep))
+
+    return merged.map_batches(label, batch_format="pyarrow")
+
+
+def range_facet_events(sf_dir: str):
+    """facet.range over events.value: start=50, end=350, gap=50 + others."""
+    return range_facet(read(sf_dir, "events", ["value"]),
+                       "value", start=50, end=350, gap=50)
+
+
+# --- pivot facets (PivotFacetProcessor.java:53) ---
+
+def pivot_facet(ds, fields: list[str], limits: list[int] | None = None,
+                mincount: int = 1):
+    """Arbitrary-depth pivot facet tree
+    (``solr/core/.../handler/component/PivotFacetProcessor.java:53``):
+    per level, buckets sorted count desc (tie -> value asc), per-parent
+    ``limit``, buckets under ``mincount`` pruned.
+
+    ONE distributed groupby over the full field tuple computes every leaf
+    count (the distributed-refinement protocol collapses to an exact
+    single pass because counts shuffle by full key); the tree is
+    assembled from that cardinality-bounded counts table. Returns
+    Solr-style ``[{field, value, count, pivot: [...]}]``.
+    """
+    limits = limits or [100] * len(fields)
+    counts = (ds.groupby(fields).aggregate(Count(alias_name="cnt"))
+              .to_pandas())
+
+    def build(df: pd.DataFrame, level: int) -> list[dict]:
+        fld = fields[level]
+        totals = (df.groupby(fld, sort=False)["cnt"].sum().reset_index())
+        totals = totals[totals["cnt"] >= mincount]
+        totals = (totals.sort_values(["cnt", fld], ascending=[False, True])
+                  .head(limits[level]))
+        out = []
+        for _, row in totals.iterrows():
+            bucket = {"field": fld, "value": row[fld],
+                      "count": int(row["cnt"])}
+            if level + 1 < len(fields):
+                sub = build(df[df[fld] == row[fld]], level + 1)
+                if sub:
+                    bucket["pivot"] = sub
+            out.append(bucket)
+        return out
+
+    return build(counts, 0)
+
+
+def pivot_facet_orders(sf_dir: str):
+    """3-level pivot (status -> priority -> order year), per-level limits
+    (3, 3, 2), flattened to the leaf rows for the SQL oracle."""
+    ds = read(sf_dir, "orders",
+              ["o_orderstatus", "o_orderpriority", "o_orderdate"])
+
+    def add_year(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "o_year", pc.year(t.column("o_orderdate")).cast(pa.int64()))
+
+    tree = pivot_facet(ds.map_batches(add_year, batch_format="pyarrow"),
+                       ["o_orderstatus", "o_orderpriority", "o_year"],
+                       limits=[3, 3, 2])
+    rows = [(b1["value"], b2["value"], b3["value"], b3["count"])
+            for b1 in tree for b2 in b1.get("pivot", [])
+            for b3 in b2.get("pivot", [])]
+    return pa.table({
+        "o_orderstatus": pa.array([r[0] for r in rows], type=pa.string()),
+        "o_orderpriority": pa.array([r[1] for r in rows], type=pa.string()),
+        "o_year": pa.array([r[2] for r in rows], type=pa.int64()),
+        "cnt": pa.array([r[3] for r in rows], type=pa.int64()),
+    })
+
+
 # --- stats component (StatsComponent.java / StatsValuesFactory.java) ---
 
 def stats_events(sf_dir: str):

@@ -1,6 +1,7 @@
 """Query-time field facets, prefix suggest, collapse search."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -128,3 +129,61 @@ def test_terms_component(searcher):
     for t, d in s.terms(prefix="t0", limit=5):
         if t in sug:
             assert sug[t] == d
+
+
+def test_range_facet_semantics(ray_session, tmp_path):
+    """Solr facet.range: include=lower buckets, empty buckets kept,
+    before/after/between, hardend clamping."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.relational import range_facet
+
+    vals = [-5.0, 0.0, 5.0, 10.0, 10.0, 25.0, 30.0, 42.0]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, type=pa.float64())}))
+    out = (range_facet(ds, "v", start=0, end=30, gap=10)
+           .to_pandas().set_index("bucket")["cnt"].to_dict())
+    assert out == {"0": 2, "10": 2, "20": 1, "before": 1, "after": 2,
+                   "between": 5}
+
+    # hardend: end=25 -> last bucket [20, 25), 25 and beyond are "after"
+    ds2 = rd.from_arrow(pa.table({"v": pa.array(
+        [0.0, 22.0, 24.9, 25.0, 29.0], type=pa.float64())}))
+    out2 = (range_facet(ds2, "v", start=0, end=25, gap=10, hardend=True)
+            .to_pandas().set_index("bucket")["cnt"].to_dict())
+    assert out2 == {"0": 1, "10": 0, "20": 2, "before": 0, "after": 2,
+                    "between": 3}
+
+    # empty bucket emitted with 0 (mincount=0 default)
+    ds3 = rd.from_arrow(pa.table({"v": pa.array([5.0], type=pa.float64())}))
+    out3 = (range_facet(ds3, "v", start=0, end=30, gap=10)
+            .to_pandas().set_index("bucket")["cnt"].to_dict())
+    assert out3["10"] == 0 and out3["20"] == 0
+
+
+def test_pivot_facet_tree(ray_session):
+    """Pivot tree: per-level sort (count desc, value asc), limit,
+    mincount pruning; counts recompute from raw pandas."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.relational import pivot_facet
+
+    df = pd.DataFrame({
+        "a": ["x"] * 5 + ["y"] * 3 + ["z"] * 1,
+        "b": ["p", "p", "q", "q", "r", "p", "p", "q", "p"],
+    })
+    ds = rd.from_pandas(df)
+    tree = pivot_facet(ds, ["a", "b"], limits=[2, 1])
+    # level 1: x(5), y(3) — z cut by limit 2
+    assert [b["value"] for b in tree] == ["x", "y"]
+    assert [b["count"] for b in tree] == [5, 3]
+    assert all(b["field"] == "a" for b in tree)
+    # level 2 under x: p(2)/q(2) tie -> p first; limit 1 keeps only p
+    assert [s["value"] for s in tree[0]["pivot"]] == ["p"]
+    assert tree[0]["pivot"][0]["count"] == 2
+    # mincount prunes
+    tree2 = pivot_facet(ds, ["a", "b"], limits=[3, 3], mincount=2)
+    assert [b["value"] for b in tree2] == ["x", "y"]  # z (1) pruned
+    under_y = [s["value"] for s in tree2[1]["pivot"]]
+    assert under_y == ["p"]  # q (1) pruned
