@@ -63,11 +63,26 @@ def main(argv=None) -> int:
                    help="inclusive docvalue range filter; use '-' for an "
                         "open bound")
 
+    g = sub.add_parser("get", help="real-time get stored fields by key/id")
+    g.add_argument("index_dir")
+    g.add_argument("--doc-ids", type=int, nargs="*", default=None)
+    g.add_argument("--key", nargs=2, metavar=("CONV_ID", "TURN_IDX"),
+                   action="append", default=None)
+
+    au = sub.add_parser("atomic-update",
+                        help="atomic partial updates (set/inc/remove) from "
+                             "a JSON list, e.g. '[{\"conv_id\": \"c1\", "
+                             "\"turn_idx\": 0, \"score\": {\"inc\": 1}}]'")
+    au.add_argument("index_dir")
+    au.add_argument("updates_json",
+                    help="JSON list of update docs, or @file.json")
+
     c = sub.add_parser("check", help="validate index invariants")
     c.add_argument("index_dir")
 
     args = p.parse_args(argv)
-    if args.cmd in ("update", "search", "check", "delete"):
+    if args.cmd in ("update", "search", "check", "delete", "get",
+                    "atomic-update"):
         from pathlib import Path
 
         if not (Path(args.index_dir) / "manifest.json").exists():
@@ -125,6 +140,23 @@ def main(argv=None) -> int:
         hits = searcher.search(args.query, k=args.k, sort=sort,
                                filter_range=filter_range)
         print(json.dumps(searcher.resolve_hits(hits), default=str))
+    elif args.cmd == "get":
+        from .index.update import realtime_get
+
+        keys = ([(c, int(t)) for c, t in args.key] if args.key else None)
+        t = realtime_get(args.index_dir, keys=keys, doc_ids=args.doc_ids)
+        print(json.dumps(t.to_pylist() if t is not None else [],
+                         default=str))
+    elif args.cmd == "atomic-update":
+        from .index.update import atomic_update
+
+        raw = args.updates_json
+        if raw.startswith("@"):
+            from pathlib import Path
+
+            raw = Path(raw[1:]).read_text()
+        manifest = atomic_update(args.index_dir, json.loads(raw))
+        print(json.dumps({"version": manifest["version"]}))
     elif args.cmd == "check":
         from .index.check import check_index
 

@@ -56,8 +56,10 @@ from . import segment
 MANIFEST_NAME = "manifest.json"
 
 #: optional per-doc metadata columns carried into the docmap when present
-#: in the source (the doc-values analog: queryable fields alongside norms)
-DOCVALUE_FIELDS = ("role", "tool")
+#: in the source (the doc-values analog: queryable fields alongside norms).
+#: ``score`` is the numeric-docvalue slot (the Solr popularity-field /
+#: atomic-inc example); absent from sources that don't provide it.
+DOCVALUE_FIELDS = ("role", "tool", "score")
 
 
 def _limit_worker_threads() -> None:

@@ -88,9 +88,14 @@ class MergingSegmentWriter(SegmentWriter):
         shard_id = int(group.column("doc_shard")[0].as_py())
         shard_dir = Path(self.index_dir) / "shards" / f"shard={shard_id:05d}"
         aside = shard_dir.parent / f".merging-shard={shard_id:05d}"
-        if aside.exists() and not shard_dir.exists():
-            # a previous merge crashed between set-aside and replacement:
-            # restore the old segment before redoing the merge
+        if aside.exists():
+            # a previous merge crashed after set-aside. The aside copy is
+            # the authoritative pristine segment: shard_dir (if present)
+            # may be partial or already contain the incoming group (a
+            # re-merge into it would duplicate postings), so it is
+            # discarded and the aside restored before redoing the merge —
+            # the merge is idempotent from the pristine old segment.
+            shutil.rmtree(shard_dir, ignore_errors=True)
             os.rename(aside, shard_dir)
         terms_file = shard_dir / "terms.parquet"
         if terms_file.exists():
@@ -376,3 +381,197 @@ def delete_documents(index_dir: str, doc_ids=None, keys=None) -> dict:
 def _block_keys(block: pa.Table) -> list:
     return list(zip(block.column("conv_id").to_pylist(),
                     (int(x) for x in block.column("turn_idx").to_pylist())))
+
+
+# --------------------------------------------------------------------------
+# real-time get + atomic partial updates
+# (RealTimeGetComponent.java:78; AtomicUpdateDocumentMerger.java:44;
+#  in-place docvalue path: IndexWriter.updateDocValues / updateNumericDocValue)
+# --------------------------------------------------------------------------
+
+_NORMS_SYSTEM_COLS = ("doc_id", "doc_shard", "doc_len", "norm_byte")
+
+
+def realtime_get(index_dir: str, keys=None, doc_ids=None) -> pa.Table:
+    """Stored-fields lookup by (conv_id, turn_idx) key or doc_id,
+    honoring tombstones (RealTimeGetComponent semantics: the freshest
+    committed version; tombstoned docs are absent).
+
+    doc_id lookups prune to the single ``doc_shard`` norms partition
+    (doc-range sharding makes the partition derivable); key lookups
+    push an equality filter into the parquet scan. At 10^12 docs the key
+    path would want a key->doc_id index segment; the doc_id path is
+    already O(1 partition).
+    """
+    import pyarrow.dataset as pads
+
+    index_path = Path(index_dir)
+    manifest = read_manifest(index_dir)
+    docs_per_shard = manifest["params"]["docs_per_shard"]
+    dels = read_deletes(index_dir)
+
+    tables = []
+    if doc_ids:
+        wanted = sorted({int(d) for d in doc_ids} - dels)
+        by_shard: dict[int, list[int]] = {}
+        for d in wanted:
+            by_shard.setdefault(d // docs_per_shard, []).append(d)
+        for sid, ids in by_shard.items():
+            part = index_path / "norms" / f"doc_shard={sid}"
+            if not part.exists():
+                continue
+            t = pads.dataset(str(part), format="parquet").to_table(
+                filter=pads.field("doc_id").isin(ids))
+            tables.append(t)
+    if keys:
+        want = {(str(c), int(t)) for c, t in keys}
+        d = pads.dataset(str(index_path / "norms"), format="parquet",
+                         partitioning="hive")
+        t = d.to_table(filter=pads.field("conv_id").isin(
+            sorted({c for c, _ in want})))
+        mask = [(str(c), int(x)) in want and int(i) not in dels
+                for c, x, i in zip(t.column("conv_id").to_pylist(),
+                                   t.column("turn_idx").to_pylist(),
+                                   t.column("doc_id").to_pylist())]
+        tables.append(t.filter(pa.array(mask, type=pa.bool_())))
+    if not tables:
+        return None
+    out = pa.concat_tables(tables, promote_options="default")
+    if "doc_shard" not in out.column_names:  # hive partition col on doc_id path
+        ids = out.column("doc_id").to_numpy(zero_copy_only=False)
+        out = out.append_column("doc_shard", pa.array(
+            (ids // docs_per_shard).astype(np.int32), type=pa.int32()))
+    return out.sort_by("doc_id")
+
+
+def _apply_ops(current: dict, ops: dict) -> dict:
+    """AtomicUpdateDocumentMerger.java:44 op vocabulary on one doc's
+    stored fields: set / inc / remove (add is multivalued-only in the
+    reference; our fields are single-valued, so it is rejected)."""
+    merged = dict(current)
+    for field, op in ops.items():
+        if not isinstance(op, dict):
+            raise ValueError(
+                f"field {field!r}: ops must be {{'set'|'inc'|'remove': ...}}")
+        for verb, arg in op.items():
+            if verb == "set":
+                merged[field] = arg
+            elif verb == "inc":
+                cur = merged.get(field)
+                merged[field] = (0 if cur is None else cur) + arg
+            elif verb == "remove":
+                merged[field] = None
+            elif verb == "add":
+                raise ValueError(
+                    f"field {field!r}: 'add' needs a multivalued field "
+                    "(single-valued schema here, matching the reference's "
+                    "error for add-on-single-valued)")
+            else:
+                raise ValueError(f"unknown atomic op {verb!r}")
+    return merged
+
+
+def atomic_update(index_dir: str, updates: list[dict]) -> dict:
+    """Atomic partial document updates
+    (``solr/core/.../update/processor/AtomicUpdateDocumentMerger.java:44``).
+
+    Each update: ``{"conv_id": ..., "turn_idx": ..., <field>: {"set"|
+    "inc"|"remove": value}, ...}``. The current stored document is
+    fetched (real-time get), ops are merged in, and then:
+
+    - ops touching only stored metadata fields take the IN-PLACE docvalue
+      path (IndexWriter.updateNumericDocValue analog): the affected norms
+      partitions are rewritten atomically; postings are untouched.
+    - a ``set`` on ``text`` re-indexes the merged document through the
+      overwrite machinery (tombstone + append, updateDocument semantics)
+      because text is indexed, not stored — mirrors the reference, where
+      atomic updates require non-stored copies to be recomputed.
+
+    Docs must exist (the reference's merger requires the previous
+    version). Manifest version bumps so NRT reopen sees the new values.
+    """
+    index_path = Path(index_dir)
+    manifest = read_manifest(index_dir)
+    keys = [(str(u["conv_id"]), int(u["turn_idx"])) for u in updates]
+    if len(set(keys)) != len(keys):
+        raise ValueError("duplicate keys in one atomic_update batch")
+    current = realtime_get(index_dir, keys=keys)
+    found = {} if current is None else {
+        (str(r["conv_id"]), int(r["turn_idx"])): r
+        for r in current.to_pylist()}
+    missing = [k for k in keys if k not in found]
+    if missing:
+        raise KeyError(f"atomic update on missing documents: {missing[:5]}")
+
+    norms_cols = set(current.column_names) - set(_NORMS_SYSTEM_COLS)
+    text_docs, dv_rows = [], []
+    for u, k in zip(updates, keys):
+        ops = {f: v for f, v in u.items() if f not in ("conv_id", "turn_idx")}
+        bad = [f for f in ops
+               if f != "text" and f not in norms_cols and f in ("conv_id", "turn_idx")]
+        if bad:
+            raise ValueError(f"cannot atomically update key fields: {bad}")
+        merged = _apply_ops(found[k], ops)
+        if "text" in ops:
+            if set(ops["text"]) != {"set"}:
+                raise ValueError(
+                    "text is indexed (not stored): only {'set': full_text} "
+                    "is supported on it")
+            text_docs.append(merged)
+        else:
+            unknown = [f for f in ops if f not in norms_cols]
+            if unknown:
+                raise ValueError(
+                    f"unknown stored fields {unknown}; stored: "
+                    f"{sorted(norms_cols)}")
+            dv_rows.append(merged)
+
+    # --- in-place docvalue path: rewrite affected norms partitions ---
+    if dv_rows:
+        by_shard: dict[int, list[dict]] = {}
+        for r in dv_rows:
+            by_shard.setdefault(int(r["doc_shard"]), []).append(r)
+        for sid, rows in by_shard.items():
+            part = index_path / "norms" / f"doc_shard={sid}"
+            t = pq.read_table(part)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = {int(d): i for i, d in enumerate(ids)}
+            cols = {c: t.column(c).to_pylist() for c in t.column_names}
+            for r in rows:
+                i = pos[int(r["doc_id"])]
+                for c in cols:
+                    if c in _NORMS_SYSTEM_COLS or c in ("conv_id", "turn_idx"):
+                        continue
+                    cols[c][i] = r.get(c)
+            new_t = pa.table({c: pa.array(v, type=t.schema.field(c).type)
+                              for c, v in cols.items()})
+            tmp = part / ".rewrite.parquet.tmp"
+            pq.write_table(new_t, tmp)
+            old_files = [p for p in part.glob("*.parquet")]
+            os.replace(tmp, part / "dv-update.parquet")
+            for p in old_files:
+                if p.name != "dv-update.parquet":
+                    p.unlink()
+        new_manifest = {**manifest,
+                        "version": manifest["version"] + 1,
+                        "created_unix": time.time()}
+        mtmp = index_path / (MANIFEST_NAME + ".tmp")
+        mtmp.write_text(json.dumps(new_manifest, indent=1))
+        os.replace(mtmp, index_path / MANIFEST_NAME)
+        manifest = new_manifest
+
+    # --- re-index path for text sets (tombstone + append) ---
+    if text_docs:
+        text_docs.sort(key=lambda r: (str(r["conv_id"]), int(r["turn_idx"])))
+        cols = {"conv_id": pa.array([r["conv_id"] for r in text_docs],
+                                    type=pa.string()),
+                "turn_idx": pa.array([int(r["turn_idx"]) for r in text_docs],
+                                     type=pa.int32()),
+                "text": pa.array([r["text"] for r in text_docs],
+                                 type=pa.string())}
+        for c in sorted(norms_cols - {"text"}):
+            cols[c] = pa.array([r.get(c) for r in text_docs])
+        manifest = update_index(index_dir, rd.from_arrow(pa.table(cols)),
+                                overwrite=True)
+
+    return manifest

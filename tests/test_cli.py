@@ -19,3 +19,33 @@ def test_cli_build_check_search(ray_session, tmp_path, capsys):
     assert main(["search", idx, "ray AND data", "-k", "5"]) == 0
     hits = json.loads(capsys.readouterr().out.strip())
     assert hits and {"doc_id", "score", "conv_id", "turn_idx"} <= set(hits[0])
+
+
+def test_cli_get_and_atomic_update(ray_session, tmp_path, capsys):
+    import json
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.cli import main
+    from lucene_solr_ray.data.transcripts import generate_transcripts
+
+    t = generate_transcripts(10, seed=3)
+    t = t.append_column("score", pa.array(
+        np.zeros(t.num_rows, dtype=np.int64), type=pa.int64()))
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, str(src))
+    idx = str(tmp_path / "idx")
+    assert main(["build", str(src), idx, "--num-shards", "2"]) == 0
+    conv = t.column("conv_id")[0].as_py()
+    capsys.readouterr()
+    assert main(["get", idx, "--key", conv, "0"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == 1 and rows[0]["conv_id"] == conv
+    ups = json.dumps([{"conv_id": conv, "turn_idx": 0,
+                       "score": {"inc": 7}}])
+    assert main(["atomic-update", idx, ups]) == 0
+    capsys.readouterr()
+    assert main(["get", idx, "--key", conv, "0"]) == 0
+    rows2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows2[0]["score"] == 7
