@@ -173,6 +173,31 @@ class OracleIndex:
                     norm = cache[self.norms[doc_id]]
                     out[doc_id] = np.float32(np.float32(w) * fv / (fv + norm))
             return out
+        from .query import (SpanNearQuery, SpanNotQuery, SpanOrQuery,
+                            SpanTermQuery, span_freq, span_terms)
+
+        if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
+                          SpanNotQuery)):
+            terms = sorted(span_terms(q))
+            maps = {t: {d: pos for d, _, pos in self.postings.get(t, [])}
+                    for t in terms}
+            sum_idf = np.float32(0.0)
+            for t in terms:
+                sum_idf = np.float32(
+                    sum_idf + bm25.idf(self.doc_freq(t), self.doc_count))
+            w = bm25.weight_value(sum_idf, q.boost)
+            cache = self._norm_cache()
+            candidates = set().union(*(set(m) for m in maps.values())) \
+                if maps else set()
+            out = {}
+            for doc_id in candidates:
+                f = span_freq(
+                    q, lambda t, _d=doc_id: maps.get(t, {}).get(_d))
+                if f > 0:
+                    fv = np.float32(f)
+                    norm = cache[self.norms[doc_id]]
+                    out[doc_id] = np.float32(np.float32(w) * fv / (fv + norm))
+            return out
         if isinstance(q, ConstantScoreQuery):
             return {d: np.float32(q.boost)
                     for d in self._score_clause(q.query)}

@@ -83,6 +83,56 @@ class SpanFirstQuery(Query):
 
 
 @dataclass(frozen=True)
+class SpanTermQuery(Query):
+    """Leaf of the span algebra (``spans/SpanTermQuery.java``): every
+    occurrence of the term is a width-0 span (p, p+1)."""
+
+    term: str = ""
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(Query):
+    """SpanNearQuery (``spans/SpanNearQuery.java:41``).
+
+    ``in_order=True``: NearSpansOrdered.java — subspans matched in clause
+    order, non-overlapping (each next subspan advanced to start >= the
+    previous subspan's end, forward-only across candidates); match width
+    = sum of the inter-span gaps, match iff width <= slop.
+    ``in_order=False``: NearSpansUnordered.java — minimal-window
+    enumeration over a (start, end)-ordered queue of subspans; match iff
+    maxEnd - minStart - totalSpanLength <= slop, width = maxEndCell.start
+    - minStart (NearSpansUnordered.java:195,258)."""
+
+    clauses: tuple = ()
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(Query):
+    """SpanOrQuery (``spans/SpanOrQuery.java``): union of subspans in
+    (start, end) order; each match keeps its subspan's width."""
+
+    clauses: tuple = ()
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(Query):
+    """SpanNotQuery (``spans/SpanNotQuery.java``): include-spans kept
+    unless an exclude-span overlaps [start - pre, end + post). Similarity
+    stats collect terms from BOTH sides (SpanNotQuery.java:99)."""
+
+    include: Query = None
+    exclude: Query = None
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     """ConstantScoreQuery (``search/ConstantScoreQuery.java``): every
     matching doc of the wrapped query scores exactly ``boost`` (the
@@ -276,6 +326,212 @@ def sloppy_phrase_freq(plists: list, offsets: list[int], slop: int) -> float:
     return freq
 
 
+def _near_ordered(subs: list[list[tuple]], slop: int) -> list[tuple]:
+    """NearSpansOrdered matching over materialized per-doc span lists:
+    for each first-clause span (in order), later clauses advance
+    forward-only to the first span starting at/after the previous span's
+    end (stretchToOrder, NearSpansOrdered.java:100-118); width = sum of
+    gaps; emit iff width <= slop."""
+    out = []
+    idx = [0] * len(subs)
+    for s0, e0, _w0 in subs[0]:
+        prev_end = e0
+        width = 0
+        ok = True
+        for ci in range(1, len(subs)):
+            cl = subs[ci]
+            i = idx[ci]
+            while i < len(cl) and cl[i][0] < prev_end:
+                i += 1
+            idx[ci] = i
+            if i == len(cl):
+                ok = False
+                break
+            s, e, _w = cl[i]
+            width += s - prev_end
+            prev_end = e
+        if not ok:
+            break  # forward-only subspans are exhausted for good
+        if width <= slop:
+            out.append((s0, prev_end, width))
+    return out
+
+
+def _near_unordered(subs: list[list[tuple]], slop: int) -> list[tuple]:
+    """NearSpansUnordered matching: advance the (start, end)-minimum cell
+    one step at a time; emit whenever maxEnd - minStart - totalSpanLength
+    <= slop with width = maxEndCell.start - minStart
+    (NearSpansUnordered.java:195,258)."""
+    n = len(subs)
+    idx = [0] * n
+    cur = [subs[i][0] for i in range(n)]
+    total_len = sum(e - s for s, e, _ in cur)
+    # maxEndPositionCell: strictly-greater end wins, scanned in cell order
+    max_i = 0
+    for i in range(1, n):
+        if cur[i][1] > cur[max_i][1]:
+            max_i = i
+    out = []
+    while True:
+        min_i = min(range(n), key=lambda i: (cur[i][0], cur[i][1]))
+        min_s = cur[min_i][0]
+        max_e = cur[max_i][1]
+        if max_e - min_s - total_len <= slop:
+            out.append((min_s, max_e, cur[max_i][0] - min_s))
+        idx[min_i] += 1
+        if idx[min_i] >= len(subs[min_i]):
+            break
+        s, e, _w = subs[min_i][idx[min_i]]
+        total_len += (e - s) - (cur[min_i][1] - cur[min_i][0])
+        cur[min_i] = (s, e, _w)
+        if e > cur[max_i][1]:
+            max_i = min_i
+    return out
+
+
+def span_spans(q: Query, pos_of) -> list[tuple]:
+    """All matching spans ``(start, end, width)`` of a span query in one
+    document, in (start, end) order — the shared kernel run by both the
+    engine (ShardSearcher._score_span) and the brute-force oracle.
+
+    ``pos_of(term)`` -> ascending positions of the term in the doc, or
+    None when absent."""
+    if isinstance(q, SpanTermQuery):
+        pos = pos_of(q.term)
+        return [(int(p), int(p) + 1, 0) for p in pos] if pos is not None \
+            else []
+    if isinstance(q, SpanFirstQuery):
+        pos = pos_of(q.term)
+        if pos is None:
+            return []
+        return [(int(p), int(p) + 1, 0) for p in pos if int(p) + 1 <= q.end]
+    if isinstance(q, SpanNearQuery):
+        subs = [span_spans(c, pos_of) for c in q.clauses]
+        if any(not s for s in subs):
+            return []
+        if len(subs) == 1:
+            return subs[0]
+        return (_near_ordered(subs, q.slop) if q.in_order
+                else _near_unordered(subs, q.slop))
+    if isinstance(q, SpanOrQuery):
+        merged: list[tuple] = []
+        for c in q.clauses:
+            merged.extend(span_spans(c, pos_of))
+        merged.sort(key=lambda sp: (sp[0], sp[1]))
+        return merged
+    if isinstance(q, SpanNotQuery):
+        inc = span_spans(q.include, pos_of)
+        if not inc:
+            return []
+        exc = span_spans(q.exclude, pos_of)
+        if not exc:
+            return inc
+        return [(s, e, w) for s, e, w in inc
+                if not any(xs < e + q.post and xe > s - q.pre
+                           for xs, xe, _ in exc)]
+    raise TypeError(f"not a span query: {type(q)}")
+
+
+def span_terms(q: Query) -> set[str]:
+    """Terms contributing to a span query's similarity stats (SpanWeight
+    term contexts; SpanNot collects both sides, SpanNotQuery.java:99)."""
+    if isinstance(q, (SpanTermQuery, SpanFirstQuery)):
+        return {q.term}
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        out: set[str] = set()
+        for c in q.clauses:
+            out |= span_terms(c)
+        return out
+    if isinstance(q, SpanNotQuery):
+        return span_terms(q.include) | span_terms(q.exclude)
+    raise TypeError(f"not a span query: {type(q)}")
+
+
+def span_freq(q: Query, pos_of) -> float:
+    """SpanScorer.setFreqCurrentDoc: freq = sum over matches of
+    1 / (1 + width) (computeSlopFactor)."""
+    return float(sum(1.0 / (1.0 + w) for _, _, w in span_spans(q, pos_of)))
+
+
+def parse_span(text: str, analyzer=None) -> Query:
+    """Parse the span mini-syntax (the SpanQuery surface Solr exposes via
+    the surround/xml parsers, reduced to a function notation):
+
+        spanNear([clause, ...], slop, inOrder)
+        spanOr([clause, ...])
+        spanNot(include, exclude)
+        spanFirst(term, end)
+        bare-term            -> SpanTermQuery (query-side analyzed)
+    """
+    if analyzer is None:
+        from ..analysis import get_analyzer
+
+        analyzer = get_analyzer("standard")
+
+    s = text.strip()
+    pos = [0]
+
+    def skip_ws():
+        while pos[0] < len(s) and s[pos[0]] in " \t,":
+            pos[0] += 1
+
+    def parse_node() -> Query:
+        skip_ws()
+        for name in ("spanNear", "spanOr", "spanNot", "spanFirst"):
+            if s.startswith(name + "(", pos[0]):
+                pos[0] += len(name) + 1
+                args: list = []
+                while True:
+                    skip_ws()
+                    if pos[0] >= len(s):
+                        raise ValueError(f"unterminated {name} in {text!r}")
+                    ch = s[pos[0]]
+                    if ch == ")":
+                        pos[0] += 1
+                        break
+                    if ch == "[":
+                        pos[0] += 1
+                        lst = []
+                        while True:
+                            skip_ws()
+                            if pos[0] < len(s) and s[pos[0]] == "]":
+                                pos[0] += 1
+                                break
+                            lst.append(parse_node())
+                        args.append(lst)
+                    else:
+                        args.append(parse_node())
+                if name == "spanNear":
+                    clauses, *rest = args
+                    slop = int(rest[0].term) if rest else 0
+                    in_order = (rest[1].term.lower() == "true") \
+                        if len(rest) > 1 else True
+                    return SpanNearQuery(tuple(clauses), slop, in_order)
+                if name == "spanOr":
+                    return SpanOrQuery(tuple(args[0]))
+                if name == "spanNot":
+                    return SpanNotQuery(args[0], args[1])
+                if name == "spanFirst":
+                    return SpanFirstQuery(term=args[0].term,
+                                          end=int(args[1].term))
+        # bare token (term / number / boolean literal)
+        j = pos[0]
+        while j < len(s) and s[j] not in " \t,[])(":
+            j += 1
+        tok = s[pos[0]:j]
+        pos[0] = j
+        if not tok:
+            raise ValueError(f"empty span clause in {text!r} at {pos[0]}")
+        terms = analyzer.analyze_terms(tok)
+        return SpanTermQuery(terms[0] if terms else tok)
+
+    q = parse_node()
+    skip_ws()
+    if pos[0] != len(s):
+        raise ValueError(f"trailing input in span query: {s[pos[0]:]!r}")
+    return q
+
+
 def _parse_term_like(chunk: str, analyzer) -> Query:
     """Classify a non-phrase chunk: range, fuzzy, wildcard/prefix, or an
     analyzed term. Handles ``field:term`` prefixes (single text field —
@@ -338,6 +594,12 @@ def parse_query(text: str, analyzer=None) -> Query:
         from ..analysis import get_analyzer
 
         analyzer = get_analyzer("standard")
+
+    # span function-notation queries are whole-query atoms
+    stripped = text.strip()
+    if any(stripped.startswith(n + "(")
+           for n in ("spanNear", "spanOr", "spanNot", "spanFirst")):
+        return parse_span(stripped, analyzer)
 
     # tokenize the query surface: quoted phrases are atoms
     i, n = 0, len(text)

@@ -93,6 +93,12 @@ def collect_terms(q: Query) -> set[str]:
         return out
     if isinstance(q, ConstantScoreQuery):
         return collect_terms(q.query)
+    from .query import (SpanNearQuery, SpanNotQuery, SpanOrQuery,
+                        SpanTermQuery, span_terms)
+
+    if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
+                      SpanNotQuery)):
+        return span_terms(q)
     return set()
 
 
@@ -341,10 +347,15 @@ class ShardSearcher:
             return self._score_boolean(q, df_map)
         if isinstance(q, MatchNoDocs):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        from .query import ConstantScoreQuery, DisMaxQuery, SpanFirstQuery
+        from .query import (ConstantScoreQuery, DisMaxQuery, SpanFirstQuery,
+                            SpanNearQuery, SpanNotQuery, SpanOrQuery,
+                            SpanTermQuery)
 
         if isinstance(q, SpanFirstQuery):
             return self._score_span_first(q, df_map)
+        if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
+                          SpanNotQuery)):
+            return self._score_span(q, df_map)
         if isinstance(q, ConstantScoreQuery):
             docs, _ = self._score_clause(q.query, df_map)
             return docs, np.full(len(docs), np.float32(q.boost),
@@ -352,6 +363,77 @@ class ShardSearcher:
         if isinstance(q, DisMaxQuery):
             return self._score_dismax(q, df_map)
         raise TypeError(f"unsupported query node: {type(q)}")
+
+    def _span_candidates(self, q) -> np.ndarray:
+        """Docs that can possibly match a span query (conjunction for
+        near, union for or, include side for not) — the per-doc kernel
+        only ever runs on these."""
+        from .query import (SpanFirstQuery, SpanNearQuery, SpanNotQuery,
+                            SpanOrQuery, SpanTermQuery)
+
+        if isinstance(q, (SpanTermQuery, SpanFirstQuery)):
+            p = self._postings(q.term)
+            return p[0] if p is not None else np.empty(0, dtype=np.int64)
+        if isinstance(q, SpanNearQuery):
+            docs = self._span_candidates(q.clauses[0])
+            for c in q.clauses[1:]:
+                docs = np.intersect1d(docs, self._span_candidates(c),
+                                      assume_unique=True)
+            return docs
+        if isinstance(q, SpanOrQuery):
+            sets = [self._span_candidates(c) for c in q.clauses]
+            return (np.unique(np.concatenate(sets)) if sets
+                    else np.empty(0, dtype=np.int64))
+        if isinstance(q, SpanNotQuery):
+            return self._span_candidates(q.include)
+        raise TypeError(type(q))
+
+    def _score_span(self, q, df_map: dict[str, int]):
+        """SpanScorer over the shared span kernel (query.span_spans):
+        freq = sum of 1/(1+width) per match (computeSlopFactor), weight =
+        summed idf of the query's term contexts
+        (SpanWeight.buildSimWeight)."""
+        from .query import span_freq, span_terms
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        docs = self._span_candidates(q)
+        if len(docs) == 0:
+            return empty
+        # per-term decoded position lookups for the candidate docs
+        leaf: dict[str, tuple] = {}
+        for t in span_terms(q):
+            p = self._postings(t)
+            if p is None:
+                leaf[t] = None
+                continue
+            d_i, f_i, row_i = p
+            flat, offs = segment.decode_positions(self._pos_enc[row_i], f_i)
+            leaf[t] = (d_i, flat, offs)
+        freqs = np.zeros(len(docs), dtype=np.float64)
+        for j, d in enumerate(docs):
+            def pos_of(term, _d=d):
+                ent = leaf.get(term)
+                if ent is None:
+                    return None
+                d_i, flat, offs = ent
+                i = int(np.searchsorted(d_i, _d))
+                if i >= len(d_i) or d_i[i] != _d:
+                    return None
+                return flat[offs[i]:offs[i + 1]]
+
+            freqs[j] = span_freq(q, pos_of)
+        keep = freqs > 0
+        if not keep.any():
+            return empty
+        docs, f = docs[keep], freqs[keep]
+        sum_idf = np.float32(0.0)
+        for t in sorted(span_terms(q)):
+            sum_idf = np.float32(
+                sum_idf + bm25.idf(df_map.get(t, 0), self.doc_count))
+        w = bm25.weight_value(sum_idf, q.boost)
+        scores = bm25.score_freqs(f, self.norms[docs - self.base],
+                                  self.cache, w)
+        return self._live(docs, scores)
 
     def _score_span_first(self, q, df_map: dict[str, int]):
         """SpanFirstQuery: freq = positions < end, vectorized via the
