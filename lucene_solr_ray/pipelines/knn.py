@@ -312,8 +312,14 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     import json
     import os
 
+    # the cache tag folds in a content signature of the source parquet
+    # (size + mtime) so a regenerated file at the same path invalidates
+    # the cached IVF index instead of silently reusing stale centroids
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
     tag = _hl.md5(f"{os.path.abspath(sf_dir)}|{n_centroids}|{seed}|"
-                  f"{assign_top}".encode()).hexdigest()[:12]
+                  f"{assign_top}|{st.st_size}|{st.st_mtime_ns}"
+                  .encode()).hexdigest()[:12]
     idx_dir = os.path.join("/tmp/lsr_ivf", tag)
     build_ivf_index(sf_dir, idx_dir, n_centroids, seed, assign_top)
     manifest = json.load(open(os.path.join(idx_dir, "ivf_manifest.json")))

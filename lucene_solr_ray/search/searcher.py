@@ -57,13 +57,36 @@ class _Rev:
         return self.v == other.v
 
 
+class _MissingLast:
+    """Sentinel for docs without the sort field: sorts after every real
+    value in either direction (TopFieldCollector missingValue, pinned to
+    sort-missing-last)."""
+
+    __slots__ = ()
+
+    def __lt__(self, other):
+        return False
+
+    def __gt__(self, other):
+        return not isinstance(other, _MissingLast)
+
+    def __eq__(self, other):
+        return isinstance(other, _MissingLast)
+
+
+_MISSING_LAST = _MissingLast()
+
+
 def _merge_sort_key(hit, sort):
     """Driver-side merge key for field-sorted shard hits
-    (TopFieldCollector merge: field values, tie -> lower doc_id)."""
+    (TopFieldCollector merge: field values, tie -> lower doc_id).
+    Docs missing the field sort last in either direction."""
     doc_id, _, keys = hit
     out = []
     for (fld, desc), v in zip(sort, keys):
-        if desc:
+        if v is None:
+            out.append(_MISSING_LAST)
+        elif desc:
             out.append(-v if isinstance(v, (int, float, np.integer,
                                             np.floating)) else _Rev(v))
         else:
@@ -187,6 +210,36 @@ class ShardSearcher:
     # --- phase 1: local term stats ---
     def local_df(self, terms: list[str]) -> dict[str, int]:
         return {t: int(self._df[self._terms[t]]) for t in terms if t in self._terms}
+
+    def term_vector(self, doc_id: int) -> list[tuple[str, int, list[int]]]:
+        """Per-doc (term, freq, positions) vector
+        (``solr/core/.../handler/component/TermVectorComponent.java:79``).
+
+        The index is postings-only (no forward term-vector file, unlike
+        Lucene's optional .tvd), so this inverts the shard's term
+        dictionary for one doc: terms are pruned by their last-doc skip
+        metadata, then binary-searched in the decoded doc list. O(vocab)
+        per call — a debugging/feature API; a production variant at
+        10^12 docs would persist a forward vector file at build time.
+        """
+        if self._deleted is not None and self._deleted[doc_id - self.base]:
+            return []
+        out = []
+        for term in self._terms:
+            i = self._terms[term]
+            last = segment.decode_skip_last_docs(self._skip_last[i])
+            if len(last) and int(last[-1]) < doc_id:
+                continue
+            p = self._postings(term)
+            docs, freqs = p[0], p[1]
+            j = int(np.searchsorted(docs, doc_id))
+            if j >= len(docs) or docs[j] != doc_id:
+                continue
+            flat, offs = segment.decode_positions(self._pos_enc[i], freqs)
+            out.append((term, int(freqs[j]),
+                        [int(x) for x in flat[offs[j]:offs[j + 1]]]))
+        out.sort()
+        return out
 
     # --- postings access (decode results cached: LRUQueryCache analog,
     # search/LRUQueryCache.java) ---
@@ -676,12 +729,19 @@ class ShardSearcher:
                           for fld, _ in sort]
             lex_keys = []
             for (fld, desc), vals in zip(sort, val_arrays):
+                missing = np.array([v is None for v in vals], dtype=bool)
                 try:
-                    key = vals.astype(np.float64)
+                    key = np.array(
+                        [0.0 if m else float(v)
+                         for v, m in zip(vals, missing)], dtype=np.float64)
                 except (TypeError, ValueError):
                     _, inv = np.unique(vals.astype(str), return_inverse=True)
                     key = inv.astype(np.float64)
-                lex_keys.append(-key if desc else key)
+                key = -key if desc else key
+                # missing docvalues sort last in either direction
+                # (pinned missingValue semantics, matching _merge_sort_key)
+                key[missing] = np.inf
+                lex_keys.append(key)
             order = np.lexsort(tuple([docs] + lex_keys[::-1]))[:k]
             return [(int(docs[i]), np.float32(scores[i]),
                      tuple(v[i] for v in val_arrays)) for i in order]
@@ -759,6 +819,17 @@ class IndexSearcher:
         order = np.lexsort((uniq, -counts))
         out = [(str(uniq[i]), int(counts[i])) for i in order]
         return out[:limit] if limit else out
+
+    def term_vectors(self, doc_ids: list[int]
+                     ) -> dict[int, list[tuple[str, int, list[int]]]]:
+        """TermVectorComponent: (term, freq, positions) per requested doc
+        (typically the current page of hits)."""
+        by_id = {sh.shard_id: sh for sh in self.shards}
+        out: dict[int, list] = {}
+        for d in doc_ids:
+            sh = by_id.get(int(d) // self.shards[0].docs_per_shard)
+            out[int(d)] = sh.term_vector(int(d)) if sh is not None else []
+        return out
 
     def spellcheck(self, term: str, k: int = 5,
                    max_edits: int = 2) -> list[tuple[str, int]]:

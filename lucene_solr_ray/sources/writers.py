@@ -139,9 +139,12 @@ WRITERS = {
 
 
 def write_response(table: pa.Table, fmt: str, **kw):
-    """Dispatch by wt= name (writer registry analog)."""
+    """Dispatch by wt= name (writer registry analog). Only the registry
+    lookup is guarded — a KeyError raised INSIDE a writer is a real bug
+    and must not be misreported as an unknown format."""
     try:
-        return WRITERS[fmt](table, **kw)
+        writer = WRITERS[fmt]
     except KeyError:
         raise ValueError(f"unknown response format {fmt!r}; "
                          f"known: {sorted(WRITERS)}") from None
+    return writer(table, **kw)

@@ -278,3 +278,56 @@ def test_span_first_identity_and_semantics(indexed):
     h1 = {d for d, _ in s.search(SpanFirstQuery(term="ray", end=1), k=500)}
     h8 = {d for d, _ in s.search(SpanFirstQuery(term="ray", end=8), k=500)}
     assert h1 <= h8
+
+
+def test_term_vectors_match_analysis(indexed):
+    """Term vector of a hit doc == re-analysis of its source text."""
+    s, _, t = indexed
+    texts = t.column("text").to_pylist()
+    from lucene_solr_ray.analysis import get_analyzer
+
+    analyzer = get_analyzer(s.analyzer_name)
+    hits = s.search("ray", k=3)
+    assert hits
+    tvs = s.term_vectors([d for d, _ in hits])
+    for d, _ in hits:
+        terms, positions = analyzer.analyze(texts[d])
+        want = {}
+        for t, p in zip(terms, positions):
+            want.setdefault(t, []).append(p)
+        got = {t: pos for t, f, pos in tvs[d]}
+        assert got == want, d
+        for t, f, pos in tvs[d]:
+            assert f == len(pos)
+
+
+def test_field_sort_with_missing_docvalues(ray_session, tmp_path):
+    """Docs missing the sort field sort LAST in either direction (pinned
+    missingValue semantics) instead of raising TypeError at the merge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.data.transcripts import generate_transcripts
+
+    t = generate_transcripts(12, seed=21)
+    n = t.num_rows
+    score = [float(i) if i % 3 else None for i in range(n)]
+    t = t.append_column("score", pa.array(score, type=pa.float64()))
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, str(src))
+    idx = tmp_path / "idx"
+    build_index(str(src), str(idx), num_shards=3)
+    s = IndexSearcher(str(idx))
+    term = next(w.lower() for w in t.column("text")[0].as_py().split()
+                if len(w) > 3 and w.isalpha())
+    for desc in (False, True):
+        hits = s.search(term, k=50, sort=[("score", desc)])
+        assert hits
+        vals = [s.docvalues("score")[d] for d, _ in hits]
+        present = [v for v in vals if v is not None]
+        tail = vals[len(present):]
+        assert all(v is None for v in tail), (desc, vals)
+        if desc:
+            assert present == sorted(present, reverse=True)
+        else:
+            assert present == sorted(present)
