@@ -48,23 +48,45 @@ def tumbling_window_events(sf_dir: str, window_sec: int = 3600):
 
 
 def session_windows_events(sf_dir: str, gap_minutes: int = 30):
-    """Gap-based sessions per user: (user_id, session_id, n_events)."""
+    """Gap-based sessions per user: (user_id, session_id, n_events).
+
+    ONE vectorized sessionizer per hash bucket (``bucketed_group_agg``)
+    instead of ``groupby(user).map_groups`` — the per-group Python
+    overhead (~1ms/group, util.py) is pathological at millions of
+    distinct users, while the bucketed form is a single
+    sort + diff + cumsum per bucket. Hash partitioning guarantees each
+    bucket holds complete users, which is the only ordering assumption.
+    """
+    from .util import bucketed_group_agg
+
     ds = read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes, "m")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts = g["ts"].to_numpy()
-        brk = np.zeros(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            brk[1:] = (np.diff(ts) > gap).astype(np.int64)
-        session_id = np.cumsum(brk)
-        out = pd.DataFrame({"user_id": g["user_id"].to_numpy(),
-                            "session_id": session_id})
-        return (out.groupby(["user_id", "session_id"], sort=False)
-                .size().reset_index(name="n_events"))
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        n = len(df)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        brk = np.concatenate(
+            ([0], (np.diff(ts) > gap).astype(np.int64)))
+        brk[new_user] = 0
+        csum = np.cumsum(brk)
+        start_idx = np.nonzero(new_user)[0]
+        run_lens = np.diff(np.concatenate((start_idx, [n])))
+        sid = csum - np.repeat(csum[start_idx], run_lens)
+        # per-session counts without a pandas groupby: session starts are
+        # user starts or gap breaks
+        sess_start = new_user | (brk == 1)
+        starts = np.nonzero(sess_start)[0]
+        counts = np.diff(np.concatenate((starts, [n])))
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "session_id": sid[starts],
+            "n_events": counts.astype(np.int64),
+        })
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucketed_group_agg(ds, ["user_id"], sessionize)
 
 
 def hopping_window_events(sf_dir: str, size_sec: int = 7200,
