@@ -99,6 +99,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_join_rollup": __import__(
             "lucene_solr_ray.pipelines.streaming_expr",
             fromlist=["stream_expr_join_rollup"]).stream_expr_join_rollup,
+        # graph traversal streams (GatherNodesStream / ShortestPathStream)
+        "gather_parts_of_customer": __import__(
+            "lucene_solr_ray.pipelines.graph",
+            fromlist=["gather_parts_of_customer"]).gather_parts_of_customer,
+        "shortest_path_lineitem": __import__(
+            "lucene_solr_ray.pipelines.graph",
+            fromlist=["shortest_path_lineitem"]).shortest_path_lineitem,
         # multimodal plumbing (decode stubbed; shape real)
         "media_features": multimodal.media_features,
         # full-text + sketches (non-SQL-expressible: rows-only here,
@@ -130,6 +137,24 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'after', count(*) FROM events WHERE value >= 350 "
             "UNION ALL SELECT 'between', count(*) FROM events "
             "WHERE value >= 50 AND value < 350",
+        "gather_parts_of_customer":
+            "SELECT DISTINCT l_partkey AS node FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 7 "
+            "ORDER BY node",
+        "shortest_path_lineitem":
+            "WITH RECURSIVE e AS ("
+            "SELECT l_orderkey AS f, l_partkey + 10000000 AS t FROM lineitem "
+            "UNION ALL SELECT l_partkey + 10000000, l_orderkey FROM lineitem), "
+            "b AS (SELECT min(l_orderkey) AS src, max(l_orderkey) AS dst "
+            "FROM lineitem), "
+            "walk(node, d) AS ("
+            "SELECT src, 0 FROM b "
+            "UNION "
+            "SELECT e.t, walk.d + 1 FROM walk JOIN e ON e.f = walk.node "
+            "WHERE walk.d < 4) "
+            "SELECT CAST(b.src AS BIGINT) AS src, CAST(b.dst AS BIGINT) AS dst, "
+            "CAST(min(walk.d) AS BIGINT) AS hops FROM walk, b "
+            "WHERE walk.node = b.dst GROUP BY 1, 2",
         "pivot_facet_orders":
             "WITH oy AS (SELECT o_orderstatus, o_orderpriority, "
             "CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders), "

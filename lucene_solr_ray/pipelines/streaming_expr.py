@@ -278,6 +278,37 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
         return src.sort(keys, descending=desc).limit(n)
     if name == "rollup":
         return _eval_rollup(e, sf_dir)
+    if name == "gatherNodes":
+        # gatherNodes(table, root="1,2", walk="from_col->to_col",
+        #             depth="2", scatter="leaves|branches")
+        # (GatherNodesStream.java:54; first arg is a collection here)
+        from .graph import gather_nodes
+
+        table = e.args[0]
+        frm, _, to = e.params["walk"].partition("->")
+        roots = [int(x) for x in e.params["root"].split(",")]
+        edges = read(sf_dir, table, [frm.strip(), to.strip()])
+        out = gather_nodes(edges, roots, frm.strip(), to.strip(),
+                           depth=int(e.params.get("depth", "1")),
+                           scatter=e.params.get("scatter", "leaves"))
+        return rd.from_arrow(out)
+    if name == "shortestPath":
+        # shortestPath(table, from="0", to="99", edge="f=t", maxDepth="6")
+        # (ShortestPathStream.java) -> one row per path step
+        from .graph import shortest_path
+
+        table = e.args[0]
+        frm_col, _, to_col = e.params["edge"].partition("=")
+        edges = read(sf_dir, table, [frm_col.strip(), to_col.strip()])
+        path = shortest_path(edges, int(e.params["from"]),
+                             int(e.params["to"]), frm_col.strip(),
+                             to_col.strip(),
+                             max_depth=int(e.params.get("maxDepth", "6")))
+        steps = path or []
+        return rd.from_arrow(pa.table({
+            "step": pa.array(range(len(steps)), type=pa.int64()),
+            "node": pa.array(steps, type=pa.int64()),
+        }))
     raise ValueError(f"unknown stream function {name!r}")
 
 
