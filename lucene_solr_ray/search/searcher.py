@@ -26,6 +26,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..index import segment
@@ -125,6 +126,52 @@ def collect_terms(q: Query) -> set[str]:
     return set()
 
 
+class _TermDict:
+    """Sorted term dictionary over the Arrow term column (SURVEY §7.6):
+    binary-search lookups against the (almost zero-copy) string array
+    instead of a Python dict of interned strings — an order of magnitude
+    less resident memory per shard at 10^7-term vocabularies, identical
+    API surface (get / in / [] / iteration in sorted order / items)."""
+
+    __slots__ = ("_arr", "_n")
+
+    def __init__(self, arr):
+        self._arr = arr  # pa.StringArray, ascending
+        self._n = len(arr)
+
+    def get(self, term, default=None):
+        lo, hi = 0, self._n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._arr[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < self._n and self._arr[lo].as_py() == term:
+            return lo
+        return default
+
+    def __contains__(self, term):
+        return self.get(term) is not None
+
+    def __getitem__(self, term):
+        i = self.get(term)
+        if i is None:
+            raise KeyError(term)
+        return i
+
+    def __iter__(self):
+        for i in range(self._n):
+            yield self._arr[i].as_py()
+
+    def __len__(self):
+        return self._n
+
+    def items(self):
+        for i in range(self._n):
+            yield self._arr[i].as_py(), i
+
+
 class ShardSearcher:
     """Search over one shard; all postings/norms held in memory."""
 
@@ -145,7 +192,7 @@ class ShardSearcher:
         terms_file = index_path / "shards" / f"shard={shard_id:05d}" / "terms.parquet"
         if terms_file.exists():
             t = pq.read_table(terms_file)
-            self._terms = {term: i for i, term in enumerate(t.column("term").to_pylist())}
+            self._terms = _TermDict(t.column("term").combine_chunks())
             self._df = t.column("df").to_numpy(zero_copy_only=False)
             self._ttf = t.column("ttf").to_numpy(zero_copy_only=False)
             self._doc_enc = t.column("doc_ids_enc").to_pylist()
@@ -157,7 +204,7 @@ class ShardSearcher:
             self._bmaxf = t.column("block_max_freq").to_pylist()
             self._bminnt = t.column("block_min_nt").to_pylist()
         else:  # empty shard
-            self._terms = {}
+            self._terms = _TermDict(pa.array([], type=pa.string()))
             self._df = np.empty(0, dtype=np.int64)
             self._ttf = np.empty(0, dtype=np.int64)
             self._doc_enc = []
