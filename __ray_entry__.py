@@ -99,6 +99,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_join_rollup": __import__(
             "lucene_solr_ray.pipelines.streaming_expr",
             fromlist=["stream_expr_join_rollup"]).stream_expr_join_rollup,
+        # geospatial (LatLonPoint box/radius filters, geodist sort)
+        "geo_bbox_events": __import__(
+            "lucene_solr_ray.pipelines.geo",
+            fromlist=["geo_bbox_events"]).geo_bbox_events,
+        "geo_nearest_events": __import__(
+            "lucene_solr_ray.pipelines.geo",
+            fromlist=["geo_nearest_events"]).geo_nearest_events,
         # graph traversal streams (GatherNodesStream / ShortestPathStream)
         "gather_parts_of_customer": __import__(
             "lucene_solr_ray.pipelines.graph",
@@ -137,6 +144,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'after', count(*) FROM events WHERE value >= 350 "
             "UNION ALL SELECT 'between', count(*) FROM events "
             "WHERE value >= 50 AND value < 350",
+        "geo_bbox_events":
+            "WITH c AS (SELECT event_id, user_id, "
+            "((user_id * 2654435761) % 4294967296) / 4294967296.0 "
+            "* 180 - 90 AS lat, "
+            "(((user_id + 12345) * 2654435761) % 4294967296) / 4294967296.0 "
+            "* 360 - 180 AS lon FROM events) "
+            "SELECT event_id, user_id, ROUND(lat, 6) AS lat, "
+            "ROUND(lon, 6) AS lon FROM c WHERE lat >= 10.0 AND lat <= 55.0 "
+            "AND lon >= -30.0 AND lon <= 42.5",
+        "geo_nearest_events":
+            "WITH c AS (SELECT event_id, "
+            "((user_id * 2654435761) % 4294967296) / 4294967296.0 "
+            "* 180 - 90 AS lat, "
+            "(((user_id + 12345) * 2654435761) % 4294967296) / 4294967296.0 "
+            "* 360 - 180 AS lon FROM events), "
+            "d AS (SELECT event_id, (lat-48.0)*(lat-48.0) + "
+            "(lon-2.0)*(lon-2.0) AS d2 FROM c) "
+            "SELECT event_id, ROUND(d2, 6) AS d2 FROM d "
+            "ORDER BY d2, event_id LIMIT 20",
         "gather_parts_of_customer":
             "SELECT DISTINCT l_partkey AS node FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 7 "

@@ -1,0 +1,191 @@
+"""Geospatial filtering and distance ranking.
+
+Re-expression of the reference's lat/lon surface
+(``lucene/sandbox/src/java/org/apache/lucene/document/LatLonPoint.java``,
+``solr/core/src/java/org/apache/solr/schema/LatLonType.java:59``, the
+``{!geofilt}`` / ``{!bbox}`` query parsers and ``geodist()`` sort):
+
+- ``bbox_filter``: pure-comparison bounding-box filter (BBoxField /
+  LatLonPoint.newBoxQuery) — one vectorized mask per batch.
+- ``geofilt``: great-circle radius filter (``{!geofilt d=km}``) with the
+  haversine distance LatLonType uses; the cheap bounding-box prefilter
+  runs first, exactly like the reference's two-phase
+  approximate-then-verify point queries.
+- ``geo_knn``: distance sort / nearest-k (``sort=geodist() asc``) as a
+  per-batch partial top-k + driver merge (the knn_cosine pattern).
+
+The test tables carry no geo columns, so the driver-surface queries
+derive deterministic synthetic coordinates from ``user_id`` with integer
+hashing that an ANSI-SQL oracle reproduces bit-for-bit; only exact
+integer/double arithmetic (no libm trig) crosses the engine/oracle
+boundary — haversine itself is pytest-verified against a scalar
+reference implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from .util import read, round_col
+
+EARTH_RADIUS_KM = 6371.0087714  # mean radius, GeoUtils.EARTH_MEAN_RADIUS
+
+_KNUTH = np.uint64(2654435761)
+_TWO32 = np.float64(4294967296.0)
+
+
+def synth_coords(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic synthetic (lat, lon) from an integer id — Knuth
+    multiplicative hashing, exactly reproducible in SQL:
+    lat = ((id * 2654435761) % 2^32) / 2^32 * 180 - 90
+    lon = (((id + 12345) * 2654435761) % 2^32) / 2^32 * 360 - 180
+    """
+    u = (ids.astype(np.uint64) * _KNUTH) % np.uint64(2**32)
+    v = ((ids.astype(np.uint64) + np.uint64(12345)) * _KNUTH) % np.uint64(2**32)
+    lat = (u.astype(np.float64) / _TWO32) * 180.0 - 90.0
+    lon = (v.astype(np.float64) / _TWO32) * 360.0 - 180.0
+    return lat, lon
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Vectorized great-circle distance in km (the SloppyMath.haversin /
+    LatLonType geodist formula)."""
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dp = p2 - p1
+    dl = np.radians(lon2) - np.radians(lon1)
+    a = (np.sin(dp / 2.0) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin(dl / 2.0) ** 2)
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def bbox_filter(ds: rd.Dataset, lat_col: str, lon_col: str,
+                min_lat: float, max_lat: float,
+                min_lon: float, max_lon: float) -> rd.Dataset:
+    """LatLonPoint.newBoxQuery: inclusive bounding box, vectorized."""
+
+    def fil(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False)
+        m = ((lat >= min_lat) & (lat <= max_lat)
+             & (lon >= min_lon) & (lon <= max_lon))
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def geofilt(ds: rd.Dataset, lat_col: str, lon_col: str,
+            pt_lat: float, pt_lon: float, d_km: float) -> rd.Dataset:
+    """{!geofilt}: docs within d km of the point. Two-phase like the
+    reference point queries: a cheap bounding-box prefilter (the box
+    circumscribing the circle; lon bound widened by the cos(lat) shrink,
+    degenerating to the full range near the poles), then exact haversine
+    on the survivors only."""
+    lat_pad = np.degrees(d_km / EARTH_RADIUS_KM)
+    if pt_lat + lat_pad >= 90.0 or pt_lat - lat_pad <= -90.0:
+        lon_pad = 180.0  # the circle encloses a pole: all longitudes
+    else:
+        # the meridian shrink is strongest at the box's most poleward
+        # latitude — using cos(pt_lat) under-covers near the poles
+        max_abs_lat = max(abs(pt_lat - lat_pad), abs(pt_lat + lat_pad))
+        lon_pad = min(180.0, lat_pad / np.cos(np.radians(max_abs_lat)))
+
+    def fil(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False)
+        m = (lat >= pt_lat - lat_pad) & (lat <= pt_lat + lat_pad)
+        if lon_pad < 180.0:
+            # antimeridian-safe delta: smallest signed lon difference
+            dlon = np.abs(((lon - pt_lon + 540.0) % 360.0) - 180.0)
+            m &= dlon <= lon_pad
+        if m.any():
+            dist = haversine_km(lat[m], lon[m], pt_lat, pt_lon)
+            mm = np.zeros(len(lat), dtype=bool)
+            mm[np.nonzero(m)[0][dist <= d_km]] = True
+            m = mm
+        return t.filter(pa.array(m))
+
+    return ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def geo_knn(ds: rd.Dataset, lat_col: str, lon_col: str, id_col: str,
+            pt_lat: float, pt_lon: float, k: int = 10):
+    """sort=geodist() asc top-k: per-batch partial top-k (haversine per
+    batch), merged on the driver — the result is k rows, never the
+    corpus."""
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        dist = haversine_km(lat, lon, pt_lat, pt_lon)
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order], type=pa.int64()),
+            "dist_km": pa.array(dist[order], type=pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    parts = parts.sort_values(["dist_km", id_col]).head(k)
+    return pa.Table.from_pandas(parts.reset_index(drop=True),
+                                preserve_index=False)
+
+
+# --- driver-surface queries over synthetic event coordinates -----------
+
+def _events_with_coords(sf_dir: str) -> rd.Dataset:
+    ds = read(sf_dir, "events", ["event_id", "user_id"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        ids = t.column("user_id").to_numpy(zero_copy_only=False)
+        lat, lon = synth_coords(ids)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "lat": pa.array(lat, type=pa.float64()),
+            "lon": pa.array(lon, type=pa.float64()),
+        })
+
+    return ds.map_batches(coords, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def geo_bbox_events(sf_dir: str):
+    """Events whose synthetic user coordinates land in a fixed box
+    (exact comparisons: SQL-oracled bit-for-bit)."""
+    out = bbox_filter(_events_with_coords(sf_dir), "lat", "lon",
+                      10.0, 55.0, -30.0, 42.5)
+
+    def shape(t: pa.Table) -> pa.Table:
+        t = round_col(t, "lat", 6)
+        return round_col(t, "lon", 6)
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
+def geo_nearest_events(sf_dir: str, k: int = 20):
+    """20 nearest events to a fixed point under SQUARED DEGREE distance
+    (deterministic double arithmetic, so the SQL oracle matches exactly;
+    the haversine path is geo_knn, pytest-verified)."""
+    pt_lat, pt_lon = 48.0, 2.0
+    ds = _events_with_coords(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        d2 = (lat - pt_lat) * (lat - pt_lat) + (lon - pt_lon) * (lon - pt_lon)
+        order = np.lexsort((ids, d2))[:k]
+        return pa.table({
+            "event_id": pa.array(ids[order], type=pa.int64()),
+            "d2": pa.array(d2[order], type=pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    parts = parts.sort_values(["d2", "event_id"]).head(k)
+    t = pa.Table.from_pandas(parts.reset_index(drop=True),
+                             preserve_index=False)
+    return round_col(t, "d2", 6)
