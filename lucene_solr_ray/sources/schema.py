@@ -1,0 +1,207 @@
+"""Declared-schema system: fields, dynamic fields, copyField, per-field
+analyzers.
+
+Re-expression of Solr's IndexSchema
+(``solr/core/src/java/org/apache/solr/schema/IndexSchema.java:95-163``:
+the fields / dynamicFields / copyFields registries and
+``getFieldType(name)`` resolution; ``ManagedIndexSchema`` mutation is out
+of scope). Field types bind a coercion (the FieldType.toNativeType
+analog) and, for text types, an analyzer name from the analysis
+registry; per-field query/index analysis goes through
+``schema.analyze(field, text)``.
+
+Resolution precedence mirrors the reference: an explicit field always
+wins; otherwise the LONGEST matching dynamicField pattern
+(IndexSchema.dynamicFieldListWithDuplicates ordering), ``*`` last.
+copyField sources may be dynamic patterns; a copy directive with
+maxChars truncates like CopyField.getLimitedValue.
+
+Schema application is one vectorized ``pa.Table -> pa.Table`` transform
+(``prepare_batch``) that slots into the update-processor chain
+(``sources.processors.apply_chain``) — coercion + copyFields run inside
+the same single map_batches ingest stage.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TYPE_COERCE = {
+    "string": pa.string(),     # StrField: keyword, no analysis
+    "text": pa.string(),       # TextField: analyzed
+    "pint": pa.int64(),        # IntPointField
+    "plong": pa.int64(),
+    "pfloat": pa.float64(),    # FloatPointField
+    "pdouble": pa.float64(),
+    "pdate": pa.timestamp("us"),  # DatePointField
+    "boolean": pa.bool_(),
+}
+
+
+@dataclass(frozen=True)
+class FieldType:
+    """FieldType analog: storage type + analyzer binding for text."""
+
+    name: str
+    base: str = "string"          # key into _TYPE_COERCE
+    analyzer: str | None = None   # analysis-registry name for text types
+
+    @property
+    def arrow_type(self) -> pa.DataType:
+        return _TYPE_COERCE[self.base]
+
+
+@dataclass(frozen=True)
+class SchemaField:
+    name: str                      # exact name or dynamic glob (*_s)
+    type: str                      # FieldType name
+    required: bool = False
+    docvalues: bool = False
+
+
+@dataclass(frozen=True)
+class CopyField:
+    source: str                    # exact or glob
+    dest: str
+    max_chars: int | None = None
+
+
+DEFAULT_TYPES = (
+    FieldType("string", "string"),
+    FieldType("text_general", "text", analyzer="standard"),
+    FieldType("text_url_email", "text", analyzer="uax29_url_email"),
+    FieldType("pint", "pint"),
+    FieldType("plong", "plong"),
+    FieldType("pfloat", "pfloat"),
+    FieldType("pdouble", "pdouble"),
+    FieldType("pdate", "pdate"),
+    FieldType("boolean", "boolean"),
+)
+
+
+class IndexSchema:
+    """fields + dynamicFields + copyFields + type registry."""
+
+    def __init__(self, fields: list[SchemaField],
+                 copy_fields: list[CopyField] = (),
+                 types: list[FieldType] = DEFAULT_TYPES):
+        self.types = {t.name: t for t in types}
+        self.fields: dict[str, SchemaField] = {}
+        self.dynamic: list[SchemaField] = []
+        for f in fields:
+            if f.type not in self.types:
+                raise ValueError(f"field {f.name!r}: unknown type {f.type!r}")
+            if "*" in f.name:
+                self.dynamic.append(f)
+            else:
+                self.fields[f.name] = f
+        # longest pattern wins; '*' (if declared) falls to the end
+        self.dynamic.sort(key=lambda f: len(f.name), reverse=True)
+        self.copy_fields = list(copy_fields)
+        for cf in self.copy_fields:
+            if self.resolve(cf.dest) is None:
+                raise ValueError(f"copyField dest {cf.dest!r} undeclared")
+
+    # --- resolution (IndexSchema.getFieldOrNull / getDynamicPattern) ---
+
+    def resolve(self, name: str) -> SchemaField | None:
+        """Explicit field, else longest matching dynamic pattern."""
+        f = self.fields.get(name)
+        if f is not None:
+            return f
+        for d in self.dynamic:
+            if fnmatch.fnmatchcase(name, d.name):
+                return d
+        return None
+
+    def field_type(self, name: str) -> FieldType:
+        f = self.resolve(name)
+        if f is None:
+            raise KeyError(f"undefined field {name!r} "
+                           "(no explicit field or dynamicField matches)")
+        return self.types[f.type]
+
+    # --- per-field analysis (getIndexAnalyzer per field) ---
+
+    def analyze(self, name: str, text: str):
+        ft = self.field_type(name)
+        if ft.base != "text":
+            raise TypeError(f"field {name!r} ({ft.name}) is not analyzed")
+        from ..analysis import get_analyzer
+
+        return get_analyzer(ft.analyzer).analyze(text)
+
+    # --- batch application (ingest-side; one vectorized transform) ---
+
+    def prepare_batch(self, t: pa.Table) -> pa.Table:
+        """Validate + coerce every column to its declared type, then run
+        copyField directives. Unknown columns raise (schema-on-write,
+        like the reference without schemaless mode); missing required
+        fields raise."""
+        for name in t.column_names:
+            ft = self.field_type(name)  # raises on undefined
+            col = t.column(name)
+            if not col.type.equals(ft.arrow_type):
+                col = col.cast(ft.arrow_type)
+                t = t.set_column(t.column_names.index(name), name, col)
+        for f in self.fields.values():
+            if f.required and f.name not in t.column_names:
+                raise ValueError(f"required field {f.name!r} missing")
+        for cf in self.copy_fields:
+            srcs = ([cf.source] if "*" not in cf.source else
+                    [c for c in t.column_names
+                     if fnmatch.fnmatchcase(c, cf.source)])
+            for src in srcs:
+                if src not in t.column_names:
+                    continue
+                vals = t.column(src)
+                dest_ft = self.field_type(cf.dest)
+                if not vals.type.equals(dest_ft.arrow_type):
+                    vals = vals.cast(dest_ft.arrow_type)
+                if cf.max_chars is not None:
+                    vals = pc.utf8_slice_codeunits(vals, 0, cf.max_chars)
+                if cf.dest in t.column_names:
+                    # multiple sources into one dest concatenate with a
+                    # space (multivalued-dest flattening for the
+                    # single-valued engine)
+                    joined = pc.binary_join_element_wise(
+                        t.column(cf.dest).cast(pa.string()),
+                        vals.cast(pa.string()), " ")
+                    t = t.set_column(t.column_names.index(cf.dest),
+                                     cf.dest, joined)
+                else:
+                    t = t.append_column(cf.dest, vals)
+        return t
+
+    def processor(self):
+        """The schema as an update-chain processor
+        (``sources.processors.Processor``)."""
+        return self.prepare_batch
+
+
+def transcripts_schema() -> IndexSchema:
+    """The engine's default transcript schema: explicit core fields,
+    dynamic suffix patterns, and a catch-all copy into the indexed text
+    (the reference's ``_text_`` catch-all copyField)."""
+    return IndexSchema(
+        fields=[
+            SchemaField("conv_id", "string", required=True),
+            SchemaField("turn_idx", "pint", required=True),
+            SchemaField("text", "text_general", required=True),
+            SchemaField("role", "string", docvalues=True),
+            SchemaField("tool", "string", docvalues=True),
+            SchemaField("score", "plong", docvalues=True),
+            SchemaField("ts", "pdate"),
+            SchemaField("*_s", "string"),
+            SchemaField("*_t", "text_general"),
+            SchemaField("*_i", "pint"),
+            SchemaField("*_f", "pdouble"),
+            SchemaField("*_dt", "pdate"),
+        ],
+        copy_fields=[CopyField("*_t", "text")],
+    )
