@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scalar expressions / range queries (§2.9)
         "select_expr_lineitem": relational.select_expr_lineitem,
         "function_query_lineitem": relational.function_query_lineitem,
+        "expression_lineitem": relational.expression_lineitem,
         "range_filter_events": relational.range_filter_events,
         # set ops / dedup (§2.8)
         "merge_union_events": relational.merge_union_events,
@@ -133,6 +134,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "facet_lang":
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+        "expression_lineitem":
+            "SELECT l_orderkey, l_linenumber, ROUND("
+            "l_extendedprice * (1 - l_discount) + "
+            "CASE WHEN l_quantity > 25 THEN sqrt(l_extendedprice) "
+            "ELSE l_quantity - trunc(l_quantity / 7) * 7 END"
+            ", 4) AS escore FROM lineitem",
         "range_facet_events":
             "WITH b AS (SELECT 50 + 50*i AS lo FROM generate_series(0,5) t(i)), "
             "c AS (SELECT 50 + 50*CAST(floor((value-50)/50) AS BIGINT) AS lo, "

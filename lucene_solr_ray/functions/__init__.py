@@ -1,3 +1,5 @@
-from .valuesource import FUNCTIONS, compile_expr, eval_expr, parse_func
+from .valuesource import (FUNCTIONS, compile_expr, eval_expr, parse_func,
+                          parse_infix)
 
-__all__ = ["FUNCTIONS", "compile_expr", "eval_expr", "parse_func"]
+__all__ = ["FUNCTIONS", "compile_expr", "eval_expr", "parse_func",
+           "parse_infix"]

@@ -98,6 +98,17 @@ FUNCTIONS: dict[str, tuple[Any, Callable]] = {
     # if(cond, a, b) over a boolean expr encoded as nonzero
     "if": (3, lambda c, a, b: pc.if_else(pc.not_equal(c, pa.scalar(0.0)),
                                          a, b)),
+    # expressions-module operator kernels (JavascriptCompiler lowering):
+    # comparisons yield 1.0/0.0, % is C-style fmod (truncated division)
+    "neg": (1, pc.negate),
+    "mod": (2, lambda a, b: pc.subtract(
+        a, pc.multiply(pc.trunc(pc.divide(a, b)), b))),
+    "gt": (2, lambda a, b: pc.cast(pc.greater(a, b), pa.float64())),
+    "gte": (2, lambda a, b: pc.cast(pc.greater_equal(a, b), pa.float64())),
+    "lt": (2, lambda a, b: pc.cast(pc.less(a, b), pa.float64())),
+    "lte": (2, lambda a, b: pc.cast(pc.less_equal(a, b), pa.float64())),
+    "eq": (2, lambda a, b: pc.cast(pc.equal(a, b), pa.float64())),
+    "neq": (2, lambda a, b: pc.cast(pc.not_equal(a, b), pa.float64())),
 }
 
 _TOKEN = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_.]*|[-+]?[0-9]*\.?[0-9]+"
@@ -170,6 +181,114 @@ def eval_expr(node, batch: pa.Table):
         return col.cast(pa.float64())
     kernel = FUNCTIONS[node.name][1]
     return kernel(*(eval_expr(a, batch) for a in node.args))
+
+
+_INFIX_TOK = re.compile(r"""\s*(
+      [A-Za-z_][A-Za-z0-9_.]*
+    | [0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?
+    | \*\*|==|!=|<=|>=|[-+*/%<>(),?:]
+)""", re.VERBOSE)
+
+_BINOP = {  # token -> (registry function, precedence)
+    "?": (None, 1),                       # ternary handled separately
+    "==": ("eq", 3), "!=": ("neq", 3),
+    "<": ("lt", 4), "<=": ("lte", 4), ">": ("gt", 4), ">=": ("gte", 4),
+    "+": ("sum", 5), "-": ("sub", 5),
+    "*": ("mul", 6), "/": ("div", 6), "%": ("mod", 6),
+    "**": ("pow", 7),
+}
+
+
+def parse_infix(expr: str):
+    """Lucene expressions-module syntax (``lucene/expressions/.../js/
+    JavascriptCompiler.java``): infix arithmetic ``+ - * / % **``,
+    comparisons (1.0/0.0), the ternary ``c ? a : b``, unary minus,
+    parentheses, numeric literals, bare identifiers as doc-value fields,
+    and calls into the same function registry (``sqrt(x) + popularity``).
+    Compiles to the prefix-grammar AST, so evaluation shares the
+    vectorized kernel chain."""
+    tokens: list[str] = []
+    i = 0
+    while i < len(expr):
+        if expr[i:].strip() == "":
+            break
+        m = _INFIX_TOK.match(expr, i)
+        if not m:
+            raise ValueError(f"bad expression at {expr[i:i+20]!r}")
+        tokens.append(m.group(1))
+        i = m.end()
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else None
+
+    def take(expected=None):
+        t = peek()
+        if t is None or (expected is not None and t != expected):
+            raise ValueError(f"expected {expected!r}, got {t!r} in {expr!r}")
+        pos[0] += 1
+        return t
+
+    def primary():
+        t = peek()
+        if t is None:
+            raise ValueError(f"unexpected end of expression: {expr!r}")
+        if t == "-":
+            take()
+            return Func("neg", (primary(),))
+        if t == "(":
+            take()
+            node = ternary()
+            take(")")
+            return node
+        take()
+        if re.fullmatch(r"[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?", t):
+            return Const(float(t))
+        if peek() == "(":  # function call
+            take("(")
+            args = []
+            if peek() != ")":
+                args.append(ternary())
+                while peek() == ",":
+                    take(",")
+                    args.append(ternary())
+            take(")")
+            if t not in FUNCTIONS:
+                raise ValueError(f"unknown function {t!r}")
+            arity = FUNCTIONS[t][0]
+            if arity is not None and len(args) != arity:
+                raise ValueError(
+                    f"{t} expects {arity} args, got {len(args)}")
+            return Func(t, tuple(args))
+        return Field(t)
+
+    def binary(min_prec: int):
+        left = primary()
+        while True:
+            t = peek()
+            if t not in _BINOP or t == "?":
+                return left
+            fn, prec = _BINOP[t]
+            if prec < min_prec:
+                return left
+            take()
+            right = binary(prec + (0 if t == "**" else 1))  # ** right-assoc
+            left = Func(fn, (left, right))
+
+    def ternary():
+        cond = binary(2)
+        if peek() == "?":
+            take("?")
+            a = ternary()
+            take(":")
+            b = ternary()
+            return Func("if", (cond, a, b))
+        return cond
+
+    node = ternary()
+    if pos[0] != len(tokens):
+        raise ValueError(f"trailing tokens {tokens[pos[0]:]!r} in {expr!r}")
+    return node
 
 
 def compile_expr(expr: str) -> Callable[[pa.Table], pa.Array]:

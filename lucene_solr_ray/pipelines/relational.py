@@ -307,6 +307,31 @@ def function_query_lineitem(sf_dir: str):
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def expression_lineitem(sf_dir: str):
+    """expressions-module query (``lucene/expressions/.../js/
+    JavascriptCompiler.java``): an INFIX JS-syntax expression with
+    arithmetic, a comparison, and a ternary, compiled onto the same
+    vectorized kernel registry as the prefix function queries."""
+    from ..functions.valuesource import eval_expr, parse_infix
+
+    ast = parse_infix(
+        "l_extendedprice * (1 - l_discount) + "
+        "(l_quantity > 25 ? sqrt(l_extendedprice) : l_quantity % 7)")
+    ds = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_quantity",
+               "l_extendedprice", "l_discount"])
+
+    def apply(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "escore": eval_expr(ast, t),
+        })
+        return round_col(out, "escore", 4)
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- range filter (PointRangeQuery / TrieField range) ---
 
 def range_filter_events(sf_dir: str):

@@ -100,3 +100,46 @@ def test_parse_func_total(text):
 def test_generated_expressions_evaluate(expr):
     out = compile_expr(expr)(T)
     assert len(out) == len(T)
+
+
+def test_parse_infix_precedence_and_ternary():
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.functions.valuesource import eval_expr, parse_infix
+
+    t = pa.table({"x": pa.array([1.0, 4.0, 30.0]),
+                  "y": pa.array([2.0, 3.0, 5.0])})
+    x = np.array([1.0, 4.0, 30.0])
+    y = np.array([2.0, 3.0, 5.0])
+
+    cases = {
+        "x + y * 2": x + y * 2,
+        "(x + y) * 2": (x + y) * 2,
+        "-x + y": -x + y,
+        "x % 7": x - np.trunc(x / 7) * 7,
+        "x ** 2 + 1": x ** 2 + 1,
+        "x > 3 ? y : x": np.where(x > 3, y, x),
+        "x >= 4 ? x : 0": np.where(x >= 4, x, 0),
+        "sqrt(x) + min(x, y)": np.sqrt(x) + np.minimum(x, y),
+        "x == 4": (x == 4).astype(float),
+        "x != 4": (x != 4).astype(float),
+        "x > 2 ? (y < 4 ? 1 : 2) : 3": np.where(x > 2,
+                                                np.where(y < 4, 1, 2), 3),
+    }
+    for expr, want in cases.items():
+        got = eval_expr(parse_infix(expr), t)
+        got = got.to_numpy(zero_copy_only=False) if hasattr(got, "to_numpy") \
+            else np.full(3, got.as_py())
+        assert np.allclose(got, want), expr
+
+
+def test_parse_infix_errors():
+    import pytest
+
+    from lucene_solr_ray.functions.valuesource import parse_infix
+
+    for bad in ["x +", "(x", "x ? y", "nosuchfn(x)", "x @ y", "? : x",
+                "pow(x)"]:
+        with pytest.raises(ValueError):
+            parse_infix(bad)
