@@ -158,3 +158,56 @@ def load_reuters_docs(path: str) -> rd.Dataset:
         })
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def load_xml_docs(path: str) -> rd.Dataset:
+    """Solr XML update-format loader (``solr/core/src/java/org/apache/
+    solr/handler/loader/XMLLoader.java``): ``<add><doc><field
+    name="...">...</field></doc></add>`` bodies -> document table. Files
+    stream as binary blobs; each parses with the stdlib XML parser (the
+    per-doc field map is small, exactly the reference's pull-parse)."""
+    import xml.etree.ElementTree as ET
+
+    ds = rd.read_binary_files(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for blob in batch.column("bytes"):
+            root = ET.fromstring(blob.as_py().decode("utf-8",
+                                                     errors="replace"))
+            docs = root.iter("doc") if root.tag in ("add", "docs") \
+                else ([root] if root.tag == "doc" else root.iter("doc"))
+            for doc in docs:
+                fields: dict[str, str] = {}
+                for f in doc.iter("field"):
+                    name = f.get("name", "")
+                    # multivalued fields concatenate (single-text engine)
+                    fields[name] = (fields.get(name, "") + " "
+                                    + (f.text or "")).strip()
+                ids.append(fields.get("id", ""))
+                texts.append(fields.get("text", fields.get("body", "")))
+        return pa.table({
+            "id": pa.array(ids, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def load_dir_docs(path: str) -> rd.Dataset:
+    """DirContentSource analog (``lucene/benchmark/.../feeds/
+    DirContentSource.java``): one document per file under a directory
+    tree; the id is the file path, the text is the whole file. Ray's
+    binary-file read parallelizes over files and never holds the tree
+    in one process."""
+    ds = rd.read_binary_files(path, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": batch.column("path").cast(pa.string()),
+            "text": pa.array(
+                [b.as_py().decode("utf-8", errors="replace")
+                 for b in batch.column("bytes")], type=pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -122,3 +122,39 @@ def test_trec_corpus_indexes_end_to_end(ray_session, tmp_path):
     assert hits
     rows = s.resolve_hits(hits)
     assert all(r["conv_id"].startswith("D") for r in rows)
+
+
+def test_load_xml_docs(ray_session, tmp_path):
+    from lucene_solr_ray.sources.loaders import load_xml_docs
+
+    (tmp_path / "a.xml").write_text(
+        '<add><doc><field name="id">1</field>'
+        '<field name="text">hello xml world</field></doc>'
+        '<doc><field name="id">2</field>'
+        '<field name="body">body fallback</field>'
+        '<field name="body">second value</field></doc></add>')
+    out = load_xml_docs(str(tmp_path / "a.xml")).to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    assert out["id"].tolist() == ["1", "2"]
+    assert out["text"][0] == "hello xml world"
+    assert out["text"][1] == "body fallback second value"
+
+
+def test_load_dir_docs_and_index(ray_session, tmp_path):
+    from lucene_solr_ray.sources.loaders import load_dir_docs, to_transcript_schema
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    d = tmp_path / "corpus"
+    (d / "sub").mkdir(parents=True)
+    (d / "one.txt").write_text("alpha document about zebras")
+    (d / "sub" / "two.txt").write_text("beta document about yaks")
+    ds = load_dir_docs(str(d))
+    out = ds.to_pandas()
+    assert len(out) == 2
+    assert {t.split()[0] for t in out["text"]} == {"alpha", "beta"}
+    # end to end into the index
+    idx = tmp_path / "idx"
+    build_index(to_transcript_schema(ds), str(idx), num_shards=2)
+    s = IndexSearcher(str(idx))
+    assert len(s.search("zebras", k=5)) == 1
