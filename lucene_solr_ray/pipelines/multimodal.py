@@ -121,6 +121,67 @@ def media_features(sf_dir: str) -> rd.Dataset:
                              batch_size=128, concurrency=2)
 
 
+class MediaResizeStage:
+    """Actor-pool resize stage: decode -> nearest-neighbor resample to
+    (target_w, target_h) -> re-encode in the fake container. The resample
+    itself is real vectorized work (index-grid gather over the pixel
+    buffer); only the codec boundary is stubbed, so swapping in PIL later
+    changes ONE method, not the pipeline shape."""
+
+    def __init__(self, target_w: int = 32, target_h: int = 32):
+        self.target_w = int(target_w)
+        self.target_h = int(target_h)
+        self.decode = MediaDecodeStage()
+
+    def _resample(self, body: np.ndarray, w: int, h: int) -> np.ndarray:
+        # interpret the payload body as row-major h x w (tiling/truncating
+        # the fake buffer to fit), then NN-gather the target grid
+        need = w * h
+        px = np.resize(body, need).reshape(h, w)
+        ys = (np.arange(self.target_h) * h // self.target_h)
+        xs = (np.arange(self.target_w) * w // self.target_w)
+        return px[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch.column("media_type").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        ids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        out_payloads = []
+        for mid, mt, p in zip(ids, types, payloads):
+            dec = self.decode.decoders.get(mt)
+            if dec is None:
+                raise NotImplementedError(
+                    f"no decoder for {mt!r} in this container (stub)")
+            _, w, h, body = dec(p)
+            small = self._resample(body, w, h)
+            header = _MAGIC + np.array(
+                [mid, self.target_w, self.target_h], dtype=np.int64
+            ).tobytes()
+            out_payloads.append(header + small.astype(np.uint8).tobytes())
+        n = len(ids)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(out_payloads, type=pa.large_binary()),
+            "media_type": batch.column("media_type"),
+            "width": pa.array([self.target_w] * n, type=pa.int32()),
+            "height": pa.array([self.target_h] * n, type=pa.int32()),
+        })
+
+
+def resize_media(ds: rd.Dataset, target_w: int = 32, target_h: int = 32,
+                 concurrency: int = 2) -> rd.Dataset:
+    """Resize via the actor pool (constructor state once per actor).
+
+    Fractional num_cpus: several media actor-pool stages commonly chain
+    (resize -> decode/feature) in ONE streaming DAG; whole-CPU actors
+    would reserve the entire small cluster and starve the upstream read
+    tasks (the same deadlock class util.native_join guards against)."""
+    return ds.map_batches(
+        MediaResizeStage, batch_format="pyarrow", batch_size=128,
+        concurrency=concurrency, num_cpus=0.5,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h})
+
+
 def frame_sample(ds: rd.Dataset, every_n: int = 10) -> rd.Dataset:
     """Frame-sampling analog: keep every n-th media row (deterministic)."""
     def fn(batch: pa.Table) -> pa.Table:

@@ -50,3 +50,29 @@ def test_frame_sample(ray_session):
     sampled = frame_sample(ds, every_n=10).to_pandas()
     assert (sampled["media_id"] % 10 == 0).all()
     assert len(sampled) == 50
+
+
+def test_resize_media_roundtrip(ray_session):
+    """Resize stage: output payloads re-decode at the target geometry and
+    preserve the binary/metadata layout."""
+    from lucene_solr_ray.pipelines.multimodal import (
+        MediaDecodeStage,
+        resize_media,
+        synth_media,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    small = resize_media(synth_media(sf), target_w=8, target_h=6)
+    out = small.take(5)
+    dec = MediaDecodeStage()
+    for row in out:
+        assert row["width"] == 8 and row["height"] == 6
+        mid, w, h, body = dec.decoders["image/fake"](row["payload"])
+        assert (mid, w, h) == (row["media_id"], 8, 6)
+        assert len(body) == 8 * 6
+    # features still computable downstream of the resize
+    feats = small.map_batches(MediaDecodeStage, batch_format="pyarrow",
+                              batch_size=64, concurrency=2,
+                              num_cpus=0.5).to_pandas()
+    assert len(feats) == 500
+    assert (feats["payload_bytes"] == 32 + 48).all()
