@@ -185,6 +185,78 @@ class SearchActor:
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits[:k]
 
+    def terms_partial(self, prefix: str, regex: str | None
+                      ) -> dict[str, int]:
+        """Matching terms with local docFreq (TermsComponent shard
+        response). The prefix/regex filter bounds the slice shipped."""
+        import re as _re
+
+        rx = _re.compile(regex) if regex else None
+        out: dict[str, int] = {}
+        for sh in self.searchers:
+            for t, i in sh._terms.items():
+                if prefix and not t.startswith(prefix):
+                    continue
+                if rx is not None and not rx.fullmatch(t):
+                    continue
+                out[t] = out.get(t, 0) + int(sh._df[i])
+        return out
+
+    def spellcheck_partial(self, term: str, max_edits: int
+                           ) -> dict[str, int]:
+        """Fuzzy-expanded candidates with local docFreq (the distributed
+        SpellCheckComponent shard response)."""
+        from .query import FuzzyQuery, expand_multi_term
+
+        out: dict[str, int] = {}
+        for sh in self.searchers:
+            for t in expand_multi_term(
+                    FuzzyQuery(term=term, max_edits=max_edits),
+                    list(sh._terms)):
+                if t == term:
+                    continue
+                out[t] = out.get(t, 0) + int(sh._df[sh._terms[t]])
+        return out
+
+    def suggest_partial(self, prefix: str) -> dict[str, int]:
+        from .query import PrefixQuery, expand_multi_term
+
+        out: dict[str, int] = {}
+        for sh in self.searchers:
+            for t in expand_multi_term(PrefixQuery(prefix=prefix),
+                                       list(sh._terms)):
+                out[t] = out.get(t, 0) + int(sh._df[sh._terms[t]])
+        return out
+
+    def range_facet_partial(self, query: Query, df_map: dict[str, int],
+                            field: str, start: float, end: float,
+                            gap: float, hardend: bool) -> list[int]:
+        """Range-facet bucket counts over this actor's full hit set
+        (one bincount per shard; layout matches pipelines.relational.
+        range_facet: n buckets then before/after/between)."""
+        n_buckets = int(np.ceil((end - start) / gap))
+        actual_end = end if hardend else start + n_buckets * gap
+        counts = np.zeros(n_buckets + 3, dtype=np.int64)
+        for sh in self.searchers:
+            docs, _ = sh._score_clause(query, df_map)
+            if len(docs) == 0:
+                continue
+            vals = sh.docvalues_local(field, docs)
+            v = np.asarray([x for x in vals if x is not None],
+                           dtype=np.float64)
+            if len(v) == 0:
+                continue
+            below = v < start
+            above = v >= actual_end
+            mid = ~(below | above)
+            idx = np.floor((v[mid] - start) / gap).astype(np.int64)
+            np.clip(idx, 0, n_buckets - 1, out=idx)
+            counts[:n_buckets] += np.bincount(idx, minlength=n_buckets)
+            counts[n_buckets] += int(below.sum())
+            counts[n_buckets + 1] += int(above.sum())
+            counts[n_buckets + 2] += int(mid.sum())
+        return [int(c) for c in counts]
+
     def search_batch(self, queries: list[Query], df_maps: list[dict[str, int]],
                      k: int, sort=None, filter_range=None
                      ) -> list[list[tuple]]:
@@ -363,6 +435,79 @@ class DistributedSearcher:
             out.append((int(doc_id), combined))
         out.sort(key=lambda h: (-float(h[1]), h[0]))
         return out[:k]
+
+    def terms(self, prefix: str = "", regex: str | None = None,
+              limit: int = 10, sort: str = "count") -> list[tuple[str, int]]:
+        """Distributed TermsComponent: exact global docFreq merge (every
+        actor ships its full prefix/regex-bounded slice, so counts are
+        exact — no per-shard-top-N refinement gap)."""
+        partials = ray.get([a.terms_partial.remote(prefix, regex)
+                            for a in self.actors])
+        agg: dict[str, int] = {}
+        for p in partials:
+            for t, d in p.items():
+                agg[t] = agg.get(t, 0) + d
+        if sort == "index":
+            ranked = sorted(agg.items())
+        else:
+            ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:limit]
+
+    def spellcheck(self, term: str, k: int = 5,
+                   max_edits: int = 2) -> list[tuple[str, int]]:
+        """Distributed SpellCheckComponent: per-actor fuzzy expansion,
+        global (distance asc, df desc, term asc) rank on the driver."""
+        from .query import levenshtein_within
+
+        partials = ray.get([a.spellcheck_partial.remote(term, max_edits)
+                            for a in self.actors])
+        agg: dict[str, int] = {}
+        for p in partials:
+            for t, d in p.items():
+                agg[t] = agg.get(t, 0) + d
+
+        def dist(t: str) -> int:
+            for d in range(1, max_edits + 1):
+                if levenshtein_within(term, t, d):
+                    return d
+            return max_edits
+
+        ranked = sorted(agg.items(), key=lambda kv: (dist(kv[0]), -kv[1],
+                                                     kv[0]))
+        return ranked[:k]
+
+    def suggest(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
+        partials = ray.get([a.suggest_partial.remote(prefix)
+                            for a in self.actors])
+        agg: dict[str, int] = {}
+        for p in partials:
+            for t, d in p.items():
+                agg[t] = agg.get(t, 0) + d
+        return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def range_facet(self, query: Query | str, field: str, start: float,
+                    end: float, gap: float, hardend: bool = False
+                    ) -> list[tuple[str, int]]:
+        """Distributed facet.range over the query's full hit set:
+        per-actor bincount partials summed on the driver (bucket labels
+        match pipelines.relational.range_facet)."""
+        parsed = self.parse(query) if isinstance(query, str) else query
+        df = self._stats_phase(parsed)
+        partials = ray.get([
+            a.range_facet_partial.remote(parsed, df, field, start, end,
+                                         gap, hardend)
+            for a in self.actors])
+        total = np.sum(np.asarray(partials, dtype=np.int64), axis=0)
+        n_buckets = len(total) - 3
+        out = []
+        for i in range(n_buckets):
+            lo = start + i * gap
+            label = str(int(lo)) if float(lo).is_integer() else str(float(lo))
+            out.append((label, int(total[i])))
+        out.append(("before", int(total[n_buckets])))
+        out.append(("after", int(total[n_buckets + 1])))
+        out.append(("between", int(total[n_buckets + 2])))
+        return out
 
     def boosted_search(self, query: Query | str, boost_expr: str,
                        k: int = 10):

@@ -127,3 +127,31 @@ def test_distributed_boosted_search_matches_local(dist_pair):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert abs(float(gs) - float(ws)) < 1e-9
+
+
+def test_distributed_terms_spellcheck_suggest(dist_pair):
+    local, dist = dist_pair
+    assert dist.terms(prefix="ra", limit=10) == \
+        local.terms(prefix="ra", limit=10)
+    assert dist.terms(regex="r.*", limit=5, sort="index") == \
+        local.terms(regex="r.*", limit=5, sort="index")
+    assert dist.spellcheck("rey", k=5) == local.spellcheck("rey", k=5)
+    assert dist.suggest("da", k=5) == local.suggest("da", k=5)
+
+
+def test_distributed_range_facet_over_hits(dist_pair):
+    local, dist = dist_pair
+    got = dict(dist.range_facet("ray", "turn_idx", start=0, end=6, gap=2))
+    # recompute from the in-process full hit set
+    import numpy as np
+
+    from lucene_solr_ray.search.features import _all_hits
+
+    docs, _ = _all_hits(local, "ray")
+    vals = np.asarray([v for v in local.docvalues("turn_idx")[docs]
+                       if v is not None], dtype=np.float64)
+    assert got["before"] == int((vals < 0).sum())
+    assert got["after"] == int((vals >= 6).sum())
+    assert got["between"] == int(((vals >= 0) & (vals < 6)).sum())
+    for i, lo in enumerate([0, 2, 4]):
+        assert got[str(lo)] == int(((vals >= lo) & (vals < lo + 2)).sum())
