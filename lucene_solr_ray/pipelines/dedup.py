@@ -271,8 +271,38 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6):
 
 # -- near-dup cluster dedup (distributed label propagation) -------------
 
+def _local_drop_set(pairs_df: pd.DataFrame) -> np.ndarray:
+    """Union-find over a small verified-pair table: doc_ids to drop
+    (everything but each cluster's min)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {int(x) for x in pairs_df["doc_a"]} | \
+            {int(x) for x in pairs_df["doc_b"]}
+    return np.array(sorted(n for n in nodes if find(n) != n),
+                    dtype=np.int64)
+
+
+# pair sets under this size solve locally (a pair is 24 bytes; the cap is
+# ~100 MB of driver memory). The distributed rounds exist for the regime
+# where the near-dup graph itself exceeds one machine.
+_LOCAL_CLUSTER_PAIRS = 4_000_000
+
+
 def minhash_dedup_keep(sf_dir: str, threshold: float = 0.6,
-                       max_rounds: int = 50):
+                       max_rounds: int = 50,
+                       local_pairs_cap: int = _LOCAL_CLUSTER_PAIRS):
     """Near-dup dataset dedup: keep one doc per near-duplicate cluster.
 
     Clusters = connected components over the verified near-dup pairs via
@@ -293,8 +323,31 @@ def minhash_dedup_keep(sf_dir: str, threshold: float = 0.6,
     def all_keep(t: pa.Table) -> pa.Table:
         return t.append_column("keep", pa.array(np.ones(len(t), dtype=bool)))
 
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return docs.map_batches(all_keep, batch_format="pyarrow")
+
+    if n_pairs <= local_pairs_cap:
+        # the verified-pair graph fits comfortably in one process: a
+        # local union-find beats rounds of distributed joins (each round
+        # is a shuffle of fixed overhead). The CORPUS still streams —
+        # only the drop SET (bounded by near-dup docs) broadcasts.
+        import ray
+
+        drop_ref = ray.put(_local_drop_set(pairs.to_pandas()))
+
+        def mark(t: pa.Table) -> pa.Table:
+            drop_arr = ray.get(drop_ref)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(drop_arr, ids)
+            pos_ok = pos < len(drop_arr)
+            dropped = np.zeros(len(ids), dtype=bool)
+            dropped[pos_ok] = drop_arr[pos[pos_ok]] == ids[pos_ok]
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "keep": pa.array(~dropped)})
+
+        return docs.map_batches(mark, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
     def as_edges(a: str, b: str):
         def fn(t: pa.Table) -> pa.Table:

@@ -190,3 +190,15 @@ def test_simhash_neardup_exhaustive_small_unchanged(ray_session, tmp_path):
     assert a.equals(b)
     got = {(int(x), int(y)) for x, y in zip(a["doc_a"], a["doc_b"])}
     assert (0, 1) in got  # identical texts
+
+
+def test_dedup_keep_local_and_distributed_paths_agree(ray_session, corpus):
+    """The size-gated local union-find and the distributed
+    label-propagation rounds must produce identical keep sets."""
+    sf_dir, _ = corpus
+    local = (dedup.minhash_dedup_keep(sf_dir).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    dist = (dedup.minhash_dedup_keep(sf_dir, local_pairs_cap=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert local.equals(dist)
+    assert (~local["keep"]).sum() > 0  # the fixture has near-dups
