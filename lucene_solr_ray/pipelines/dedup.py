@@ -176,17 +176,41 @@ def minhash_candidates(sf_dir: str, max_bucket_pairing: int = 2048):
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     bands = ds.map_batches(_minhash_band_batch, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        if len(ids) > max_bucket_pairing:
-            return pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    # ONE hash-bucket shuffle with a vectorized per-bucket kernel instead
+    # of groupby(band, band_hash).map_groups — Ray pays ~1ms of Python
+    # per distinct group (util.py), and there are O(bands * corpus)
+    # buckets; inside a bucket only multi-member groups loop.
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = (bucket.drop_duplicates(["band", "band_hash", "doc_id"])
+              .sort_values(["band", "band_hash", "doc_id"]))
+        b = df["band"].to_numpy()
+        h = df["band_hash"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64)})
+        starts = np.concatenate(
+            ([True], (b[1:] != b[:-1]) | (h[1:] != h[:-1])))
+        start_idx = np.nonzero(starts)[0]
+        sizes = np.diff(np.concatenate((start_idx, [n])))
+        out_a, out_b = [], []
+        for s, m in zip(start_idx[sizes >= 2], sizes[sizes >= 2]):
+            grp = ids[s:s + m]
+            if m > max_bucket_pairing:
+                out_a.append(grp[:-1])
+                out_b.append(grp[1:])
+            else:
+                ia, ib = np.triu_indices(m, k=1)
+                out_a.append(grp[ia])
+                out_b.append(grp[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+    cand = bucketed_group_agg(bands, ["band", "band_hash"], pairs)
 
     # dedup pairs found in multiple bands (vectorized per hash bucket; a
     # plain groupby().aggregate() here pays per-group Python overhead on
@@ -492,22 +516,17 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3,
             }))
         return pd.concat(frames, ignore_index=True)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                              "doc_b": pd.Series(dtype=np.int64),
-                              "hamming": pd.Series(dtype=np.int64)})
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return empty
-        ids = g["doc_id"].to_numpy()
-        h = g["simhash"].to_numpy().astype(np.uint64)
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                          "doc_b": pd.Series(dtype=np.int64),
+                          "hamming": pd.Series(dtype=np.int64)})
+
+    def _group_pairs(c: int, ids: np.ndarray, h: np.ndarray):
         m = len(ids)
         if m <= max_bucket_pairing:
             ia, ib = np.triu_indices(m, k=1)
         else:
             # hot bucket: rotate the shared chunk to the top bits, sort,
             # pair each fingerprint with its next `window` sort-neighbors
-            c = int(g["chunk"].iloc[0])
             k = np.uint64((48 - 16 * c) % 64)
             rot = h if k == 0 else ((h << k) | (h >> (np.uint64(64) - k)))
             order = np.argsort(rot, kind="stable")
@@ -521,18 +540,49 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3,
             dist += (x & np.uint64(1)).astype(np.int64)
             x = x >> np.uint64(1)
         keep = dist <= np.int64(max_hamming)
-        if not keep.any():
-            return empty
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        return pd.DataFrame({"doc_a": np.minimum(a, b),
-                             "doc_b": np.maximum(a, b),
-                             "hamming": dist[keep]})
+        return ia[keep], ib[keep], dist[keep]
 
-    found = (fps.map_batches(chunked, batch_format="pandas")
-             .groupby(["chunk", "chunk_val"])
-             .map_groups(pairs, batch_format="pandas"))
-    out = (found.groupby(["doc_a", "doc_b"])
-           .aggregate(Min("hamming", alias_name="hamming"))).to_pandas()
+    # one bucket shuffle + per-bucket group loop (only multi-member
+    # (chunk, value) groups pay anything; groupby().map_groups would pay
+    # Ray's per-group overhead on every distinct fingerprint chunk)
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        df = (bucket.drop_duplicates(["chunk", "chunk_val", "doc_id"])
+              .sort_values(["chunk", "chunk_val", "doc_id"]))
+        n = len(df)
+        if n == 0:
+            return empty
+        ck = df["chunk"].to_numpy()
+        cv = df["chunk_val"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        hs = df["simhash"].to_numpy().astype(np.uint64)
+        starts = np.concatenate(
+            ([True], (ck[1:] != ck[:-1]) | (cv[1:] != cv[:-1])))
+        start_idx = np.nonzero(starts)[0]
+        sizes = np.diff(np.concatenate((start_idx, [n])))
+        out_a, out_b, out_d = [], [], []
+        for s, m in zip(start_idx[sizes >= 2], sizes[sizes >= 2]):
+            gi, gh = ids[s:s + m], hs[s:s + m]
+            ia, ib, dist = _group_pairs(int(ck[s]), gi, gh)
+            if len(ia):
+                a, b = gi[ia], gi[ib]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+                out_d.append(dist)
+        if not out_a:
+            return empty
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_d)})
+
+    found = bucketed_group_agg(
+        fps.map_batches(chunked, batch_format="pandas"),
+        ["chunk", "chunk_val"], pairs)
+    def min_ham(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["doc_a", "doc_b"], sort=False)["hamming"].min()
+                .reset_index())
+
+    out = bucketed_group_agg(found, ["doc_a", "doc_b"], min_ham,
+                             pre=min_ham).to_pandas()
     if "doc_a" not in out.columns:  # schema-stable empty result
         return pa.table({"doc_a": pa.array([], type=pa.int64()),
                          "doc_b": pa.array([], type=pa.int64()),

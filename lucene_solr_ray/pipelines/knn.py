@@ -164,15 +164,11 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
 
     buckets = ds.map_batches(bucket, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
-                              "vec_b": pd.Series(dtype=np.int64),
-                              "cosine": pd.Series(dtype=np.float64)})
-        if len(g) < 2:
-            return empty
-        ids = g["vec_id"].to_numpy()
-        m = np.stack([np.frombuffer(b, dtype=np.float32)
-                      for b in g["vec"]]).astype(np.float64)
+    empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                          "vec_b": pd.Series(dtype=np.int64),
+                          "cosine": pd.Series(dtype=np.float64)})
+
+    def _group_pairs(ids: np.ndarray, m: np.ndarray):
         out_a, out_b, out_s = [], [], []
 
         def emit(idx: np.ndarray, ia: np.ndarray, ib: np.ndarray):
@@ -205,15 +201,42 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.3,
 
         rec(np.arange(len(ids)), 0)
         if not out_a:
-            return empty
-        return pd.DataFrame({"vec_a": np.concatenate(out_a),
-                             "vec_b": np.concatenate(out_b),
-                             "cosine": np.concatenate(out_s)})
+            return None
+        return (np.concatenate(out_a), np.concatenate(out_b),
+                np.concatenate(out_s))
 
     from .util import bucketed_group_agg
 
-    found = (buckets.groupby(["table", "bucket"])
-             .map_groups(pairs, batch_format="pandas"))
+    # one bucket shuffle + in-bucket group loop, not
+    # groupby(table, bucket).map_groups (~1ms Ray overhead per distinct
+    # LSH bucket; there are n_tables * 2^n_planes of them)
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        df = (part.drop_duplicates(["table", "bucket", "vec_id"])
+              .sort_values(["table", "bucket", "vec_id"]))
+        n = len(df)
+        if n == 0:
+            return empty
+        tb = df["table"].to_numpy()
+        bk = df["bucket"].to_numpy()
+        ids_all = df["vec_id"].to_numpy()
+        blobs = df["vec"].to_numpy()
+        starts = np.concatenate(
+            ([True], (tb[1:] != tb[:-1]) | (bk[1:] != bk[:-1])))
+        start_idx = np.nonzero(starts)[0]
+        sizes = np.diff(np.concatenate((start_idx, [n])))
+        frames = []
+        for s, m_sz in zip(start_idx[sizes >= 2], sizes[sizes >= 2]):
+            gi = ids_all[s:s + m_sz]
+            gm = np.stack([np.frombuffer(b, dtype=np.float32)
+                           for b in blobs[s:s + m_sz]]).astype(np.float64)
+            res = _group_pairs(gi, gm)
+            if res is not None:
+                frames.append(pd.DataFrame({"vec_a": res[0],
+                                            "vec_b": res[1],
+                                            "cosine": res[2]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    found = bucketed_group_agg(buckets, ["table", "bucket"], pairs)
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return (g.groupby(["vec_a", "vec_b"], sort=False)["cosine"].max()
