@@ -342,6 +342,11 @@ class DistributedSearcher:
         return self.search_batch([query], k, sort=sort,
                                  filter_range=filter_range)[0]
 
+    def global_df(self, query: Query) -> dict[str, int]:
+        """IndexSearcher-compatible global docFreq (lets the feature
+        helpers — e.g. more_like_this — run against either searcher)."""
+        return self._stats_phase(query)
+
     def _stats_phase(self, parsed: Query) -> dict[str, int]:
         """Phase-1 global docFreq for one query (one actor round trip)."""
         all_terms = sorted(collect_terms(parsed))

@@ -155,3 +155,21 @@ def test_distributed_range_facet_over_hits(dist_pair):
     assert got["between"] == int(((vals >= 0) & (vals < 6)).sum())
     for i, lo in enumerate([0, 2, 4]):
         assert got[str(lo)] == int(((vals >= lo) & (vals < lo + 2)).sum())
+
+
+def test_distributed_more_like_this(dist_pair):
+    """more_like_this runs against the distributed searcher (global_df
+    shim) and matches the in-process result."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.data.transcripts import transcripts_path
+    from lucene_solr_ray.search.features import more_like_this
+
+    local, dist = dist_pair
+    seed_text = pq.read_table(transcripts_path("tiny"),
+                              columns=["text"]).column("text")[0].as_py()
+    want = more_like_this(local, seed_text, k=8)
+    got = more_like_this(dist, seed_text, k=8)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(float(gs) - float(ws)) < 1e-5
