@@ -97,3 +97,42 @@ def test_kill_and_resume_mid_build(ray_session, split_sources, tmp_path):
         assert [(d, float(s)) for d, s in sres.search(q, k=10)] == \
             [(d, float(s)) for d, s in sref.search(q, k=10)], q
     assert check_index(str(crash_dir))["status"] == "ok"
+
+
+def test_merge_recovery_aside_is_authoritative(ray_session, split_sources,
+                                               tmp_path):
+    """A crash AFTER the tail-shard merge wrote a (possibly complete)
+    replacement but BEFORE the aside cleanup must not duplicate postings
+    on retry: the aside copy is authoritative, the partial shard_dir is
+    discarded, and re-merging yields an index identical to a clean
+    update."""
+    import shutil
+    from pathlib import Path
+
+    clean_dir = tmp_path / "clean"
+    crash_dir = tmp_path / "crash"
+    build_index(str(split_sources / "first.parquet"), str(clean_dir),
+                docs_per_shard=150)
+    shutil.copytree(clean_dir, crash_dir)
+    update_index(str(clean_dir), str(split_sources / "second.parquet"))
+
+    # simulate the crash window on the copy: the tail shard has been
+    # set aside AND a (here: fully merged, worst case) replacement exists
+    tail = sorted((Path(crash_dir) / "shards").iterdir())[-1]
+    aside = tail.parent / f".merging-{tail.name}"
+    # pre-update tail contents = the aside (pristine old segment)
+    shutil.copytree(tail, aside)
+    # replacement = the post-merge segment from the clean run (already
+    # contains the incoming group: re-merging INTO it would duplicate)
+    shutil.rmtree(tail)
+    shutil.copytree(Path(clean_dir) / "shards" / tail.name, tail)
+
+    update_index(str(crash_dir), str(split_sources / "second.parquet"))
+    assert check_index(str(crash_dir))["status"] == "ok"
+
+    s_clean = IndexSearcher(str(clean_dir))
+    s_crash = IndexSearcher(str(crash_dir))
+    for q in QUERIES:
+        assert [(d, float(x)) for d, x in s_crash.search(q, k=20)] == \
+            [(d, float(x)) for d, x in s_clean.search(q, k=20)], q
+    assert not aside.exists()
