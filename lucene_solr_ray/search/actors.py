@@ -107,9 +107,10 @@ class SearchActor:
         return out
 
     def stats_partial(self, query: Query, df_map: dict[str, int],
-                      field: str) -> tuple[int, float | None, float | None, float]:
-        """(count, min, max, sum) of a docvalue over the full hit set."""
-        count, sum_, mn, mx = 0, 0.0, None, None
+                      field: str) -> tuple:
+        """(count, min, max, sum, sumsq, missing) of a docvalue over the
+        full hit set (StatsValuesFactory accumulator shape)."""
+        count, sum_, sumsq, missing, mn, mx = 0, 0.0, 0.0, 0, None, None
         for sh in self.searchers:
             docs, _ = sh._score_clause(query, df_map)
             if len(docs) == 0:
@@ -117,13 +118,27 @@ class SearchActor:
             vals = sh.docvalues_local(field, docs)
             v = np.asarray([x for x in vals if x is not None],
                            dtype=np.float64)
+            missing += len(vals) - len(v)
             if len(v) == 0:
                 continue
             count += len(v)
             sum_ += float(v.sum())
+            sumsq += float((v * v).sum())
             mn = float(v.min()) if mn is None else min(mn, float(v.min()))
             mx = float(v.max()) if mx is None else max(mx, float(v.max()))
-        return count, mn, mx, sum_
+        return count, mn, mx, sum_, sumsq, missing
+
+    def query_counts(self, queries: list[Query],
+                     df_maps: list[dict[str, int]]) -> list[int]:
+        """facet.query partials: hit count per sub-query."""
+        out = []
+        for q, df_map in zip(queries, df_maps):
+            n = 0
+            for sh in self.searchers:
+                docs, _ = sh._score_clause(q, df_map)
+                n += len(docs)
+            out.append(n)
+        return out
 
     def scores_for_docs(self, query: Query, df_map: dict[str, int],
                         doc_ids: list[int]) -> dict[int, float]:
@@ -401,19 +416,39 @@ class DistributedSearcher:
         df = self._stats_phase(parsed)
         partials = ray.get([a.stats_partial.remote(parsed, df, field)
                             for a in self.actors])
-        count, sum_, mn, mx = 0, 0.0, None, None
-        for c, pmn, pmx, ps in partials:
+        count, sum_, sumsq, missing, mn, mx = 0, 0.0, 0.0, 0, None, None
+        for c, pmn, pmx, ps, psq, pmiss in partials:
             count += c
             sum_ += ps
+            sumsq += psq
+            missing += pmiss
             if pmn is not None:
                 mn = pmn if mn is None else min(mn, pmn)
             if pmx is not None:
                 mx = pmx if mx is None else max(mx, pmx)
         if count == 0:
             return {"count": 0, "min": None, "max": None, "sum": 0.0,
-                    "mean": None}
+                    "mean": None, "sumOfSquares": 0.0, "stddev": None,
+                    "missing": missing}
+        mean = sum_ / count
+        # StatsValuesFactory stddev: sample stddev from (sum, sumsq, n)
+        var = (sumsq - count * mean * mean) / (count - 1) if count > 1 \
+            else 0.0
         return {"count": count, "min": mn, "max": mx, "sum": sum_,
-                "mean": sum_ / count}
+                "mean": mean, "sumOfSquares": sumsq,
+                "stddev": float(np.sqrt(max(var, 0.0))),
+                "missing": missing}
+
+    def facet_query(self, queries: list[Query | str]) -> dict[str, int]:
+        """facet.query: hit count per arbitrary sub-query (one actor
+        round trip for the whole batch)."""
+        parsed = [self.parse(q) if isinstance(q, str) else q
+                  for q in queries]
+        df_maps = [self._stats_phase(q) for q in parsed]
+        partials = ray.get([a.query_counts.remote(parsed, df_maps)
+                            for a in self.actors])
+        totals = np.sum(np.asarray(partials, dtype=np.int64), axis=0)
+        return {str(q): int(n) for q, n in zip(queries, totals)}
 
     def rerank(self, query: Query | str, rerank_query: Query | str,
                k: int = 10, top_n: int = 50, weight: float = 2.0):

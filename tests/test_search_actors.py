@@ -173,3 +173,25 @@ def test_distributed_more_like_this(dist_pair):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (gd, gs), (wd, ws) in zip(got, want):
         assert abs(float(gs) - float(ws)) < 1e-5
+
+
+def test_distributed_extended_stats_and_facet_query(dist_pair):
+    import numpy as np
+
+    from lucene_solr_ray.search.features import _all_hits
+
+    local, dist = dist_pair
+    got = dist.field_stats("ray", "turn_idx")
+    docs, _ = _all_hits(local, "ray")
+    vals = np.asarray([v for v in local.docvalues("turn_idx")[docs]
+                       if v is not None], dtype=np.float64)
+    assert got["count"] == len(vals)
+    assert got["sumOfSquares"] == pytest.approx(float((vals ** 2).sum()))
+    assert got["stddev"] == pytest.approx(float(np.std(vals, ddof=1)))
+    assert got["missing"] == len(docs) - len(vals)
+    # facet.query: counts per arbitrary sub-query
+    fq = dist.facet_query(["ray", "ray AND data", "zzzmissing"])
+    assert fq["ray"] == len(docs)
+    and_docs, _ = _all_hits(local, "ray AND data")
+    assert fq["ray AND data"] == len(and_docs)
+    assert fq["zzzmissing"] == 0
