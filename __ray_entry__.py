@@ -28,6 +28,14 @@ _TOKS = ("SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))"
          " AS term FROM documents")
 
 
+def _bpe_pattern_sql() -> str:
+    """The engine's BPE pretokenizer pattern, SQL-quoted — importing it
+    guarantees the oracle runs the IDENTICAL RE2 pattern."""
+    from lucene_solr_ray.pipelines.textstats import BPE_PATTERN
+
+    return BPE_PATTERN.replace("'", "''")
+
+
 def entry() -> Any:
     from lucene_solr_ray.pipelines.fulltext import transcripts_flagship
 
@@ -80,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index-build statistics in SQL-checkable form (§2.6 last row)
         "term_df_simple": textstats.term_df_simple,
         "doc_token_counts": textstats.doc_token_counts,
+        "bpe_token_counts": textstats.bpe_token_counts,
         "quality_scores": textstats.quality_scores,
         # similarity search
         "knn_cosine": knn.knn_cosine,
@@ -134,6 +143,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "facet_lang":
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+        "bpe_token_counts":
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, '"
+            + _bpe_pattern_sql()
+            + "')) AS BIGINT) AS n_bpe_tokens FROM documents",
         "expression_lineitem":
             "SELECT l_orderkey, l_linenumber, ROUND("
             "l_extendedprice * (1 - l_discount) + "

@@ -192,3 +192,29 @@ def fingerprints(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+# GPT-2-style BPE pretokenizer pattern (contractions, space-prefixed
+# letter/digit/punct runs, whitespace runs), minus the \p classes and
+# lookahead so the SAME RE2 pattern runs in pyarrow's kernel and the
+# DuckDB oracle. (The reference point is the published GPT-2 tokenizer
+# regex; byte-pair merging itself is model-specific and out of scope —
+# the pretokenizer count is the standard cheap token estimate.)
+BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+               r"| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def bpe_token_counts(sf_dir: str):
+    """doc_id -> BPE-ish pretokenizer token count, fully vectorized: ONE
+    pyarrow count_substring_regex (RE2) kernel per batch — no per-row
+    Python."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bpe_tokens": pc.count_substring_regex(
+                t.column("text"), BPE_PATTERN).cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -74,3 +74,21 @@ def test_entry_smoke(ray_session):
     df = entrymod.entry()
     assert len(df) > 0
     assert list(df.columns) == ["query", "rank", "doc_id", "score"]
+
+
+def test_bpe_token_counts_known_values(ray_session, tmp_path):
+    """BPE pretokenizer counts on hand-tokenized strings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.textstats import bpe_token_counts
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["I'll have 42 apples, won't you?",
+                          "hello  world", ""]),
+    }), str(tmp_path / "documents.parquet"))
+    out = (bpe_token_counts(str(tmp_path)).to_pandas()
+           .set_index("doc_id")["n_bpe_tokens"].to_dict())
+    # I |'ll| have| 42| apples|,| won|'t| you|? -> 10
+    assert out == {0: 10, 1: 3, 2: 0}
