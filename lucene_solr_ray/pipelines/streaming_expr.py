@@ -51,6 +51,7 @@ class Expr:
 
 _TOK = re.compile(r"""\s*(
       [A-Za-z_][A-Za-z0-9_.]*      # identifier
+    | -?[0-9]*\.?[0-9]+            # numeric literal (having/facet args)
     | "(?:[^"\\]|\\.)*"            # double-quoted string
     | [(),=*]
 )""", re.VERBOSE)
@@ -278,6 +279,53 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
         return src.sort(keys, descending=desc).limit(n)
     if name == "rollup":
         return _eval_rollup(e, sf_dir)
+    if name == "having":
+        # having(stream, <booleanEvaluator>) — HavingStream.java with the
+        # gt/lt/gteq/lteq/eq evaluators; the evaluator arrives as a
+        # nested call over a column / constant and runs as one
+        # vectorized kernel per batch
+        src = evaluate(e.args[0], sf_dir)
+        cond = e.args[1]
+        _EVAL = {"gt": "gt", "lt": "lt", "gteq": "gte", "lteq": "lte",
+                 "eq": "eq", "noteq": "neq"}
+        if not isinstance(cond, Expr) or cond.name not in _EVAL:
+            raise ValueError(
+                f"having: expected gt/lt/gteq/lteq/eq/noteq(...), got "
+                f"{cond!r}")
+        from ..functions.valuesource import FUNCTIONS
+
+        kernel = FUNCTIONS[_EVAL[cond.name]][1]
+        field, const = cond.args[0], float(cond.args[1])
+        if isinstance(field, Expr):
+            # metric-shaped column names parse as nested calls:
+            # gt(count(*), N) refers to the rollup column "count(*)"
+            field = f"{field.name}({','.join(map(str, field.args))})"
+
+        import pyarrow.compute as _pc
+
+        def fil(t: pa.Table) -> pa.Table:
+            mask = kernel(t.column(field).cast(pa.float64()),
+                          pa.scalar(const, type=pa.float64()))
+            # the comparison kernels yield 1.0/0.0 floats
+            return t.filter(_pc.not_equal(
+                mask, pa.scalar(0.0, type=pa.float64())))
+
+        return src.map_batches(fil, batch_format="pyarrow")
+    if name == "facet":
+        # facet(table, buckets="f1,f2", <metrics...>) — FacetStream.java
+        # reduced to the collection surface: one distributed groupby over
+        # the bucket fields with the rollup metric set
+        rollup_expr = Expr("rollup",
+                           [Expr("search", [e.args[0]],
+                                 {"fl": ",".join(
+                                     [c.strip() for c in
+                                      e.params["buckets"].split(",")]
+                                     + [a.args[0] for a in e.args[1:]
+                                        if isinstance(a, Expr) and a.args
+                                        and a.args[0] != "*"])}),
+                            *e.args[1:]],
+                           {"over": e.params["buckets"]})
+        return evaluate(rollup_expr, sf_dir)
     if name == "gatherNodes":
         # gatherNodes(table, root="1,2", walk="from_col->to_col",
         #             depth="2", scatter="leaves|branches")

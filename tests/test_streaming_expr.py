@@ -140,3 +140,48 @@ def test_stream_parser_total(text):
         parse_expr(text)
     except ValueError:
         pass
+
+
+def test_having_filters_on_aggregate(ray_session):
+    """having(rollup(...), gt(metric, N)) == SQL HAVING."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = evaluate(
+        'having('
+        '  rollup(search(orders, fl="o_orderstatus,o_totalprice"),'
+        '         over="o_orderstatus", count(*)),'
+        '  gt(count(*), 100))', sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    want = con.execute(
+        "SELECT o_orderstatus, count(*) AS c FROM orders "
+        "GROUP BY 1 HAVING count(*) > 100").fetchdf()
+    got = dict(zip(out["o_orderstatus"], out["count(*)"]))
+    assert got == dict(zip(want["o_orderstatus"], want["c"]))
+    # other evaluators parse
+    few = evaluate(
+        'having(search(orders, fl="o_orderkey,o_totalprice"),'
+        ' lteq(o_totalprice, 50000))', sf).to_pandas()
+    assert len(few) == 160  # duckdb: count(*) FILTER (o_totalprice<=50000)
+    assert (few["o_totalprice"] <= 50000).all()
+
+
+def test_facet_stream_function(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = evaluate(
+        'facet(lineitem, buckets="l_returnflag", sum(l_quantity), count(*))',
+        sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(
+        "SELECT l_returnflag, sum(l_quantity) s, count(*) c "
+        "FROM lineitem GROUP BY 1").fetchdf()
+    got = out.set_index("l_returnflag")
+    for _, r in want.iterrows():
+        assert got.loc[r["l_returnflag"], "count(*)"] == r["c"]
+        assert abs(got.loc[r["l_returnflag"], "sum(l_quantity)"]
+                   - r["s"]) < 1e-6
