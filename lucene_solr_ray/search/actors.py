@@ -273,14 +273,15 @@ class SearchActor:
         return [int(c) for c in counts]
 
     def search_batch(self, queries: list[Query], df_maps: list[dict[str, int]],
-                     k: int, sort=None, filter_range=None
+                     k: int, sort=None, filter_range=None, after=None
                      ) -> list[list[tuple]]:
         results = []
         for q, df_map in zip(queries, df_maps):
             hits: list[tuple] = []
             for sh in self.searchers:
                 shard_hits = sh.search(q, df_map, k, sort=sort,
-                                       filter_range=filter_range)
+                                       filter_range=filter_range,
+                                       after=after)
                 if sort:
                     hits.extend((d, float(s), keys)
                                 for d, s, keys in shard_hits)
@@ -320,7 +321,7 @@ class DistributedSearcher:
         return parse_query(text, get_analyzer(self.analyzer_name))
 
     def search_batch(self, queries: list[Query | str], k: int = 10,
-                     sort=None, filter_range=None
+                     sort=None, filter_range=None, after=None
                      ) -> list[list[tuple[int, float]]]:
         parsed = [self.parse(q) if isinstance(q, str) else q for q in queries]
         all_terms = sorted(set().union(*[collect_terms(q) for q in parsed])
@@ -336,7 +337,8 @@ class DistributedSearcher:
         ]
         # phase 2: scatter scoring, gather + merge
         futures = [a.search_batch.remote(parsed, df_maps, k, sort,
-                                         filter_range) for a in self.actors]
+                                         filter_range, after)
+                   for a in self.actors]
         per_actor = ray.get(futures)
         results = []
         for qi in range(len(parsed)):
@@ -353,9 +355,19 @@ class DistributedSearcher:
         return results
 
     def search(self, query: Query | str, k: int = 10, sort=None,
-               filter_range=None):
+               filter_range=None, after=None):
         return self.search_batch([query], k, sort=sort,
-                                 filter_range=filter_range)[0]
+                                 filter_range=filter_range, after=after)[0]
+
+    def search_after(self, query: Query | str, k: int = 10, cursor=None):
+        """cursorMark page fetch: (hits, next_cursor); each page is one
+        scatter/gather with the cursor pruned on the shards."""
+        hits = self.search(query, k=k, after=cursor)
+        if not hits:
+            return [], None
+        last = hits[-1]
+        nxt = (float(last[1]), int(last[0])) if len(hits) == k else None
+        return hits, nxt
 
     def global_df(self, query: Query) -> dict[str, int]:
         """IndexSearcher-compatible global docFreq (lets the feature

@@ -755,7 +755,8 @@ class ShardSearcher:
         return docs, scores
 
     def search(self, query: Query, df_map: dict[str, int], k: int = 10,
-               use_maxscore: bool = True, sort=None, filter_range=None):
+               use_maxscore: bool = True, sort=None, filter_range=None,
+               after: tuple[float, int] | None = None):
         """Top-k for this shard: (doc_id, score) ranked by score, or
         (doc_id, score, sort_key_tuple) ranked by ``sort`` — a list of
         (docvalue_field, descending) pairs (TopFieldCollector.java:1), tie
@@ -763,12 +764,26 @@ class ShardSearcher:
         the hit set with inclusive docvalue ranges (IntPoint /
         PointRangeQuery analog) BEFORE ranking."""
         if (use_maxscore and sort is None and not filter_range
+                and after is None
                 and self._is_pure_term_disjunction(query)):
             docs, scores = self._score_disjunction_maxscore(query, df_map, k)
         else:
             docs, scores = self._score_clause(query, df_map)
         if filter_range:
             docs, scores = self._apply_filter(docs, scores, filter_range)
+        if after is not None:
+            # searchAfter (IndexSearcher.searchAfter / cursorMark over the
+            # default score-desc, doc-asc sort): keep hits strictly after
+            # the cursor in rank order
+            if sort is not None:
+                raise ValueError("after paging is defined on the score "
+                                 "ranking; combine field sort with "
+                                 "filter_range paging instead")
+            a_score = np.float32(after[0])
+            a_doc = np.int64(after[1])
+            s32 = scores.astype(np.float32)
+            keep = (s32 < a_score) | ((s32 == a_score) & (docs > a_doc))
+            docs, scores = docs[keep], scores[keep]
         if len(docs) == 0:
             return []
         if sort:
@@ -966,23 +981,37 @@ class IndexSearcher:
         return df
 
     def search(self, query: Query | str, k: int = 10, sort=None,
-               filter_range=None):
+               filter_range=None, after=None):
         """Top-k across shards. ``sort``: [(docvalue_field, descending)]
         replaces score ranking (TopFieldCollector / Sort); ``filter_range``:
         {field: (lo, hi)} inclusive docvalue ranges composed with the query
-        (numeric point/range filtering). Returns (doc_id, score) pairs."""
+        (numeric point/range filtering); ``after``: (score, doc_id) cursor
+        for deep paging (IndexSearcher.searchAfter). Returns
+        (doc_id, score) pairs."""
         if isinstance(query, str):
             query = self.parse(query)
         df_map = self.global_df(query)
         hits = []
         for sh in self.shards:
             hits.extend(sh.search(query, df_map, k, sort=sort,
-                                  filter_range=filter_range))
+                                  filter_range=filter_range, after=after))
         if sort:
             hits.sort(key=lambda h: _merge_sort_key(h, sort))
             return [(d, s) for d, s, _ in hits[:k]]
         hits.sort(key=lambda h: (-float(h[1]), h[0]))
         return hits[:k]
+
+    def search_after(self, query: Query | str, k: int = 10, cursor=None):
+        """cursorMark-style page fetch: returns (hits, next_cursor);
+        next_cursor is None when the result set is exhausted. Unlike
+        offset paging, each page costs one (pruned) search — no
+        re-collection of the skipped prefix on the shards."""
+        hits = self.search(query, k=k, after=cursor)
+        if not hits:
+            return [], None
+        last = hits[-1]
+        nxt = (float(last[1]), int(last[0])) if len(hits) == k else None
+        return hits, nxt
 
     def resolve_hits(self, hits):
         """(doc_id, score) list -> rows with the docmap identity columns

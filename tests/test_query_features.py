@@ -331,3 +331,28 @@ def test_field_sort_with_missing_docvalues(ray_session, tmp_path):
             assert present == sorted(present, reverse=True)
         else:
             assert present == sorted(present)
+
+
+def test_search_after_pages_equal_full_ranking(indexed):
+    """cursorMark paging: concatenated pages == one big top-k, no
+    duplicates, exhaustion returns None."""
+    s, _, _ = indexed
+    full = s.search("ray OR data", k=500)
+    pages, cursor = [], None
+    while True:
+        hits, cursor = s.search_after("ray OR data", k=7, cursor=cursor)
+        pages.extend(hits)
+        if cursor is None:
+            break
+    assert [(d, float(x)) for d, x in pages] == \
+        [(d, float(x)) for d, x in full]
+    assert len({d for d, _ in pages}) == len(pages)
+
+
+def test_search_after_rejects_field_sort(indexed):
+    s, _, _ = indexed
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        s.search("ray", k=5, sort=[("turn_idx", False)],
+                 after=(1.0, 3))

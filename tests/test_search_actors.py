@@ -195,3 +195,16 @@ def test_distributed_extended_stats_and_facet_query(dist_pair):
     and_docs, _ = _all_hits(local, "ray AND data")
     assert fq["ray AND data"] == len(and_docs)
     assert fq["zzzmissing"] == 0
+
+
+def test_distributed_search_after_pages(dist_pair):
+    local, dist = dist_pair
+    full = local.search("ray OR data", k=500)
+    pages, cursor = [], None
+    while True:
+        hits, cursor = dist.search_after("ray OR data", k=9, cursor=cursor)
+        pages.extend(hits)
+        if cursor is None:
+            break
+    assert [(d, float(x)) for d, x in pages] == \
+        [(d, float(x)) for d, x in full]
