@@ -169,3 +169,41 @@ def get_analyzer(name: str = "standard"):
     if name in CUSTOM_CHAINS:
         return CUSTOM_CHAINS[name]
     raise KeyError(f"unknown analyzer: {name!r}")
+
+
+def analyze_debug(text: str, analyzer: str = "standard") -> list[dict]:
+    """Per-stage token streams for analysis debugging
+    (``solr/core/src/java/org/apache/solr/handler/
+    FieldAnalysisRequestHandler.java`` / AnalysisRequestHandlerBase:
+    the response lists every chain stage with its (term, position)
+    stream). Works for the built-in analyzers and any registered
+    CustomAnalyzer chain."""
+    from .filters import CustomAnalyzer
+
+    a = get_analyzer(analyzer)
+    stages: list[dict] = []
+    if isinstance(a, CustomAnalyzer):
+        tokens = [(t, p) for p, t in enumerate(a.tokenizer.tokenize(text))]
+        stages.append({"stage": type(a.tokenizer).__name__,
+                       "tokens": list(tokens)})
+        for f in a.filters:
+            tokens = f(tokens)
+            stages.append({"stage": getattr(f, "__name__", repr(f)),
+                           "tokens": list(tokens)})
+        return stages
+    if isinstance(a, SimpleAnalyzer):
+        terms, positions = a.analyze(text)
+        return [{"stage": "SimpleAnalyzer",
+                 "tokens": list(zip(terms, positions))}]
+    # StandardAnalyzer: tokenizer -> lowercase -> stop, synthesized from
+    # the same components the fused path uses
+    raw = list(a.tokenizer.tokenize(text))
+    toks = [(t, p) for p, t in enumerate(raw) if t is not None]
+    stages.append({"stage": type(a.tokenizer).__name__, "tokens": toks})
+    lowered = [(java_lowercase(t), p) for t, p in toks]
+    stages.append({"stage": "LowerCaseFilter", "tokens": lowered})
+    stop = a.stopwords
+    stopped = [(t, p) for t, p in lowered if t not in stop]
+    stages.append({"stage": "StopFilter", "tokens": stopped})
+    # invariant: the final stage equals analyze() (asserted in tests)
+    return stages

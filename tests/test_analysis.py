@@ -267,3 +267,27 @@ def test_url_email_analyzer_chain():
     std = get_analyzer("standard")
     assert an.analyze("ray data builds indexes") == \
         std.analyze("ray data builds indexes")
+
+
+def test_analyze_debug_stages():
+    """FieldAnalysisRequestHandler analog: per-stage streams, final stage
+    == analyze()."""
+    from lucene_solr_ray.analysis import get_analyzer
+    from lucene_solr_ray.analysis.analyzer import analyze_debug
+
+    text = "The Quick-Brown foxes JUMPED"
+    stages = analyze_debug(text, "standard")
+    names = [s["stage"] for s in stages]
+    assert names == ["StandardTokenizer", "LowerCaseFilter", "StopFilter"]
+    # tokenizer stage keeps case, stop stage drops 'the' with a hole
+    assert stages[0]["tokens"][0][0] == "The"
+    assert stages[1]["tokens"][0][0] == "the"
+    final = stages[-1]["tokens"]
+    terms, positions = get_analyzer("standard").analyze(text)
+    assert final == list(zip(terms, positions))
+    # custom chain exposes each filter by name
+    stages2 = analyze_debug("Running QUICKLY", "english_stemmed")
+    assert [s["stage"] for s in stages2][0] == "StandardTokenizer"
+    assert len(stages2) == 4  # tokenizer + 3 filters
+    terms2, pos2 = get_analyzer("english_stemmed").analyze("Running QUICKLY")
+    assert stages2[-1]["tokens"] == list(zip(terms2, pos2))
