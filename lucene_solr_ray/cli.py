@@ -77,12 +77,35 @@ def main(argv=None) -> int:
     au.add_argument("updates_json",
                     help="JSON list of update docs, or @file.json")
 
+    t = sub.add_parser("terms", help="enumerate index terms")
+    t.add_argument("index_dir")
+    t.add_argument("--prefix", default="")
+    t.add_argument("--regex", default=None)
+    t.add_argument("--limit", type=int, default=10)
+    t.add_argument("--sort", choices=("count", "index"), default="count")
+
+    sp = sub.add_parser("spellcheck", help="did-you-mean suggestions")
+    sp.add_argument("index_dir")
+    sp.add_argument("term")
+    sp.add_argument("-k", type=int, default=5)
+
+    f = sub.add_parser("facet", help="field facet over a query's hits")
+    f.add_argument("index_dir")
+    f.add_argument("query")
+    f.add_argument("field")
+    f.add_argument("--limit", type=int, default=None)
+
+    an = sub.add_parser("analyze",
+                        help="per-stage analysis debug for a text")
+    an.add_argument("text")
+    an.add_argument("--analyzer", default="standard")
+
     c = sub.add_parser("check", help="validate index invariants")
     c.add_argument("index_dir")
 
     args = p.parse_args(argv)
     if args.cmd in ("update", "search", "check", "delete", "get",
-                    "atomic-update"):
+                    "atomic-update", "terms", "spellcheck", "facet"):
         from pathlib import Path
 
         if not (Path(args.index_dir) / "manifest.json").exists():
@@ -157,6 +180,27 @@ def main(argv=None) -> int:
             raw = Path(raw[1:]).read_text()
         manifest = atomic_update(args.index_dir, json.loads(raw))
         print(json.dumps({"version": manifest["version"]}))
+    elif args.cmd == "terms":
+        from .search.searcher import IndexSearcher
+
+        s = IndexSearcher(args.index_dir)
+        print(json.dumps(s.terms(prefix=args.prefix, regex=args.regex,
+                                 limit=args.limit, sort=args.sort)))
+    elif args.cmd == "spellcheck":
+        from .search.searcher import IndexSearcher
+
+        s = IndexSearcher(args.index_dir)
+        print(json.dumps(s.spellcheck(args.term, k=args.k)))
+    elif args.cmd == "facet":
+        from .search.searcher import IndexSearcher
+
+        s = IndexSearcher(args.index_dir)
+        print(json.dumps(s.facet(args.query, args.field,
+                                 limit=args.limit)))
+    elif args.cmd == "analyze":
+        from .analysis.analyzer import analyze_debug
+
+        print(json.dumps(analyze_debug(args.text, args.analyzer)))
     elif args.cmd == "check":
         from .index.check import check_index
 

@@ -49,3 +49,31 @@ def test_cli_get_and_atomic_update(ray_session, tmp_path, capsys):
     assert main(["get", idx, "--key", conv, "0"]) == 0
     rows2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rows2[0]["score"] == 7
+
+
+def test_cli_terms_spellcheck_facet_analyze(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.cli import main
+    from lucene_solr_ray.data.transcripts import generate_transcripts
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(generate_transcripts(10, seed=4), str(src))
+    idx = str(tmp_path / "idx")
+    assert main(["build", str(src), idx, "--num-shards", "2"]) == 0
+    capsys.readouterr()
+    assert main(["terms", idx, "--prefix", "r", "--limit", "5"]) == 0
+    terms = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(t.startswith("r") for t, _ in terms)
+    assert main(["analyze", "The Quick Fox"]) == 0
+    stages = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [s["stage"] for s in stages] == ["StandardTokenizer",
+                                            "LowerCaseFilter", "StopFilter"]
+    assert main(["facet", idx, "ray", "role", "--limit", "3"]) == 0
+    fac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(isinstance(n, int) for _, n in fac)
+    assert main(["spellcheck", idx, "rey"]) == 0
+    sc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert isinstance(sc, list)
