@@ -106,6 +106,31 @@ class SearchActor:
                     out[convs[i]] = cand
         return out
 
+    def expand_partial(self, query: Query, df_map: dict[str, int],
+                       conv_ids: list[str], exclude_docs: list[int],
+                       per_group: int) -> dict[str, list]:
+        """ExpandComponent partial: per requested conversation, this
+        actor's top ``per_group`` other matching docs — bounded by
+        |convs| * per_group, never the hit set."""
+        wanted = set(conv_ids)
+        excl = set(exclude_docs)
+        out: dict[str, list] = {}
+        for sh in self.searchers:
+            docs, scores = sh._score_clause(query, df_map)
+            if len(docs) == 0:
+                continue
+            convs = sh.docvalues_local("conv_id", docs).astype(str)
+            for conv in wanted:
+                mask = convs == conv
+                if not mask.any():
+                    continue
+                g_docs, g_scores = docs[mask], scores[mask]
+                order = np.lexsort((g_docs, -g_scores.astype(np.float32)))
+                rows = [(int(g_docs[i]), float(np.float32(g_scores[i])))
+                        for i in order if int(g_docs[i]) not in excl]
+                out.setdefault(conv, []).extend(rows[:per_group])
+        return out
+
     def stats_partial(self, query: Query, df_map: dict[str, int],
                       field: str) -> tuple:
         """(count, min, max, sum, sumsq, missing) of a docvalue over the
@@ -420,6 +445,28 @@ class DistributedSearcher:
                  for conv, (score, doc) in best.items()]
         heads.sort(key=lambda h: (-h[1], h[0]))
         return heads[:k]
+
+    def expand(self, query: Query | str, heads: list, per_group: int = 5):
+        """Distributed ExpandComponent: per-actor per-conv top lists for
+        the collapsed heads' conversations, merged (score desc, doc asc)
+        and trimmed on the driver."""
+        if not heads:
+            return {}
+        parsed = self.parse(query) if isinstance(query, str) else query
+        df = self._stats_phase(parsed)
+        conv_ids = [str(c) for _, _, c in heads]
+        excl = [int(d) for d, _, _ in heads]
+        partials = ray.get([
+            a.expand_partial.remote(parsed, df, conv_ids, excl, per_group)
+            for a in self.actors])
+        out: dict[str, list] = {c: [] for c in conv_ids}
+        for p in partials:
+            for c, rows in p.items():
+                out[c].extend(rows)
+        for c in out:
+            out[c].sort(key=lambda h: (-h[1], h[0]))
+            out[c] = out[c][:per_group]
+        return out
 
     def field_stats(self, query: Query | str, field: str):
         """Distributed StatsComponent over the full hit set: per-actor

@@ -82,6 +82,32 @@ def collapse_search(searcher: IndexSearcher, query: Query | str,
     return [(int(hd[i]), np.float32(hs[i]), str(dm[hd[i]])) for i in top]
 
 
+def expand_groups(searcher: IndexSearcher, query: Query | str,
+                  heads: list, per_group: int = 5):
+    """ExpandComponent (``solr/core/src/java/org/apache/solr/handler/
+    component/ExpandComponent.java``): for each collapsed head, the other
+    matching docs of its conversation, ranked (score desc, doc asc),
+    ``per_group`` each. ``heads``: collapse_search output
+    [(doc_id, score, conv_id)]. Returns {conv_id: [(doc_id, score)]}."""
+    if not heads:
+        return {}
+    docs, scores = _all_hits(searcher, query)
+    if len(docs) == 0:
+        return {c: [] for _, _, c in heads}
+    dm = searcher.docmap()
+    convs = dm[docs]
+    head_docs = {int(d) for d, _, _ in heads}
+    out: dict[str, list] = {}
+    for _, _, conv in heads:
+        mask = convs == conv
+        g_docs, g_scores = docs[mask], scores[mask]
+        order = np.lexsort((g_docs, -g_scores.astype(np.float32)))
+        rows = [(int(g_docs[i]), float(np.float32(g_scores[i])))
+                for i in order if int(g_docs[i]) not in head_docs]
+        out[str(conv)] = rows[:per_group]
+    return out
+
+
 def rerank(searcher: IndexSearcher, query: Query | str,
            rerank_query: Query | str, k: int = 10, top_n: int = 50,
            weight: float = 2.0):

@@ -208,3 +208,21 @@ def test_distributed_search_after_pages(dist_pair):
             break
     assert [(d, float(x)) for d, x in pages] == \
         [(d, float(x)) for d, x in full]
+
+
+def test_expand_component_local_and_distributed(dist_pair):
+    from lucene_solr_ray.search.features import collapse_search, expand_groups
+
+    local, dist = dist_pair
+    heads = collapse_search(local, "ray", k=5)
+    assert heads
+    want = expand_groups(local, "ray", heads, per_group=3)
+    got = dist.expand("ray", heads, per_group=3)
+    assert set(got) == set(want)
+    for c in want:
+        assert [(d, round(s, 5)) for d, s in got[c]] == \
+            [(d, round(s, 5)) for d, s in want[c]], c
+    # heads never appear in their own expansion
+    head_docs = {d for d, _, _ in heads}
+    for rows in got.values():
+        assert not head_docs & {d for d, _ in rows}
