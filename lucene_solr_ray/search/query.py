@@ -501,19 +501,45 @@ def parse_span(text: str, analyzer=None) -> Query:
                         args.append(lst)
                     else:
                         args.append(parse_node())
+                def _scalar(a, what: str) -> str:
+                    if not isinstance(a, SpanTermQuery):
+                        raise ValueError(
+                            f"{name}: expected a {what}, got {a!r}")
+                    return a.term
+
                 if name == "spanNear":
+                    if not args or not isinstance(args[0], list) \
+                            or not args[0]:
+                        raise ValueError(
+                            f"spanNear needs a [clause, ...] list: {text!r}")
                     clauses, *rest = args
-                    slop = int(rest[0].term) if rest else 0
-                    in_order = (rest[1].term.lower() == "true") \
-                        if len(rest) > 1 else True
+                    if any(isinstance(c, list) for c in clauses):
+                        raise ValueError("spanNear: nested list clause")
+                    slop = int(_scalar(rest[0], "slop integer")) \
+                        if rest else 0
+                    in_order = (_scalar(rest[1], "boolean").lower()
+                                == "true") if len(rest) > 1 else True
                     return SpanNearQuery(tuple(clauses), slop, in_order)
                 if name == "spanOr":
+                    if not args or not isinstance(args[0], list) \
+                            or not args[0] \
+                            or any(isinstance(c, list) for c in args[0]):
+                        raise ValueError(
+                            f"spanOr needs a [clause, ...] list: {text!r}")
                     return SpanOrQuery(tuple(args[0]))
                 if name == "spanNot":
+                    if len(args) != 2 or any(isinstance(a, list)
+                                             for a in args):
+                        raise ValueError(
+                            f"spanNot needs (include, exclude): {text!r}")
                     return SpanNotQuery(args[0], args[1])
                 if name == "spanFirst":
-                    return SpanFirstQuery(term=args[0].term,
-                                          end=int(args[1].term))
+                    if len(args) != 2:
+                        raise ValueError(
+                            f"spanFirst needs (term, end): {text!r}")
+                    return SpanFirstQuery(
+                        term=_scalar(args[0], "term"),
+                        end=int(_scalar(args[1], "end integer")))
         # bare token (term / number / boolean literal)
         j = pos[0]
         while j < len(s) and s[j] not in " \t,[])(":

@@ -143,3 +143,24 @@ def test_parse_infix_errors():
                 "pow(x)"]:
         with pytest.raises(ValueError):
             parse_infix(bad)
+
+
+def test_parse_infix_totality_fuzz():
+    """Random token soup: parse_infix either returns an AST or raises
+    ValueError — no other exception class escapes."""
+    import numpy as np
+
+    from lucene_solr_ray.functions.valuesource import parse_infix
+
+    rng = np.random.default_rng(29)
+    pieces = ["x", "y", "1", "2.5", "+", "-", "*", "/", "%", "**", "(",
+              ")", "?", ":", ">", ">=", "==", "!=", "sqrt", "min", ",",
+              "", " ", "@", "1e3"]
+    for _ in range(400):
+        n = int(rng.integers(1, 9))
+        s = " ".join(pieces[int(rng.integers(0, len(pieces)))]
+                     for _ in range(n))
+        try:
+            parse_infix(s)
+        except ValueError:
+            pass

@@ -187,3 +187,23 @@ def test_span_rank_sane_on_real_index(engine_and_oracle):
     q = SpanNearQuery((T(pair[0]), T(pair[1])), slop=0, in_order=True)
     hits = searcher.search(q, k=10)
     assert hits  # at least the harvested doc matches
+
+
+def test_parse_span_totality_fuzz():
+    """Random operator soup either parses or raises ValueError — never
+    any other exception (parser-totality contract, matching the classic
+    and streaming grammars' fuzz)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    pieces = ["spanNear(", "spanOr(", "spanNot(", "spanFirst(", "[", "]",
+              "(", ")", ",", "ray", "data", "3", "true", "false", "", " ",
+              "spanNear([a, b], 1, true)", "~", "*"]
+    for _ in range(300):
+        n = int(rng.integers(1, 7))
+        s = " ".join(pieces[int(rng.integers(0, len(pieces)))]
+                     for _ in range(n))
+        try:
+            parse_span(s)
+        except ValueError:
+            pass
