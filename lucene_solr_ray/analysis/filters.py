@@ -360,3 +360,57 @@ CUSTOM_CHAINS: dict[str, CustomAnalyzer] = {
     "shingled": CustomAnalyzer(
         [lowercase_filter, make_stop_filter(), make_shingle_filter(2)]),
 }
+
+
+# ---------------------------------------------------------------- more --
+
+def decimal_digit_filter(tokens: TokenStream) -> TokenStream:
+    """DecimalDigitFilter (``lucene/analysis/common/.../core/
+    DecimalDigitFilter.java``): fold any Unicode decimal digit to its
+    ASCII 0-9 equivalent."""
+    def fold(t: str) -> str:
+        if all("0" <= c <= "9" or not c.isdigit() for c in t):
+            return t
+        return "".join(str(unicodedata.digit(c)) if c.isdigit() else c
+                       for c in t)
+
+    return [(fold(t), p) for t, p in tokens]
+
+
+def apostrophe_filter(tokens: TokenStream) -> TokenStream:
+    """ApostropheFilter (``lucene/analysis/common/.../tr/
+    ApostropheFilter.java``): strip the apostrophe and everything after
+    it (the Turkish-analysis convention)."""
+    def strip(t: str) -> str:
+        for ch in ("'", "’"):
+            i = t.find(ch)
+            if i >= 0:
+                return t[:i]
+        return t
+
+    return [(strip(t), p) for t, p in tokens if strip(t)]
+
+
+def make_keep_word_filter(keep: set[str]) -> Filter:
+    """KeepWordFilter (``lucene/analysis/common/.../miscellaneous/
+    KeepWordFilter.java``): drop every token NOT in the keep set
+    (positions preserved — holes like StopFilter)."""
+    keep_f = frozenset(keep)
+
+    def keep_word_filter(tokens: TokenStream) -> TokenStream:
+        return [(t, p) for t, p in tokens if t in keep_f]
+
+    return keep_word_filter
+
+
+def make_stemmer_override_filter(overrides: dict[str, str],
+                                 stem: Callable[[str], str] = None) -> Filter:
+    """StemmerOverrideFilter (``lucene/analysis/common/.../miscellaneous/
+    StemmerOverrideFilter.java``): dictionary-pinned stems win over the
+    algorithmic stemmer (Porter by default)."""
+    stem = stem or porter_stem
+
+    def stemmer_override_filter(tokens: TokenStream) -> TokenStream:
+        return [(overrides.get(t) or stem(t), p) for t, p in tokens]
+
+    return stemmer_override_filter

@@ -211,3 +211,44 @@ def load_dir_docs(path: str) -> rd.Dataset:
         })
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def load_enwiki_docs(path: str) -> rd.Dataset:
+    """EnwikiContentSource analog (``lucene/benchmark/src/java/org/apache/
+    lucene/benchmark/byTask/feeds/EnwikiContentSource.java``): MediaWiki
+    dump ``<page>`` elements -> (id, title, text) docs. Files stream as
+    binary blobs; pages are pulled with a streaming regex scan (the
+    reference uses a SAX parser for the same reason: dumps don't fit in
+    one DOM)."""
+    import re
+
+    page_re = re.compile(rb"<page>(.*?)</page>", re.DOTALL)
+    id_re = re.compile(rb"<id>(\d+)</id>")
+    title_re = re.compile(rb"<title>(.*?)</title>", re.DOTALL)
+    text_re = re.compile(rb"<text[^>]*>(.*?)</text>", re.DOTALL)
+
+    ds = rd.read_binary_files(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids, titles, texts = [], [], []
+        for blob in batch.column("bytes"):
+            content = blob.as_py()
+            for m in page_re.finditer(content):
+                block = m.group(1)
+                pid = id_re.search(block)
+                title = title_re.search(block)
+                body = text_re.search(block)
+                ids.append(pid.group(1).decode() if pid else "")
+                titles.append(
+                    title.group(1).decode("utf-8", "replace") if title
+                    else "")
+                texts.append(
+                    body.group(1).decode("utf-8", "replace") if body
+                    else "")
+        return pa.table({
+            "id": pa.array(ids, type=pa.string()),
+            "title": pa.array(titles, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")

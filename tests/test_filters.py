@@ -187,3 +187,40 @@ def test_new_filters_compose_in_chain():
     terms, positions = an.analyze("Hello99 WORLDWIDE x1")
     assert terms == ["hell", "worl", "x"]
     assert positions == [0, 1, 2]
+
+
+def test_decimal_digit_filter():
+    from lucene_solr_ray.analysis.filters import decimal_digit_filter
+
+    # Arabic-Indic and Devanagari digits fold to ASCII
+    out = decimal_digit_filter([("١٢٣", 0), ("abc42", 1),
+                                ("१22", 2)])
+    assert out == [("123", 0), ("abc42", 1), ("122", 2)]
+
+
+def test_apostrophe_filter():
+    from lucene_solr_ray.analysis.filters import apostrophe_filter
+
+    out = apostrophe_filter([("turkiye'nin", 0), ("plain", 1),
+                             ("rock’n", 2), ("'lead", 3)])
+    assert out == [("turkiye", 0), ("plain", 1), ("rock", 2)]
+
+
+def test_keep_word_filter():
+    from lucene_solr_ray.analysis.filters import make_keep_word_filter
+
+    f = make_keep_word_filter({"ray", "data"})
+    assert f([("ray", 0), ("big", 1), ("data", 2)]) == \
+        [("ray", 0), ("data", 2)]
+
+
+def test_stemmer_override_filter():
+    from lucene_solr_ray.analysis.filters import (
+        make_stemmer_override_filter,
+        porter_stem,
+    )
+
+    f = make_stemmer_override_filter({"running": "sprint"})
+    out = f([("running", 0), ("jumping", 1)])
+    assert out[0] == ("sprint", 0)
+    assert out[1] == (porter_stem("jumping"), 1)

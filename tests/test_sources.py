@@ -158,3 +158,19 @@ def test_load_dir_docs_and_index(ray_session, tmp_path):
     build_index(to_transcript_schema(ds), str(idx), num_shards=2)
     s = IndexSearcher(str(idx))
     assert len(s.search("zebras", k=5)) == 1
+
+
+def test_load_enwiki_docs(ray_session, tmp_path):
+    from lucene_solr_ray.sources.loaders import load_enwiki_docs
+
+    (tmp_path / "dump.xml").write_text(
+        "<mediawiki><page><title>Alpha</title><id>10</id>"
+        "<revision><id>99</id><text xml:space=\"preserve\">alpha body"
+        " text</text></revision></page>"
+        "<page><title>Beta</title><id>20</id>"
+        "<revision><text>beta body</text></revision></page></mediawiki>")
+    out = (load_enwiki_docs(str(tmp_path / "dump.xml")).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert out["id"].tolist() == ["10", "20"]
+    assert out["title"].tolist() == ["Alpha", "Beta"]
+    assert out["text"][0] == "alpha body text"
