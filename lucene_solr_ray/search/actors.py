@@ -252,7 +252,7 @@ class SearchActor:
         for sh in self.searchers:
             for t in expand_multi_term(
                     FuzzyQuery(term=term, max_edits=max_edits),
-                    list(sh._terms)):
+                    sh._terms.seq()):
                 if t == term:
                     continue
                 out[t] = out.get(t, 0) + int(sh._df[sh._terms[t]])
@@ -264,7 +264,7 @@ class SearchActor:
         out: dict[str, int] = {}
         for sh in self.searchers:
             for t in expand_multi_term(PrefixQuery(prefix=prefix),
-                                       list(sh._terms)):
+                                       sh._terms.seq()):
                 out[t] = out.get(t, 0) + int(sh._df[sh._terms[t]])
         return out
 

@@ -230,16 +230,23 @@ def levenshtein_within(a: str, b: str, k: int) -> bool:
     return prev[-1] <= k
 
 
-def expand_multi_term(q: MultiTermQuery, sorted_terms: list[str]) -> list[str]:
+def expand_multi_term(q: MultiTermQuery, sorted_terms) -> list[str]:
     """Term-dictionary expansion for a MultiTermQuery (the automaton /
-    TermsEnum intersection analog, AutomatonQuery / FuzzyTermsEnum)."""
+    TermsEnum intersection analog, AutomatonQuery / FuzzyTermsEnum).
+
+    ``sorted_terms``: any random-access sequence of ascending terms —
+    a list, or the shard's zero-copy term-dict view (``_TermDict.seq()``)
+    so prefix/range expansion is O(log V + matches) with NO vocabulary
+    materialization."""
     import bisect
     import fnmatch
 
+    n = len(sorted_terms)
     if isinstance(q, PrefixQuery):
         lo = bisect.bisect_left(sorted_terms, q.prefix)
         out = []
-        for t in sorted_terms[lo:]:
+        for i in range(lo, n):
+            t = sorted_terms[i]
             if not t.startswith(q.prefix):
                 break
             out.append(t)
@@ -250,7 +257,8 @@ def expand_multi_term(q: MultiTermQuery, sorted_terms: list[str]) -> list[str]:
         literal = q.pattern[:cut]
         lo = bisect.bisect_left(sorted_terms, literal)
         out = []
-        for t in sorted_terms[lo:]:
+        for i in range(lo, n):
+            t = sorted_terms[i]
             if literal and not t.startswith(literal):
                 break
             if fnmatch.fnmatchcase(t, q.pattern):
@@ -261,7 +269,7 @@ def expand_multi_term(q: MultiTermQuery, sorted_terms: list[str]) -> list[str]:
               else bisect.bisect_right)(sorted_terms, q.lower)
         hi = (bisect.bisect_right if q.include_upper
               else bisect.bisect_left)(sorted_terms, q.upper)
-        return sorted_terms[lo:hi]
+        return [sorted_terms[i] for i in range(lo, hi)]
     if isinstance(q, FuzzyQuery):
         return [t for t in sorted_terms
                 if levenshtein_within(q.term, t, q.max_edits)]

@@ -171,6 +171,25 @@ class _TermDict:
         for i in range(self._n):
             yield self._arr[i].as_py(), i
 
+    def seq(self):
+        """Index-addressed view (sequence protocol) for bisect-based
+        expansion without materializing the vocabulary."""
+        return _TermSeq(self._arr, self._n)
+
+
+class _TermSeq:
+    __slots__ = ("_arr", "_n")
+
+    def __init__(self, arr, n):
+        self._arr = arr
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        return self._arr[i].as_py()
+
 
 class ShardSearcher:
     """Search over one shard; all postings/norms held in memory."""
@@ -272,8 +291,7 @@ class ShardSearcher:
         if self._deleted is not None and self._deleted[doc_id - self.base]:
             return []
         out = []
-        for term in self._terms:
-            i = self._terms[term]
+        for term, i in self._terms.items():
             last = segment.decode_skip_last_docs(self._skip_last[i])
             if len(last) and int(last[-1]) < doc_id:
                 continue
@@ -426,7 +444,7 @@ class ShardSearcher:
     def _score_multi_term(self, q: MultiTermQuery):
         """CONSTANT_SCORE_REWRITE over the shard's term dictionary: union
         of matching terms' postings, every doc scored with the boost."""
-        terms = expand_multi_term(q, list(self._terms))
+        terms = expand_multi_term(q, self._terms.seq())
         if not terms:
             return (np.empty(0, dtype=np.int64),
                     np.empty(0, dtype=np.float32))
@@ -907,7 +925,7 @@ class IndexSearcher:
         for sh in self.shards:
             for t in expand_multi_term(
                     FuzzyQuery(term=term, max_edits=max_edits),
-                    list(sh._terms)):
+                    sh._terms.seq()):
                 if t == term:
                     continue
                 agg[t] = agg.get(t, 0) + int(sh._df[sh._terms[t]])
@@ -953,7 +971,7 @@ class IndexSearcher:
         agg: dict[str, int] = {}
         for sh in self.shards:
             for t in expand_multi_term(PrefixQuery(prefix=prefix),
-                                       list(sh._terms)):
+                                       sh._terms.seq()):
                 agg[t] = agg.get(t, 0) + int(sh._df[sh._terms[t]])
         ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
