@@ -392,6 +392,21 @@ def _block_keys(block: pa.Table) -> list:
 _NORMS_SYSTEM_COLS = ("doc_id", "doc_shard", "doc_len", "norm_byte")
 
 
+def _recover_norms_partitions(index_path: Path) -> None:
+    """Recover from a crash mid docvalue-rewrite swap: a ``.dvold-*``
+    aside is the pristine old partition — restore it when the live
+    partition is missing, discard it when the swap completed."""
+    norms = index_path / "norms"
+    if not norms.exists():
+        return
+    for aside in norms.glob(".dvold-*"):
+        part = norms / aside.name[len(".dvold-"):]
+        if not part.exists():
+            os.rename(aside, part)
+        else:
+            shutil.rmtree(aside, ignore_errors=True)
+
+
 def realtime_get(index_dir: str, keys=None, doc_ids=None) -> pa.Table:
     """Stored-fields lookup by (conv_id, turn_idx) key or doc_id,
     honoring tombstones (RealTimeGetComponent semantics: the freshest
@@ -406,6 +421,7 @@ def realtime_get(index_dir: str, keys=None, doc_ids=None) -> pa.Table:
     import pyarrow.dataset as pads
 
     index_path = Path(index_dir)
+    _recover_norms_partitions(index_path)
     manifest = read_manifest(index_dir)
     docs_per_shard = manifest["params"]["docs_per_shard"]
     dels = read_deletes(index_dir)
@@ -491,7 +507,17 @@ def atomic_update(index_dir: str, updates: list[dict]) -> dict:
     version). Manifest version bumps so NRT reopen sees the new values.
     """
     index_path = Path(index_dir)
+    _recover_norms_partitions(index_path)
     manifest = read_manifest(index_dir)
+    if not updates:
+        return manifest
+    for u in updates:
+        # conv_id/turn_idx are the immutable key, never op targets
+        if not isinstance(u.get("conv_id"), str) \
+                or isinstance(u.get("turn_idx"), dict):
+            raise ValueError(
+                "conv_id/turn_idx identify the document and cannot be "
+                "atomically updated; pass them as plain key values")
     keys = [(str(u["conv_id"]), int(u["turn_idx"])) for u in updates]
     if len(set(keys)) != len(keys):
         raise ValueError("duplicate keys in one atomic_update batch")
@@ -507,10 +533,6 @@ def atomic_update(index_dir: str, updates: list[dict]) -> dict:
     text_docs, dv_rows = [], []
     for u, k in zip(updates, keys):
         ops = {f: v for f, v in u.items() if f not in ("conv_id", "turn_idx")}
-        bad = [f for f in ops
-               if f != "text" and f not in norms_cols and f in ("conv_id", "turn_idx")]
-        if bad:
-            raise ValueError(f"cannot atomically update key fields: {bad}")
         merged = _apply_ops(found[k], ops)
         if "text" in ops:
             if set(ops["text"]) != {"set"}:
@@ -533,6 +555,7 @@ def atomic_update(index_dir: str, updates: list[dict]) -> dict:
             by_shard.setdefault(int(r["doc_shard"]), []).append(r)
         for sid, rows in by_shard.items():
             part = index_path / "norms" / f"doc_shard={sid}"
+            aside = part.parent / f".dvold-{part.name}"
             t = pq.read_table(part)
             ids = t.column("doc_id").to_numpy(zero_copy_only=False)
             pos = {int(d): i for i, d in enumerate(ids)}
@@ -545,13 +568,17 @@ def atomic_update(index_dir: str, updates: list[dict]) -> dict:
                     cols[c][i] = r.get(c)
             new_t = pa.table({c: pa.array(v, type=t.schema.field(c).type)
                               for c, v in cols.items()})
-            tmp = part / ".rewrite.parquet.tmp"
-            pq.write_table(new_t, tmp)
-            old_files = [p for p in part.glob("*.parquet")]
-            os.replace(tmp, part / "dv-update.parquet")
-            for p in old_files:
-                if p.name != "dv-update.parquet":
-                    p.unlink()
+            # crash-safe whole-partition swap (dot-prefixed staging dirs
+            # are invisible to parquet dataset discovery): write the new
+            # partition aside, then two renames — never a window where
+            # old and new files coexist inside the live partition
+            staging = part.parent / f".dvnew-{part.name}"
+            shutil.rmtree(staging, ignore_errors=True)
+            staging.mkdir()
+            pq.write_table(new_t, staging / "dv-update.parquet")
+            os.rename(part, aside)
+            os.rename(staging, part)
+            shutil.rmtree(aside, ignore_errors=True)
         new_manifest = {**manifest,
                         "version": manifest["version"] + 1,
                         "created_unix": time.time()}

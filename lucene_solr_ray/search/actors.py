@@ -499,11 +499,20 @@ class DistributedSearcher:
                 "missing": missing}
 
     def facet_query(self, queries: list[Query | str]) -> dict[str, int]:
-        """facet.query: hit count per arbitrary sub-query (one actor
-        round trip for the whole batch)."""
+        """facet.query: hit count per arbitrary sub-query — ONE stats
+        round trip over the union of all sub-queries' terms (the
+        search_batch batching pattern), then one counting round trip."""
         parsed = [self.parse(q) if isinstance(q, str) else q
                   for q in queries]
-        df_maps = [self._stats_phase(q) for q in parsed]
+        all_terms = sorted(set().union(*[collect_terms(q) for q in parsed])
+                           if parsed else set())
+        dfs = ray.get([a.local_df.remote(all_terms) for a in self.actors])
+        global_df: dict[str, int] = {}
+        for p in dfs:
+            for t, d in p.items():
+                global_df[t] = global_df.get(t, 0) + d
+        df_maps = [{t: global_df.get(t, 0) for t in collect_terms(q)}
+                   for q in parsed]
         partials = ray.get([a.query_counts.remote(parsed, df_maps)
                             for a in self.actors])
         totals = np.sum(np.asarray(partials, dtype=np.int64), axis=0)

@@ -374,14 +374,14 @@ def _near_unordered(subs: list[list[tuple]], slop: int) -> list[tuple]:
     idx = [0] * n
     cur = [subs[i][0] for i in range(n)]
     total_len = sum(e - s for s, e, _ in cur)
-    # maxEndPositionCell: strictly-greater end wins, scanned in cell order
-    max_i = 0
-    for i in range(1, n):
-        if cur[i][1] > cur[max_i][1]:
-            max_i = i
     out = []
     while True:
         min_i = min(range(n), key=lambda i: (cur[i][0], cur[i][1]))
+        # the max-end cell is recomputed per window: with composite
+        # subspans a cell's end can DECREASE when it advances, so a
+        # cached max cell goes stale and emits phantom matches that
+        # violate the slop bound (first-with-max-end on ties)
+        max_i = max(range(n), key=lambda i: cur[i][1])
         min_s = cur[min_i][0]
         max_e = cur[max_i][1]
         if max_e - min_s - total_len <= slop:
@@ -392,8 +392,6 @@ def _near_unordered(subs: list[list[tuple]], slop: int) -> list[tuple]:
         s, e, _w = subs[min_i][idx[min_i]]
         total_len += (e - s) - (cur[min_i][1] - cur[min_i][0])
         cur[min_i] = (s, e, _w)
-        if e > cur[max_i][1]:
-            max_i = min_i
     return out
 
 

@@ -44,7 +44,9 @@ from .query import (
 
 
 class _Rev:
-    """Descending-order wrapper for non-numeric sort keys."""
+    """Descending-order wrapper for non-numeric sort keys. Compares
+    smaller-than the missing-value sentinel (missing sorts last in either
+    direction)."""
 
     __slots__ = ("v",)
 
@@ -52,10 +54,12 @@ class _Rev:
         self.v = v
 
     def __lt__(self, other):
+        if isinstance(other, _MissingLast):
+            return True
         return other.v < self.v
 
     def __eq__(self, other):
-        return self.v == other.v
+        return isinstance(other, _Rev) and self.v == other.v
 
 
 class _MissingLast:
@@ -809,13 +813,14 @@ class ShardSearcher:
                           for fld, _ in sort]
             lex_keys = []
             for (fld, desc), vals in zip(sort, val_arrays):
-                missing = np.array([v is None for v in vals], dtype=bool)
+                missing = vals == None  # noqa: E711 — elementwise object cmp
+                filled = vals.copy()
+                filled[missing] = 0.0
                 try:
-                    key = np.array(
-                        [0.0 if m else float(v)
-                         for v, m in zip(vals, missing)], dtype=np.float64)
+                    key = filled.astype(np.float64)
                 except (TypeError, ValueError):
-                    _, inv = np.unique(vals.astype(str), return_inverse=True)
+                    _, inv = np.unique(filled.astype(str),
+                                       return_inverse=True)
                     key = inv.astype(np.float64)
                 key = -key if desc else key
                 # missing docvalues sort last in either direction

@@ -149,9 +149,6 @@ class IndexSchema:
             if not col.type.equals(ft.arrow_type):
                 col = col.cast(ft.arrow_type)
                 t = t.set_column(t.column_names.index(name), name, col)
-        for f in self.fields.values():
-            if f.required and f.name not in t.column_names:
-                raise ValueError(f"required field {f.name!r} missing")
         for cf in self.copy_fields:
             srcs = ([cf.source] if "*" not in cf.source else
                     [c for c in t.column_names
@@ -176,6 +173,12 @@ class IndexSchema:
                                      cf.dest, joined)
                 else:
                     t = t.append_column(cf.dest, vals)
+        # required check AFTER copyFields: a required field may be
+        # produced only by a copy directive (the reference applies
+        # copyFields first, then validates)
+        for f in self.fields.values():
+            if f.required and f.name not in t.column_names:
+                raise ValueError(f"required field {f.name!r} missing")
         return t
 
     def processor(self):

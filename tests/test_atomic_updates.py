@@ -118,3 +118,44 @@ def test_atomic_update_errors(built):
         atomic_update(idx, [{**key, "nosuch": {"set": 1}}])
     with pytest.raises(ValueError, match="set"):
         atomic_update(idx, [{**key, "text": {"inc": 1}}])
+
+
+def test_atomic_update_empty_and_key_guard(built):
+    idx, t = built
+    from lucene_solr_ray.index.update import read_manifest
+
+    before = read_manifest(idx)["version"]
+    m = atomic_update(idx, [])
+    assert m["version"] == before  # no-op, no version bump
+    with pytest.raises(ValueError, match="cannot be atomically"):
+        atomic_update(idx, [{"conv_id": {"set": "x"}, "turn_idx": 0,
+                             "score": {"inc": 1}}])
+    with pytest.raises(ValueError, match="cannot be atomically"):
+        r = _row(t, 0)
+        atomic_update(idx, [{"conv_id": r["conv_id"],
+                             "turn_idx": {"inc": 1}}])
+
+
+def test_atomic_update_dv_rewrite_crash_recovery(built):
+    """A crash mid-swap leaves the aside partition; the next update
+    recovers it and applies cleanly with no duplicate rows."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    idx, t = built
+    r = _row(t, 2)
+    key = {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"]}
+    atomic_update(idx, [{**key, "score": {"inc": 10}}])
+    got = realtime_get(idx, keys=[(r["conv_id"], r["turn_idx"])])
+    sid = got.column("doc_shard")[0].as_py()
+    part = Path(idx) / "norms" / f"doc_shard={sid}"
+    aside = part.parent / f".dvold-{part.name}"
+    # simulate: crash after the old partition was set aside
+    shutil.copytree(part, aside)
+    shutil.rmtree(part)
+    atomic_update(idx, [{**key, "score": {"inc": 5}}])
+    got2 = realtime_get(idx, keys=[(r["conv_id"], r["turn_idx"])])
+    assert got2.num_rows == 1
+    assert got2.column("score")[0].as_py() == r["score"] + 15
+    assert not aside.exists()

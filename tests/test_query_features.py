@@ -356,3 +356,31 @@ def test_search_after_rejects_field_sort(indexed):
     with _pt.raises(ValueError):
         s.search("ray", k=5, sort=[("turn_idx", False)],
                  after=(1.0, 3))
+
+
+def test_field_sort_desc_string_with_missing(ray_session, tmp_path):
+    """Regression: descending sort on a STRING docvalue with missing
+    values crashed in the merge (_Rev vs missing sentinel)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.data.transcripts import generate_transcripts
+
+    t = generate_transcripts(12, seed=33)
+    labels = [None if i % 4 == 0 else f"lab{i % 3}"
+              for i in range(t.num_rows)]
+    t = t.drop_columns(["tool"]).append_column(
+        "tool", pa.array(labels, type=pa.string()))
+    src = tmp_path / "src.parquet"
+    pq.write_table(t, str(src))
+    idx = tmp_path / "idx"
+    build_index(str(src), str(idx), num_shards=3)
+    s = IndexSearcher(str(idx))
+    term = next(w.lower() for w in t.column("text")[0].as_py().split()
+                if len(w) > 3 and w.isalpha())
+    for desc in (True, False):
+        hits = s.search(term, k=50, sort=[("tool", desc)])
+        vals = [s.docvalues("tool")[d] for d, _ in hits]
+        present = [v for v in vals if v is not None]
+        assert all(v is None for v in vals[len(present):]), (desc, vals)
+        assert present == sorted(present, reverse=desc)

@@ -115,3 +115,17 @@ def test_transcripts_schema_end_to_end(ray_session):
     }))
     got = apply_chain(ds, [trim_field("conv_id"), s.processor()]).to_pandas()
     assert got["conv_id"][0] == "c2"
+
+
+def test_required_satisfied_by_copy_field():
+    """copyFields run BEFORE the required check (reference order): a
+    required dest produced only by a copy directive is accepted."""
+    s = IndexSchema(
+        fields=[SchemaField("id", "string"),
+                SchemaField("text", "text_general", required=True),
+                SchemaField("*_t", "text_general")],
+        copy_fields=[CopyField("*_t", "text")])
+    out = s.prepare_batch(pa.table({"id": ["a"], "note_t": ["from copy"]}))
+    assert out.column("text")[0].as_py() == "from copy"
+    with pytest.raises(ValueError, match="required"):
+        s.prepare_batch(pa.table({"id": ["a"]}))

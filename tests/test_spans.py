@@ -207,3 +207,18 @@ def test_parse_span_totality_fuzz():
             parse_span(s)
         except ValueError:
             pass
+
+
+def test_near_unordered_composite_no_phantom_matches():
+    """Regression: with composite subspans a cell's end can DECREASE on
+    advance; a cached max-end cell then emitted matches violating the
+    slop bound. The max cell is recomputed per window."""
+    from lucene_solr_ray.search.query import _near_unordered
+
+    subs = [[(0, 10, 0), (1, 2, 0)], [(0, 1, 0), (5, 6, 0)]]
+    out = _near_unordered(subs, slop=0)
+    # cells {(1,2),(5,6)}: window 6-1-2=3 > 0 must NOT match
+    assert (1, 2, 0) not in out
+    for s, e, w in out:
+        assert e - s >= 0
+    assert out == [(0, 10, 0), (0, 10, 0)]
