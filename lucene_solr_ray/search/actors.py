@@ -630,7 +630,8 @@ class DistributedSearcher:
         return [(d, float(s)) for d, s in hits[:k]]
 
     def facet(self, query: Query | str, field: str,
-              limit: int | None = None) -> list[tuple[str, int]]:
+              limit: int | None = None,
+              prefix: str = "") -> list[tuple[str, int]]:
         """Distributed field facet: per-actor partial counts, merged on the
         driver (FacetComponent distributed merge — exact by construction,
         no refinement phase needed)."""
@@ -646,6 +647,8 @@ class DistributedSearcher:
         agg: dict[str, int] = {}
         for c in counts:
             for v, n in c.items():
+                if prefix and not v.startswith(prefix):
+                    continue
                 agg[v] = agg.get(v, 0) + n
         out = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
         return out[:limit] if limit else out

@@ -882,10 +882,11 @@ class IndexSearcher:
         return self._docvalue_cache[field]
 
     def facet(self, query: Query | str, field: str,
-              limit: int | None = None) -> list[tuple[str, int]]:
+              limit: int | None = None,
+              prefix: str = "") -> list[tuple[str, int]]:
         """Field facet counts over the query's FULL result set
         (SimpleFacets.java:102-417 semantics: count desc, then value asc,
-        optional limit)."""
+        optional limit; ``prefix`` = facet.prefix value filtering)."""
         from .features import _all_hits
 
         values = self.docvalues(field)
@@ -901,6 +902,11 @@ class IndexSearcher:
         if len(vals) == 0:
             return []
         uniq, counts = np.unique(vals.astype(str), return_counts=True)
+        if prefix:
+            keep = np.char.startswith(uniq.astype(str), prefix)
+            uniq, counts = uniq[keep], counts[keep]
+            if len(uniq) == 0:
+                return []
         order = np.lexsort((uniq, -counts))
         out = [(str(uniq[i]), int(counts[i])) for i in order]
         return out[:limit] if limit else out

@@ -187,3 +187,25 @@ def test_pivot_facet_tree(ray_session):
     assert [b["value"] for b in tree2] == ["x", "y"]  # z (1) pruned
     under_y = [s["value"] for s in tree2[1]["pivot"]]
     assert under_y == ["p"]  # q (1) pruned
+
+
+def test_facet_prefix_filtering(ray_session, tmp_path_factory):
+    """facet.prefix: buckets filtered by value prefix, counts exact."""
+    from lucene_solr_ray.data.transcripts import transcripts_path
+    from lucene_solr_ray.search.actors import DistributedSearcher
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    src = transcripts_path("tiny")
+    out = tmp_path_factory.mktemp("fpidx") / "idx"
+    build_index(src, str(out), num_shards=3)
+    s = IndexSearcher(str(out))
+    full = dict(s.facet("ray", "tool"))
+    pre = s.facet("ray", "tool", prefix="b")
+    assert pre and all(v.startswith("b") for v, _ in pre)
+    assert dict(pre) == {v: n for v, n in full.items()
+                         if v.startswith("b")}
+    d = DistributedSearcher(str(out), num_actors=2)
+    try:
+        assert d.facet("ray", "tool", prefix="b") == pre
+    finally:
+        d.close()
