@@ -158,7 +158,7 @@ class OracleIndex:
             return {}
         from .query import ConstantScoreQuery, DisMaxQuery, SpanFirstQuery
 
-        if isinstance(q, SpanFirstQuery):
+        if isinstance(q, SpanFirstQuery) and q.query is None:
             plist = self.postings.get(q.term)
             if not plist:
                 return {}
@@ -177,7 +177,7 @@ class OracleIndex:
                             SpanTermQuery, span_freq, span_terms)
 
         if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
-                          SpanNotQuery)):
+                          SpanNotQuery, SpanFirstQuery)):
             terms = sorted(span_terms(q))
             maps = {t: {d: pos for d, _, pos in self.postings.get(t, [])}
                     for t in terms}

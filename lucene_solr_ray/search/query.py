@@ -70,16 +70,16 @@ class DisMaxQuery(Query):
 
 @dataclass(frozen=True)
 class SpanFirstQuery(Query):
-    """SpanFirstQuery over a single term (``lucene/core/src/java/org/
-    apache/lucene/search/spans/SpanFirstQuery.java``): matches docs where
-    the term occurs at a position < ``end``; freq = number of such
-    positions (single-term spans have zero width, slop factor 1), weight
-    = idf like a TermQuery. The general span algebra (SpanNear etc.) is
-    not reproduced — sloppy phrases cover the proximity use case."""
+    """SpanFirstQuery (``lucene/core/src/java/org/apache/lucene/search/
+    spans/SpanFirstQuery.java``): keeps spans whose end <= ``end``.
+    ``term`` wraps a single term (the common fast path, scored with its
+    own vectorized reduceat scorer); ``query`` wraps ANY span query
+    (SpanPositionRangeQuery composition via the shared span kernel)."""
 
     term: str = ""
     end: int = 1
     boost: float = 1.0
+    query: Query | None = None
 
 
 @dataclass(frozen=True)
@@ -407,6 +407,9 @@ def span_spans(q: Query, pos_of) -> list[tuple]:
         return [(int(p), int(p) + 1, 0) for p in pos] if pos is not None \
             else []
     if isinstance(q, SpanFirstQuery):
+        if q.query is not None:  # wraps an arbitrary span query
+            return [(s, e, w) for s, e, w in span_spans(q.query, pos_of)
+                    if e <= q.end]
         pos = pos_of(q.term)
         if pos is None:
             return []
@@ -441,7 +444,9 @@ def span_spans(q: Query, pos_of) -> list[tuple]:
 def span_terms(q: Query) -> set[str]:
     """Terms contributing to a span query's similarity stats (SpanWeight
     term contexts; SpanNot collects both sides, SpanNotQuery.java:99)."""
-    if isinstance(q, (SpanTermQuery, SpanFirstQuery)):
+    if isinstance(q, SpanFirstQuery):
+        return span_terms(q.query) if q.query is not None else {q.term}
+    if isinstance(q, SpanTermQuery):
         return {q.term}
     if isinstance(q, (SpanNearQuery, SpanOrQuery)):
         out: set[str] = set()
@@ -540,12 +545,13 @@ def parse_span(text: str, analyzer=None) -> Query:
                             f"spanNot needs (include, exclude): {text!r}")
                     return SpanNotQuery(args[0], args[1])
                 if name == "spanFirst":
-                    if len(args) != 2:
+                    if len(args) != 2 or isinstance(args[0], list):
                         raise ValueError(
-                            f"spanFirst needs (term, end): {text!r}")
-                    return SpanFirstQuery(
-                        term=_scalar(args[0], "term"),
-                        end=int(_scalar(args[1], "end integer")))
+                            f"spanFirst needs (clause, end): {text!r}")
+                    end = int(_scalar(args[1], "end integer"))
+                    if isinstance(args[0], SpanTermQuery):
+                        return SpanFirstQuery(term=args[0].term, end=end)
+                    return SpanFirstQuery(end=end, query=args[0])
         # bare token (term / number / boolean literal)
         j = pos[0]
         while j < len(s) and s[j] not in " \t,[])(":

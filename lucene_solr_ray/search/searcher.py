@@ -106,7 +106,9 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, TermQuery):
         return {q.term}
     if isinstance(q, SpanFirstQuery):
-        return {q.term}
+        from .query import span_terms
+
+        return span_terms(q)
     if isinstance(q, PhraseQuery):
         return set(q.terms)
     if isinstance(q, BooleanQuery):
@@ -474,6 +476,8 @@ class ShardSearcher:
                             SpanTermQuery)
 
         if isinstance(q, SpanFirstQuery):
+            if q.query is not None:  # wraps a composite span query
+                return self._score_span(q, df_map)
             return self._score_span_first(q, df_map)
         if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                           SpanNotQuery)):
@@ -493,6 +497,8 @@ class ShardSearcher:
         from .query import (SpanFirstQuery, SpanNearQuery, SpanNotQuery,
                             SpanOrQuery, SpanTermQuery)
 
+        if isinstance(q, SpanFirstQuery) and q.query is not None:
+            return self._span_candidates(q.query)
         if isinstance(q, (SpanTermQuery, SpanFirstQuery)):
             p = self._postings(q.term)
             return p[0] if p is not None else np.empty(0, dtype=np.int64)

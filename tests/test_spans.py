@@ -222,3 +222,33 @@ def test_near_unordered_composite_no_phantom_matches():
     for s, e, w in out:
         assert e - s >= 0
     assert out == [(0, 10, 0), (0, 10, 0)]
+
+
+def test_span_first_wraps_composite_queries(engine_and_oracle):
+    """SpanFirst over an arbitrary span query (SpanPositionRange
+    composition): kernel filter by end, engine == oracle."""
+    from lucene_solr_ray.search.query import parse_span
+
+    # kernel: the ab span at (0,2) passes end<=2; the one at (4,6) fails
+    pos = _pos_of_factory("a b z z a b")
+    inner = SpanNearQuery((T("a"), T("b")), slop=0, in_order=True)
+    q = SpanFirstQuery(end=2, query=inner)
+    assert span_spans(q, pos) == [(0, 2, 0)]
+    assert span_spans(SpanFirstQuery(end=6, query=inner), pos) == \
+        [(0, 2, 0), (4, 6, 0)]
+    # parser accepts a composite clause
+    p = parse_span("spanFirst(spanNear([a, b], 0, true), 2)")
+    assert isinstance(p, SpanFirstQuery) and p.query is not None
+    # engine == oracle on the real index
+    searcher, oracle, texts = engine_and_oracle
+    words = sorted({w for t in texts[:30] for w in t.lower().split()
+                    if w.isalpha() and len(w) > 2})
+    checked = 0
+    for a, b in zip(words[:20], words[5:25]):
+        q = SpanFirstQuery(end=4, query=SpanNearQuery(
+            (T(a), T(b)), slop=2, in_order=False))
+        got = searcher.search(q, k=10)
+        want = oracle.search(q, k=10)
+        assert [(d, float(s)) for d, s in got] == \
+            [(d, float(s)) for d, s in want], (a, b)
+        checked += bool(got)
