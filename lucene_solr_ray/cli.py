@@ -62,6 +62,9 @@ def main(argv=None) -> int:
                    metavar=("FIELD", "LO", "HI"),
                    help="inclusive docvalue range filter; use '-' for an "
                         "open bound")
+    s.add_argument("--highlight", default=None, metavar="SOURCE_PARQUET",
+                   help="attach snippets, fetching hit texts from the "
+                        "source parquet (stored-fields phase)")
 
     g = sub.add_parser("get", help="real-time get stored fields by key/id")
     g.add_argument("index_dir")
@@ -162,7 +165,13 @@ def main(argv=None) -> int:
             filter_range = {field: (_bound(lo), _bound(hi))}
         hits = searcher.search(args.query, k=args.k, sort=sort,
                                filter_range=filter_range)
-        print(json.dumps(searcher.resolve_hits(hits), default=str))
+        rows = searcher.resolve_hits(hits)
+        if args.highlight:
+            from .search.features import highlight_hits
+
+            rows = highlight_hits(searcher, args.query, rows,
+                                  args.highlight)
+        print(json.dumps(rows, default=str))
     elif args.cmd == "get":
         from .index.update import realtime_get
 

@@ -181,6 +181,34 @@ def highlight(text: str, query: Query | str, analyzer_name: str = "standard",
         ("..." if hi < len(text) else "")
 
 
+def highlight_hits(searcher, query: Query | str, rows: list[dict],
+                   source_path: str, **hl_kw) -> list[dict]:
+    """Attach highlight snippets to resolved hit rows (the stored-fields
+    + highlighting phase of a Solr request): texts are fetched from the
+    SOURCE parquet by (conv_id, turn_idx) key with a pushed-down filter —
+    only the page of hits is ever read — and each row gains a
+    ``snippet``."""
+    import pyarrow.dataset as pads
+
+    if not rows:
+        return rows
+    want = {(str(r["conv_id"]), int(r["turn_idx"])) for r in rows}
+    t = pads.dataset(source_path, format="parquet").to_table(
+        columns=["conv_id", "turn_idx", "text"],
+        filter=pads.field("conv_id").isin(sorted({c for c, _ in want})))
+    texts = {(str(c), int(i)): x
+             for c, i, x in zip(t.column("conv_id").to_pylist(),
+                                t.column("turn_idx").to_pylist(),
+                                t.column("text").to_pylist())
+             if (str(c), int(i)) in want}
+    out = []
+    for r in rows:
+        text = texts.get((str(r["conv_id"]), int(r["turn_idx"])), "")
+        out.append({**r, "snippet": highlight(
+            text, query, analyzer_name=searcher.analyzer_name, **hl_kw)})
+    return out
+
+
 def boosted_search(searcher: IndexSearcher, query: Query | str,
                    boost_expr: str, k: int = 10):
     """FunctionScoreQuery / Solr ``{!boost b=f(...)}``

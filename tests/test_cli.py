@@ -77,3 +77,26 @@ def test_cli_terms_spellcheck_facet_analyze(ray_session, tmp_path, capsys):
     assert main(["spellcheck", idx, "rey"]) == 0
     sc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert isinstance(sc, list)
+
+
+def test_cli_search_with_highlight(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.cli import main
+    from lucene_solr_ray.data.transcripts import generate_transcripts
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(generate_transcripts(20, seed=8), str(src))
+    idx = str(tmp_path / "idx")
+    assert main(["build", str(src), idx, "--num-shards", "2"]) == 0
+    capsys.readouterr()
+    assert main(["search", idx, "ray", "-k", "3",
+                 "--highlight", str(src)]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows
+    for r in rows:
+        assert "snippet" in r
+        assert "<b>" in r["snippet"].lower() or r["snippet"]  # wrapped hit
+    assert any("<b>" in r["snippet"] for r in rows)
