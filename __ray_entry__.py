@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": dedup.simhash_neardup,
         "lang_id": textstats.lang_id,
         "doc_fingerprints": textstats.fingerprints,
+        # payload scoring (PayloadScoreQuery over synthetic annotations)
+        "payload_avg_docs": __import__(
+            "lucene_solr_ray.search.payloads",
+            fromlist=["payload_avg_docs"]).payload_avg_docs,
     }
 
 
@@ -143,6 +147,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "facet_lang":
             "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang",
+        "payload_avg_docs":
+            "WITH chunks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS c FROM documents), "
+            "toks AS (SELECT doc_id, length(c) AS pay, "
+            "unnest(string_split_regex(lower(c), '[^a-z0-9]+')) AS t "
+            "FROM chunks) "
+            "SELECT doc_id, ROUND(avg(pay), 4) AS avg_payload FROM toks "
+            "WHERE t = 'data' GROUP BY doc_id",
         "bpe_token_counts":
             "SELECT doc_id, CAST(length(regexp_extract_all(text, '"
             + _bpe_pattern_sql()

@@ -162,3 +162,42 @@ class PayloadIndex:
                       for d, s in scores.items()}
         out = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return [(int(d), float(s)) for d, s in out[:k]]
+
+
+def payload_avg_docs(sf_dir: str, term: str = "data"):
+    """Driver-surface PayloadScoreQuery over deterministic synthetic
+    payloads: every whitespace token of documents.text is annotated
+    ``token|len(token)``, the term-bucketed sidecar is built (cached
+    under /tmp keyed by a source content signature), and docs rank by
+    the AVERAGE payload of ``term`` (AveragePayloadFunction; score desc,
+    doc asc). SQL-oracled via a two-level unnest."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..pipelines.util import read, round_col
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:12]
+    out_dir = f"/tmp/lsr_payloads/{tag}"
+    if not (Path(out_dir) / "_payload_meta.json").exists():
+        ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+        def annotate(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "text": [" ".join(f"{w}|{len(w)}" for w in t.split())
+                         for t in batch["text"]],
+            })
+
+        build_payload_sidecar(
+            ds.map_batches(annotate, batch_format="pandas"), out_dir)
+    idx = PayloadIndex(out_dir)
+    hits = idx.payload_score(term, "average", k=1 << 30)
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in hits], type=pa.int64()),
+        "avg_payload": pa.array([s for _, s in hits], type=pa.float64()),
+    })
+    return round_col(t, "avg_payload", 4)
