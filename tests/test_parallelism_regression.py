@@ -32,7 +32,8 @@ ray.init(address="local", num_cpus=32, include_dashboard=False,
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 
-from lucene_solr_ray.pipelines.dedup import minhash_dedup_keep
+from lucene_solr_ray.pipelines.dedup import minhash_dedup_keep, simhash_neardup
+from lucene_solr_ray.pipelines.knn import embedding_neardup_pairs
 from lucene_solr_ray.pipelines.relational import leftouter_customer_orders
 
 out = minhash_dedup_keep({sf!r}).to_pandas()
@@ -40,9 +41,18 @@ assert len(out) == 500, len(out)
 assert out["keep"].sum() > 0
 assert (~out["keep"]).sum() >= 0
 
+# the distributed label-propagation rounds must also survive 32 CPUs
+dist = minhash_dedup_keep({sf!r}, local_pairs_cap=0).to_pandas()
+assert dist.sort_values("doc_id").reset_index(drop=True).equals(
+    out.sort_values("doc_id").reset_index(drop=True))
+
 lo = leftouter_customer_orders({sf!r}).to_pandas()
 assert len(lo) > 0
-print("PARALLELISM_OK", len(out), int(out["keep"].sum()), len(lo))
+
+sh = simhash_neardup({sf!r}).to_pandas()
+em = embedding_neardup_pairs({sf!r}).to_pandas()
+print("PARALLELISM_OK", len(out), int(out["keep"].sum()), len(lo),
+      len(sh), len(em))
 ray.shutdown()
 """.format(sf=SF_DIR)
 
