@@ -58,53 +58,102 @@ class SearchActor:
                 out[str(v)] = out.get(str(v), 0) + int(c)
         return out
 
-    def conv_partial(self, query: Query, df_map: dict[str, int],
-                     score_mode: str) -> dict[str, float]:
-        """Per-conversation aggregated turn scores over this actor's
-        shards' FULL hit sets. Shard cuts can straddle a conversation, so
-        the partial is per-conv (exact to merge by max/sum on the driver);
-        the driver only ever sees |matching conversations| entries, never
-        the per-turn hit set."""
-        out: dict[str, float] = {}
+    def _conv_agg_local(self, query: Query, df_map: dict[str, int],
+                        score_mode: str):
+        """Vectorized per-conversation aggregate over this actor's shards:
+        returns (conv_ids:str-array, agg:float64-array). All merging is
+        numpy (np.unique + ufunc.at) — no per-entry Python dict loops."""
+        keys, vals = [], []
         for sh in self.searchers:
             docs, scores = sh._score_clause(query, df_map)
             if len(docs) == 0:
                 continue
-            convs = sh.docvalues_local("conv_id", docs).astype(str)
-            uniq, inv = np.unique(convs, return_inverse=True)
+            keys.append(sh.docvalues_local("conv_id", docs).astype(str))
+            vals.append(scores.astype(np.float32).astype(np.float64))
+        if not keys:
+            return (np.empty(0, dtype=object), np.empty(0, dtype=np.float64))
+        convs = np.concatenate(keys)
+        scores = np.concatenate(vals)
+        uniq, inv = np.unique(convs, return_inverse=True)
+        if score_mode == "max":
             agg = np.full(len(uniq), -np.inf)
-            if score_mode == "max":
-                np.maximum.at(agg, inv, scores.astype(np.float64))
-            elif score_mode == "total":
-                agg = np.zeros(len(uniq))
-                np.add.at(agg, inv, scores.astype(np.float32).astype(np.float64))
-            else:
-                raise ValueError(score_mode)
-            for c, s in zip(uniq, agg):
-                if score_mode == "max":
-                    out[c] = max(out.get(c, -np.inf), float(s))
-                else:
-                    out[c] = out.get(c, 0.0) + float(s)
-        return out
+            np.maximum.at(agg, inv, scores)
+        elif score_mode == "total":
+            agg = np.zeros(len(uniq))
+            np.add.at(agg, inv, scores)
+        else:
+            raise ValueError(score_mode)
+        return uniq, agg
 
-    def collapse_partial(self, query: Query, df_map: dict[str, int]
+    def _boundary_convs(self) -> np.ndarray:
+        """First/last conversation of every shard this actor holds — the
+        only conversations whose local aggregate can differ from the
+        global one (conversations are doc-contiguous)."""
+        out: set[str] = set()
+        for sh in self.searchers:
+            out.update(sh.boundary_convs())
+        return np.asarray(sorted(out), dtype=object)
+
+    def conv_partial(self, query: Query, df_map: dict[str, int],
+                     score_mode: str, limit: int | None = None
+                     ) -> dict[str, float]:
+        """Per-conversation aggregated turn scores over this actor's
+        shards' FULL hit sets. With ``limit`` the partial shipped to the
+        driver is bounded: the local top-``limit`` conversations
+        (tie-inclusive at the cut score) plus every shard-boundary
+        conversation. This is exact for the global top-k merge: BM25
+        scores are positive, so global agg >= any local agg; a
+        non-boundary conversation lives entirely in one actor (local agg
+        == global agg), and if it belongs to the global top-k then fewer
+        than k conversations in its own actor can locally outrank it —
+        so it is inside the local top-k cut. Split (boundary)
+        conversations ship unconditionally and merge exactly.
+        Mirrors QueryComponent.java:746-766's bounded scatter/gather."""
+        uniq, agg = self._conv_agg_local(query, df_map, score_mode)
+        if limit is not None and len(uniq) > limit:
+            kth = np.partition(agg, -limit)[-limit]
+            keep = agg >= kth  # tie-inclusive at the cut
+            boundary = self._boundary_convs()
+            if len(boundary):
+                keep |= np.isin(uniq, boundary)
+            uniq, agg = uniq[keep], agg[keep]
+        return dict(zip(uniq.tolist(), agg.tolist()))
+
+    def collapse_partial(self, query: Query, df_map: dict[str, int],
+                         limit: int | None = None
                          ) -> dict[str, tuple[float, int]]:
-        """Per-conversation best (score, doc) head, lower doc on ties."""
-        out: dict[str, tuple[float, int]] = {}
+        """Per-conversation best (score, doc) head, lower doc on ties.
+        With ``limit``: local top-``limit`` heads by (score desc, doc
+        asc), score-tie-inclusive at the cut, plus shard-boundary
+        conversations — exact for the global top-k merge by the same
+        argument as conv_partial (head merge is a max)."""
+        keys, dvals, svals = [], [], []
         for sh in self.searchers:
             docs, scores = sh._score_clause(query, df_map)
             if len(docs) == 0:
                 continue
-            convs = sh.docvalues_local("conv_id", docs).astype(str)
-            order = np.lexsort((docs, -scores.astype(np.float32), convs))
-            convs_s = convs[order]
-            heads = np.concatenate(([True], convs_s[1:] != convs_s[:-1]))
-            for i in order[heads]:
-                cand = (float(np.float32(scores[i])), int(docs[i]))
-                cur = out.get(convs[i])
-                if cur is None or (-cand[0], cand[1]) < (-cur[0], cur[1]):
-                    out[convs[i]] = cand
-        return out
+            keys.append(sh.docvalues_local("conv_id", docs).astype(str))
+            dvals.append(docs)
+            svals.append(scores.astype(np.float32))
+        if not keys:
+            return {}
+        convs = np.concatenate(keys)
+        docs = np.concatenate(dvals)
+        scores = np.concatenate(svals)
+        order = np.lexsort((docs, -scores, convs))
+        convs_s = convs[order]
+        head = np.concatenate(([True], convs_s[1:] != convs_s[:-1]))
+        hidx = order[head]  # one best (score desc, doc asc) row per conv
+        h_conv, h_doc, h_score = convs[hidx], docs[hidx], scores[hidx]
+        if limit is not None and len(hidx) > limit:
+            kth = np.partition(h_score, -limit)[-limit]
+            keep = h_score >= kth
+            boundary = self._boundary_convs()
+            if len(boundary):
+                keep |= np.isin(h_conv, boundary)
+            h_conv, h_doc, h_score = h_conv[keep], h_doc[keep], h_score[keep]
+        return {c: (float(s), int(d))
+                for c, s, d in zip(h_conv, h_score, h_doc)}
 
     def expand_partial(self, query: Query, df_map: dict[str, int],
                        conv_ids: list[str], exclude_docs: list[int],
@@ -413,10 +462,11 @@ class DistributedSearcher:
                              score_mode: str = "max"):
         """Distributed block join (parent/child): per-actor per-conv
         aggregates over the full hit sets, merged by max/sum on the
-        driver — the driver never sees per-turn hits."""
+        driver — the driver never sees per-turn hits, and each actor ships
+        at most its top-k conversations plus shard-boundary ones."""
         parsed = self.parse(query) if isinstance(query, str) else query
         df = self._stats_phase(parsed)
-        partials = ray.get([a.conv_partial.remote(parsed, df, score_mode)
+        partials = ray.get([a.conv_partial.remote(parsed, df, score_mode, k)
                             for a in self.actors])
         agg: dict[str, float] = {}
         for p in partials:
@@ -430,10 +480,11 @@ class DistributedSearcher:
 
     def collapse(self, query: Query | str, k: int = 10):
         """Distributed field collapse on conversation: per-actor heads
-        merged by (score desc, doc asc) per conversation."""
+        merged by (score desc, doc asc) per conversation; each actor ships
+        at most its top-k heads plus shard-boundary conversations."""
         parsed = self.parse(query) if isinstance(query, str) else query
         df = self._stats_phase(parsed)
-        partials = ray.get([a.collapse_partial.remote(parsed, df)
+        partials = ray.get([a.collapse_partial.remote(parsed, df, k)
                             for a in self.actors])
         best: dict[str, tuple[float, int]] = {}
         for p in partials:

@@ -279,6 +279,21 @@ class ShardSearcher:
             self._dv_cols[field] = arr
         return self._dv_cols[field][docs - self.base]
 
+    def boundary_convs(self) -> list[str]:
+        """conv_id of this shard's first and last doc — the only
+        conversations that can straddle a shard edge. doc_id is rank
+        under the stable (conv_id, turn_idx) sort (BASELINE.json
+        input_hint), so each conversation is doc-contiguous and at most
+        these two can have turns in a neighbouring shard. Used by the
+        bounded conv/collapse partials (actors.py) to ship split
+        conversations unconditionally."""
+        arr = self.docvalues_local(
+            "conv_id", np.arange(self.base, self.base + self.docs_per_shard))
+        present = np.flatnonzero(arr != None)  # noqa: E711
+        if len(present) == 0:
+            return []
+        return [str(arr[present[0]]), str(arr[present[-1]])]
+
     # --- phase 1: local term stats ---
     def local_df(self, terms: list[str]) -> dict[str, int]:
         return {t: int(self._df[self._terms[t]]) for t in terms if t in self._terms}

@@ -226,3 +226,38 @@ def test_expand_component_local_and_distributed(dist_pair):
     head_docs = {d for d, _, _ in heads}
     for rows in got.values():
         assert not head_docs & {d for d, _ in rows}
+
+
+def test_conv_collapse_partials_are_bounded(dist_pair):
+    """Stopword-adjacent query ('the' matches ~every conversation):
+    each actor's shipped partial must stay O(k + boundary convs), never
+    |matching conversations|, and bounded results == unbounded merge."""
+    import ray as _ray
+
+    local, dist = dist_pair
+    q = dist.parse("ray")
+    df = dist._stats_phase(q)
+    k = 3
+    for actor in dist.actors:
+        full = _ray.get(actor.conv_partial.remote(q, df, "total", None))
+        bounded = _ray.get(actor.conv_partial.remote(q, df, "total", k))
+        # bound: k + score-ties at the cut + <=2 boundary convs per shard
+        assert len(bounded) <= k + 2 + 2 * 4, (len(bounded), len(full))
+        assert len(full) > len(bounded)  # the query really matches widely
+        # every shipped entry carries the exact full-partial value
+        for c, s in bounded.items():
+            assert abs(s - full[c]) < 1e-9
+        cfull = _ray.get(actor.collapse_partial.remote(q, df, None))
+        cbound = _ray.get(actor.collapse_partial.remote(q, df, k))
+        assert len(cbound) <= k + 2 + 2 * 4
+        for c, v in cbound.items():
+            assert v == cfull[c]
+    # end-to-end: bounded top-k identical to an unbounded driver merge
+    from lucene_solr_ray.search.features import (collapse_search,
+                                                 search_conversations)
+    for mode in ("max", "total"):
+        want = search_conversations(local, "ray", k=k, score_mode=mode)
+        got = dist.search_conversations("ray", k=k, score_mode=mode)
+        assert [c for c, _ in got] == [c for c, _ in want], mode
+    assert [(d, c) for d, _, c in dist.collapse("ray", k=k)] == \
+        [(d, c) for d, _, c in collapse_search(local, "ray", k=k)]
