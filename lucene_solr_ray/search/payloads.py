@@ -99,11 +99,23 @@ def build_payload_sidecar(source, out_dir: str, text_col: str = "text",
         out["bucket"] = _term_bucket(out["term"].to_numpy())
         return out
 
+    # Build into a staging dir and rename atomically (the update.py
+    # partition-swap pattern): a crashed build leaves only a staging
+    # dir, never partial parquet inside out_dir for a rebuild to append
+    # duplicate rows next to.
+    import shutil
+
+    out = Path(out_dir)
+    staging = out.parent / f"{out.name}.staging.{os.getpid()}"
+    if staging.exists():
+        shutil.rmtree(staging)
     (ds.map_batches(explode, batch_format="pandas")
-     .write_parquet(out_dir, partition_cols=["bucket"]))
-    meta = Path(out_dir) / "_payload_meta.json"
-    meta.write_text(json.dumps({"n_buckets": _N_BUCKETS,
-                                "delimiter": delimiter}))
+     .write_parquet(str(staging), partition_cols=["bucket"]))
+    (staging / "_payload_meta.json").write_text(
+        json.dumps({"n_buckets": _N_BUCKETS, "delimiter": delimiter}))
+    if out.exists():  # a previous partial/complete build — replace whole
+        shutil.rmtree(out)
+    os.rename(staging, out)
     return out_dir
 
 
@@ -116,27 +128,148 @@ _PAYLOAD_FNS = {
 
 
 class PayloadIndex:
-    """Query-side payload reader over the sidecar."""
+    """Query-side payload reader over the sidecar.
 
-    def __init__(self, sidecar_dir: str):
+    The scoring path streams per-batch partial aggregates over the
+    term's pruned bucket partition — max/min/sum/average are all
+    decomposable into (count, sum, min, max), so no task ever holds the
+    term's full (doc, position, payload) rows (PayloadScoreQuery.java:50
+    semantics; the reference likewise folds payloads into the score one
+    position at a time). Peak state is one parquet batch plus the
+    per-doc 4-float accumulator; terms hotter than
+    ``distributed_threshold`` rows go through a Ray Data
+    map_batches-partial -> groupby pipeline instead so the accumulator
+    itself is sharded."""
+
+    def __init__(self, sidecar_dir: str,
+                 distributed_threshold: int = 5_000_000):
         self.dir = str(sidecar_dir)
+        self.distributed_threshold = distributed_threshold
 
-    def _term_rows(self, term: str):
-        import pandas as pd
-        import pyarrow.dataset as pads
-
+    def _term_part(self, term: str) -> Path | None:
         bucket = int(_term_bucket(np.array([term], dtype=object))[0])
         part = Path(self.dir) / f"bucket={bucket}"
-        if not part.exists():
-            return None
-        t = pads.dataset(str(part), format="parquet").to_table(
-            columns=["term", "doc_id", "position", "payload"],
-            filter=pads.field("term") == term)
-        return t if t.num_rows else None
+        return part if part.exists() else None
+
+    def _iter_term_batches(self, term: str, batch_size: int = 65_536):
+        """Stream (doc_id, payload) record batches for one term —
+        partition-pruned to the term's bucket, row-filtered, column-
+        pruned; never materializes the whole postings of the term."""
+        import pyarrow.dataset as pads
+
+        part = self._term_part(term)
+        if part is None:
+            return
+        scanner = pads.dataset(str(part), format="parquet").scanner(
+            columns=["doc_id", "payload"],
+            filter=pads.field("term") == term,
+            batch_size=batch_size)
+        for b in scanner.to_batches():
+            if b.num_rows:
+                yield b
+
+    def _bucket_rows(self, part: Path) -> int:
+        """Row count of a bucket partition from parquet footers only."""
+        total = 0
+        for f in part.rglob("*.parquet"):
+            total += pq.ParquetFile(f).metadata.num_rows
+        return total
+
+    def doc_aggregates(self, term: str, batch_size: int = 65_536):
+        """Per-doc decomposable payload aggregates for one term:
+        (doc_ids, count, sum, min, max) as sorted numpy arrays, built by
+        merging per-batch partials (np.unique + bincount / ufunc.at)."""
+        docs = np.empty(0, dtype=np.int64)
+        cnt = np.empty(0, dtype=np.int64)
+        sm = np.empty(0, dtype=np.float64)
+        mn = np.empty(0, dtype=np.float64)
+        mx = np.empty(0, dtype=np.float64)
+        for b in self._iter_term_batches(term, batch_size):
+            d = b.column("doc_id").to_numpy(zero_copy_only=False)
+            p = b.column("payload").to_numpy(zero_copy_only=False)
+            u, inv = np.unique(d, return_inverse=True)
+            bc = np.bincount(inv, minlength=len(u)).astype(np.int64)
+            bs = np.bincount(inv, weights=p, minlength=len(u))
+            bmn = np.full(len(u), np.inf)
+            np.minimum.at(bmn, inv, p)
+            bmx = np.full(len(u), -np.inf)
+            np.maximum.at(bmx, inv, p)
+            # merge the batch partial into the running accumulator
+            docs2, inv2 = np.unique(np.concatenate([docs, u]),
+                                    return_inverse=True)
+            n = len(docs2)
+            cnt2 = np.zeros(n, dtype=np.int64)
+            np.add.at(cnt2, inv2, np.concatenate([cnt, bc]))
+            sm2 = np.zeros(n)
+            np.add.at(sm2, inv2, np.concatenate([sm, bs]))
+            mn2 = np.full(n, np.inf)
+            np.minimum.at(mn2, inv2, np.concatenate([mn, bmn]))
+            mx2 = np.full(n, -np.inf)
+            np.maximum.at(mx2, inv2, np.concatenate([mx, bmx]))
+            docs, cnt, sm, mn, mx = docs2, cnt2, sm2, mn2, mx2
+        return docs, cnt, sm, mn, mx
+
+    def doc_aggregates_distributed(self, term: str):
+        """Hot-term path: the same decomposable partials, but as a Ray
+        Data pipeline (map_batches partial -> groupby sum/min/max) so
+        the per-doc accumulator is sharded across the cluster instead of
+        living in one process."""
+        import pyarrow.dataset as pads
+
+        part = self._term_part(term)
+        if part is None:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0), np.empty(0), np.empty(0))
+
+        def partial(t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            p = t.column("payload").to_numpy(zero_copy_only=False)
+            u, inv = np.unique(d, return_inverse=True)
+            bc = np.bincount(inv, minlength=len(u)).astype(np.int64)
+            bs = np.bincount(inv, weights=p, minlength=len(u))
+            bmn = np.full(len(u), np.inf)
+            np.minimum.at(bmn, inv, p)
+            bmx = np.full(len(u), -np.inf)
+            np.maximum.at(bmx, inv, p)
+            return pa.table({"doc_id": pa.array(u),
+                             "cnt": pa.array(bc),
+                             "sm": pa.array(bs),
+                             "mn": pa.array(bmn),
+                             "mx": pa.array(bmx)})
+
+        ds = (rd.read_parquet(str(part),
+                              columns=["term", "doc_id", "payload"],
+                              filter=pads.field("term") == term)
+              .map_batches(lambda t: partial(t.drop_columns(["term"])),
+                           batch_format="pyarrow")
+              .groupby("doc_id")
+              .aggregate(rd.aggregate.Sum("cnt", alias_name="cnt"),
+                         rd.aggregate.Sum("sm", alias_name="sm"),
+                         rd.aggregate.Min("mn", alias_name="mn"),
+                         rd.aggregate.Max("mx", alias_name="mx")))
+        t = pa.concat_tables(
+            ds.iter_batches(batch_format="pyarrow", batch_size=None))
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(docs)
+        return (docs[order].astype(np.int64),
+                t.column("cnt").to_numpy(zero_copy_only=False)[order],
+                t.column("sm").to_numpy(zero_copy_only=False)[order],
+                t.column("mn").to_numpy(zero_copy_only=False)[order],
+                t.column("mx").to_numpy(zero_copy_only=False)[order])
 
     def payloads_by_doc(self, term: str) -> dict[int, np.ndarray]:
-        t = self._term_rows(term)
-        if t is None:
+        """Full per-doc payload vectors in position order (debug/feature
+        API — the scoring path does NOT use this; it streams
+        decomposable aggregates)."""
+        import pyarrow.dataset as pads
+
+        part = self._term_part(term)
+        if part is None:
+            return {}
+        t = pads.dataset(str(part), format="parquet").to_table(
+            columns=["doc_id", "position", "payload"],
+            filter=pads.field("term") == term)
+        if not t.num_rows:
             return {}
         df = t.to_pandas().sort_values(["doc_id", "position"])
         return {int(d): g["payload"].to_numpy()
@@ -151,17 +284,23 @@ class PayloadIndex:
         if fn not in _PAYLOAD_FNS:
             raise ValueError(f"unknown payload function {fn!r}; "
                              f"known: {sorted(_PAYLOAD_FNS)}")
-        agg = _PAYLOAD_FNS[fn]
-        by_doc = self.payloads_by_doc(term)
-        scores = {d: agg(v) for d, v in by_doc.items()}
+        part = self._term_part(term)
+        hot = (part is not None
+               and self._bucket_rows(part) > self.distributed_threshold)
+        docs, cnt, sm, mn, mx = (self.doc_aggregates_distributed(term)
+                                 if hot else self.doc_aggregates(term))
+        if len(docs) == 0:
+            return []
+        vals = {"max": mx, "min": mn, "sum": sm,
+                "average": sm / np.maximum(cnt, 1)}[fn]
         if include_span_score:
             if searcher is None:
                 raise ValueError("include_span_score needs a searcher")
-            bm = dict(searcher.search(term, k=max(k, len(scores)) + 16))
-            scores = {d: s * float(bm.get(d, 0.0))
-                      for d, s in scores.items()}
-        out = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-        return [(int(d), float(s)) for d, s in out[:k]]
+            bm = dict(searcher.search(term, k=len(docs) + 16))
+            vals = vals * np.asarray(
+                [float(bm.get(int(d), 0.0)) for d in docs])
+        order = np.lexsort((docs, -vals))[:k]
+        return [(int(docs[i]), float(vals[i])) for i in order]
 
 
 def payload_avg_docs(sf_dir: str, term: str = "data"):
