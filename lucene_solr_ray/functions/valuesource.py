@@ -235,7 +235,12 @@ def parse_infix(expr: str):
             raise ValueError(f"unexpected end of expression: {expr!r}")
         if t == "-":
             take()
-            return Func("neg", (primary(),))
+            # unary minus binds LOOSER than '**' (Python semantics:
+            # -x ** 2 == -(x**2)); JS itself rejects an unparenthesized
+            # unary-minus base, so no valid JS expression changes
+            # meaning. Parse the operand at the '**' precedence level so
+            # the whole right-assoc exponent chain lands under neg.
+            return Func("neg", (binary(7),))
         if t == "(":
             take()
             node = ternary()

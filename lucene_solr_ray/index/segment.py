@@ -300,3 +300,32 @@ def decode_block(doc_ids_enc: bytes, freqs_enc: bytes,
 def decode_skip_doc_offs(skip_offs: bytes) -> np.ndarray:
     """Byte offsets (into doc_ids_enc / freqs_enc) at each block start."""
     return varint.decode_deltas(skip_offs)
+
+
+def recover_norms_partitions(index_path) -> None:
+    """Recover from a crash mid docvalue-rewrite swap (atomic_update's
+    two-rename partition replacement): a ``.dvold-*`` aside is the
+    pristine old partition — restore it when the live partition is
+    missing, discard it when the swap completed. Idempotent and safe to
+    race (concurrent open of the same index): a lost rename race means
+    the other opener already restored the partition.
+
+    Called by every index opener (ShardSearcher and the update paths) so
+    a searcher can never silently fall back to all-zero norms / all-None
+    docvalues for a shard whose partition vanished mid-swap."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    norms = Path(index_path) / "norms"
+    if not norms.exists():
+        return
+    for aside in norms.glob(".dvold-*"):
+        part = norms / aside.name[len(".dvold-"):]
+        if not part.exists():
+            try:
+                os.rename(aside, part)
+            except OSError:
+                pass  # concurrent opener won the restore race
+        else:
+            shutil.rmtree(aside, ignore_errors=True)

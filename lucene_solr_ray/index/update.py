@@ -393,18 +393,9 @@ _NORMS_SYSTEM_COLS = ("doc_id", "doc_shard", "doc_len", "norm_byte")
 
 
 def _recover_norms_partitions(index_path: Path) -> None:
-    """Recover from a crash mid docvalue-rewrite swap: a ``.dvold-*``
-    aside is the pristine old partition — restore it when the live
-    partition is missing, discard it when the swap completed."""
-    norms = index_path / "norms"
-    if not norms.exists():
-        return
-    for aside in norms.glob(".dvold-*"):
-        part = norms / aside.name[len(".dvold-"):]
-        if not part.exists():
-            os.rename(aside, part)
-        else:
-            shutil.rmtree(aside, ignore_errors=True)
+    """See segment.recover_norms_partitions — shared with every index
+    opener so searchers also heal a crashed partition swap."""
+    segment.recover_norms_partitions(index_path)
 
 
 def realtime_get(index_dir: str, keys=None, doc_ids=None) -> pa.Table:
@@ -453,10 +444,18 @@ def realtime_get(index_dir: str, keys=None, doc_ids=None) -> pa.Table:
     if not tables:
         return None
     out = pa.concat_tables(tables, promote_options="default")
-    if "doc_shard" not in out.column_names:  # hive partition col on doc_id path
-        ids = out.column("doc_id").to_numpy(zero_copy_only=False)
-        out = out.append_column("doc_shard", pa.array(
-            (ids // docs_per_shard).astype(np.int32), type=pa.int32()))
+    # doc_shard is a hive partition column on the key path but absent on
+    # the single-partition doc_id path; a mixed keys+doc_ids call would
+    # otherwise null-fill the doc_id rows. Derive it from doc_id
+    # unconditionally (doc-range sharding makes it a pure function).
+    ids = out.column("doc_id").to_numpy(zero_copy_only=False)
+    shard_col = pa.array((ids // docs_per_shard).astype(np.int32),
+                         type=pa.int32())
+    if "doc_shard" in out.column_names:
+        out = out.set_column(out.column_names.index("doc_shard"),
+                             "doc_shard", shard_col)
+    else:
+        out = out.append_column("doc_shard", shard_col)
     return out.sort_by("doc_id")
 
 

@@ -42,10 +42,17 @@ def docs_index(sf_dir: str, num_shards: int = 4) -> str:
                                columns=["doc_id", "text"])
 
         def to_schema(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_pylist()
+            import pyarrow.compute as pc
+
+            # vectorized "doc-%08d" (no per-row f-strings): zero-pad the
+            # cast id string and prepend the literal prefix
+            ids = pc.utf8_lpad(
+                pc.cast(batch.column("doc_id"), pa.string()), 8, "0")
+            conv = pc.binary_join_element_wise(
+                pa.repeat("doc-", batch.num_rows), ids, "")
             return pa.table({
-                "conv_id": pa.array([f"doc-{i:08d}" for i in ids]),
-                "turn_idx": pa.array([0] * len(ids), type=pa.int32()),
+                "conv_id": conv,
+                "turn_idx": pa.nulls(batch.num_rows, pa.int32()).fill_null(0),
                 "text": batch.column("text"),
             })
 

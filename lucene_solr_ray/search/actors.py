@@ -274,21 +274,47 @@ class SearchActor:
         hits.sort(key=lambda h: (-h[1], h[0]))
         return hits[:k]
 
-    def terms_partial(self, prefix: str, regex: str | None
+    def terms_partial(self, prefix: str, regex: str | None,
+                      limit: int | None = None, sort: str = "count"
                       ) -> dict[str, int]:
         """Matching terms with local docFreq (TermsComponent shard
-        response). The prefix/regex filter bounds the slice shipped."""
+        response). The prefix slice is a bisect range over the sorted
+        term dict (vectorized take, no per-term Python loop); an
+        unfiltered enumeration ships at most ``limit`` terms per shard
+        — lexicographic first-N for sort=index (exact: a term in the
+        global first-N precedes fewer than N terms, so it is inside
+        every holding shard's first-N), local top-N-by-df for
+        sort=count (the driver refines candidate counts to exact with a
+        local_df round; like Solr's distributed TermsComponent, a term
+        below every shard's overfetched cut can be missed)."""
         import re as _re
+        from bisect import bisect_left
 
         rx = _re.compile(regex) if regex else None
         out: dict[str, int] = {}
         for sh in self.searchers:
-            for t, i in sh._terms.items():
-                if prefix and not t.startswith(prefix):
-                    continue
+            arr = sh._terms._arr
+            dfs = sh._df
+            if prefix:
+                seq = sh._terms.seq()
+                lo = bisect_left(seq, prefix)
+                hi = bisect_left(seq, prefix + chr(0x10FFFF))
+                terms = arr.slice(lo, hi - lo).to_pylist()
+                local = dfs[lo:hi]
+            elif rx is None and limit is not None and len(arr) > limit:
+                if sort == "index":
+                    sel = np.arange(limit)
+                else:
+                    sel = np.argpartition(-dfs, limit - 1)[:limit]
+                terms = arr.take(sel).to_pylist()
+                local = dfs[sel]
+            else:
+                terms = arr.to_pylist()
+                local = dfs
+            for t, d in zip(terms, local):
                 if rx is not None and not rx.fullmatch(t):
                     continue
-                out[t] = out.get(t, 0) + int(sh._df[i])
+                out[t] = out.get(t, 0) + int(d)
         return out
 
     def spellcheck_partial(self, term: str, max_edits: int
@@ -597,15 +623,32 @@ class DistributedSearcher:
 
     def terms(self, prefix: str = "", regex: str | None = None,
               limit: int = 10, sort: str = "count") -> list[tuple[str, int]]:
-        """Distributed TermsComponent: exact global docFreq merge (every
-        actor ships its full prefix/regex-bounded slice, so counts are
-        exact — no per-shard-top-N refinement gap)."""
-        partials = ray.get([a.terms_partial.remote(prefix, regex)
-                            for a in self.actors])
+        """Distributed TermsComponent. Filtered (prefix/regex) slices
+        ship whole, so counts are exact. Unfiltered enumeration is
+        bounded: each actor ships per-shard first-N (sort=index — exact,
+        see terms_partial) or overfetched top-N-by-df candidates
+        (sort=count), whose counts the driver refines to exact global
+        docFreq with a local_df round before ranking — the driver never
+        receives an actor's entire vocabulary."""
+        bounded = not prefix and regex is None
+        shard_limit = (limit if sort == "index" else limit * 4 + 16) \
+            if bounded else None
+        partials = ray.get([
+            a.terms_partial.remote(prefix, regex, shard_limit, sort)
+            for a in self.actors])
         agg: dict[str, int] = {}
         for p in partials:
             for t, d in p.items():
                 agg[t] = agg.get(t, 0) + d
+        if bounded and sort == "count" and agg:
+            # refinement round: exact df for every candidate (a shard's
+            # cut may have excluded a candidate another shard surfaced)
+            cands = sorted(agg)
+            dfs = ray.get([a.local_df.remote(cands) for a in self.actors])
+            agg = {}
+            for p in dfs:
+                for t, d in p.items():
+                    agg[t] = agg.get(t, 0) + d
         if sort == "index":
             ranked = sorted(agg.items())
         else:

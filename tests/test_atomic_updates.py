@@ -159,3 +159,50 @@ def test_atomic_update_dv_rewrite_crash_recovery(built):
     assert got2.num_rows == 1
     assert got2.column("score")[0].as_py() == r["score"] + 15
     assert not aside.exists()
+
+
+def test_searcher_open_heals_crashed_dv_swap(built):
+    """ADVICE r3: a searcher opened after a crash mid partition-swap
+    must recover the .dvold aside (not silently read zero norms), and
+    must refuse to open when a norms partition is gone for good."""
+    import shutil
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    idx, t = built
+    before = IndexSearcher(idx).search("ray", k=5)
+    part = sorted((Path(idx) / "norms").glob("doc_shard=*"))[0]
+    aside = part.parent / f".dvold-{part.name}"
+    shutil.copytree(part, aside)
+    shutil.rmtree(part)
+    s = IndexSearcher(idx)  # open heals the swap
+    assert not aside.exists() and part.exists()
+    assert s.search("ray", k=5) == before
+    # partition missing with NO aside -> corrupt, opening must raise
+    backup = part.parent / "backup"
+    shutil.copytree(part, backup)
+    shutil.rmtree(part)
+    with _pytest.raises(FileNotFoundError, match="norms partition"):
+        IndexSearcher(idx)
+    shutil.copytree(backup, part)
+    shutil.rmtree(backup)
+    assert IndexSearcher(idx).search("ray", k=5) == before
+
+
+def test_realtime_get_mixed_keys_and_doc_ids_fills_doc_shard(built):
+    """ADVICE r3: keys+doc_ids in one call must not null-fill doc_shard
+    on the doc_id-path rows."""
+    idx, t = built
+    r0, r5 = _row(t, 0), _row(t, 5)
+    got = realtime_get(idx, keys=[(r0["conv_id"], r0["turn_idx"])],
+                       doc_ids=[5])
+    assert got.num_rows == 2
+    shards = got.column("doc_shard").to_pylist()
+    ids = got.column("doc_id").to_pylist()
+    assert None not in shards
+    from lucene_solr_ray.index.update import read_manifest
+    dps = read_manifest(idx)["params"]["docs_per_shard"]
+    assert shards == [d // dps for d in ids]

@@ -164,3 +164,25 @@ def test_parse_infix_totality_fuzz():
             parse_infix(s)
         except ValueError:
             pass
+
+
+def test_unary_minus_binds_looser_than_pow():
+    """ADVICE r3: -x ** 2 must be -(x**2) (Python semantics; JS rejects
+    the unparenthesized form, so no valid JS expression disagrees)."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.functions.valuesource import eval_expr, parse_infix
+
+    t = pa.table({"x": pa.array([3.0, -2.0])})
+    for expr, want in [
+        ("-x ** 2", [-9.0, -4.0]),
+        ("(-x) ** 2", [9.0, 4.0]),
+        ("-2 ** 2", [-4.0, -4.0]),
+        ("-x ** 2 + 1", [-8.0, -3.0]),     # neg consumes only the pow chain
+        ("2 ** -x", [0.125, 4.0]),         # unary minus in the exponent
+        ("- - x", [3.0, -2.0]),
+    ]:
+        got = eval_expr(parse_infix(expr), t)
+        vals = [got.as_py()] * 2 if isinstance(got, pa.Scalar) else \
+            got.to_pylist()
+        assert vals == want, expr

@@ -261,3 +261,22 @@ def test_conv_collapse_partials_are_bounded(dist_pair):
         assert [c for c, _ in got] == [c for c, _ in want], mode
     assert [(d, c) for d, _, c in dist.collapse("ray", k=k)] == \
         [(d, c) for d, _, c in collapse_search(local, "ray", k=k)]
+
+
+def test_unfiltered_terms_enumeration_is_bounded(dist_pair):
+    """ADVICE r3: terms() with no prefix/regex must not ship whole
+    vocabularies; bounded enumeration must match the local searcher."""
+    import ray as _ray
+
+    local, dist = dist_pair
+    vocab = sum(len(sh._terms) for sh in local.shards)
+    for sort in ("count", "index"):
+        partials = _ray.get([
+            a.terms_partial.remote("", None, 10 if sort == "index" else 56,
+                                   sort)
+            for a in dist.actors])
+        for p in partials:
+            assert len(p) <= 4 * 56  # shards_per_actor * shard_limit
+            assert len(p) < vocab
+        assert dist.terms(limit=10, sort=sort) == \
+            local.terms(limit=10, sort=sort), sort
