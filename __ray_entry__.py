@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_query_lineitem": relational.function_query_lineitem,
         "expression_lineitem": relational.expression_lineitem,
         "range_filter_events": relational.range_filter_events,
+        "datemath_range_events": relational.datemath_range_events,
         # set ops / dedup (§2.8)
         "merge_union_events": relational.merge_union_events,
         "exact_dedup": dedup.exact_dedup,
@@ -286,6 +287,16 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(value), 2) AS sum_value FROM events "
             "WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22' "
             "AND value >= 10.0 GROUP BY event_type",
+        "datemath_range_events":
+            # NOW pinned at 2024-01-22T12:34:56Z; endpoints are
+            # NOW-14DAYS/DAY and NOW/HOUR-30MINUTES (DateMathParser)
+            "SELECT event_type, count(*) AS cnt, "
+            "round(sum(value), 2) AS sum_value FROM events "
+            "WHERE ts >= date_trunc('day', "
+            "TIMESTAMP '2024-01-22 12:34:56' - INTERVAL 14 DAY) "
+            "AND ts < date_trunc('hour', TIMESTAMP '2024-01-22 12:34:56') "
+            "- INTERVAL 30 MINUTE "
+            "GROUP BY event_type",
         "merge_union_events":
             "SELECT event_id, event_type, round(value, 4) AS value "
             "FROM events WHERE event_type = 'click' "

@@ -161,7 +161,13 @@ def main(argv=None) -> int:
                     try:
                         return float(x)
                     except ValueError:
-                        return x
+                        pass
+                if x.startswith("NOW") or "Z" in x:
+                    # Solr date math endpoints: --filter ts NOW-7DAYS/DAY -
+                    from .functions.datemath import parse_date_math
+
+                    return parse_date_math(x)
+                return x
             filter_range = {field: (_bound(lo), _bound(hi))}
         hits = searcher.search(args.query, k=args.k, sort=sort,
                                filter_range=filter_range)

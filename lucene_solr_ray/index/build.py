@@ -59,7 +59,7 @@ MANIFEST_NAME = "manifest.json"
 #: in the source (the doc-values analog: queryable fields alongside norms).
 #: ``score`` is the numeric-docvalue slot (the Solr popularity-field /
 #: atomic-inc example); absent from sources that don't provide it.
-DOCVALUE_FIELDS = ("role", "tool", "score")
+DOCVALUE_FIELDS = ("role", "tool", "score", "ts")
 
 
 def _limit_worker_threads() -> None:

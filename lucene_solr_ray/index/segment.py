@@ -47,7 +47,7 @@ from ..util import varint
 BLOCK_SIZE = 128
 
 #: bump when the on-disk term-table schema changes (invalidates caches)
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4  # v4: ts carried as a docvalue (date-math range filters)
 
 
 def _delta_with_resets(values: np.ndarray, starts_mask: np.ndarray,

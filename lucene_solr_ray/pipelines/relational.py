@@ -355,6 +355,31 @@ def range_filter_events(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def datemath_range_events(sf_dir: str, now: str = "2024-01-22T12:34:56Z"):
+    """range_filter_events with Solr date-math endpoints
+    (DateMathParser.java:138): ``[NOW-14DAYS/DAY TO NOW/HOUR-30MINUTES)``
+    with NOW pinned (the reference's ``NOW=`` request param) so the
+    DuckDB oracle can use the same anchor. The math evaluates to scalar
+    endpoints, so the predicate still pushes into the parquet read."""
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    from ..functions.datemath import parse_date_math
+
+    lo = parse_date_math("NOW-14DAYS/DAY", now)
+    hi = parse_date_math("NOW/HOUR-30MINUTES", now)
+    expr = ((pads.field("ts") >= pa.scalar(np.datetime64(lo, "us")))
+            & (pads.field("ts") < pa.scalar(np.datetime64(hi, "us"))))
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"], filter=expr)
+    out = (ds.groupby("event_type")
+           .aggregate(Count(alias_name="cnt"),
+                      Sum("value", alias_name="sum_value")))
+    return out.map_batches(lambda t: round_col(t, "sum_value", 2),
+                           batch_format="pyarrow")
+
+
 # --- distinct (UniqueAgg exact cardinality, search/facet/UniqueAgg.java) ---
 
 def distinct_users_events(sf_dir: str):

@@ -100,3 +100,20 @@ def test_cli_search_with_highlight(ray_session, tmp_path, capsys):
         assert "snippet" in r
         assert "<b>" in r["snippet"].lower() or r["snippet"]  # wrapped hit
     assert any("<b>" in r["snippet"] for r in rows)
+
+
+def test_cli_datemath_ts_filter(ray_session, tmp_path, capsys):
+    """--filter accepts Solr date-math endpoints on the ts docvalue."""
+    src = transcripts_path("tiny")
+    idx = str(tmp_path / "dmidx")
+    assert main(["build", src, idx, "--num-shards", "2"]) == 0
+    capsys.readouterr()
+    # transcripts ts starts 2026-01-01; a since-2020 filter keeps hits
+    assert main(["search", idx, "ray", "--filter", "ts",
+                 "2020-01-01T00:00:00Z/YEAR", "-", "-k", "3"]) == 0
+    hits = json.loads(capsys.readouterr().out.strip())
+    assert hits
+    # an upper bound before the corpus epoch filters everything
+    assert main(["search", idx, "ray", "--filter", "ts", "-",
+                 "2019-12-31T23:59:59Z/DAY", "-k", "3"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == []
