@@ -208,3 +208,116 @@ def transcripts_schema() -> IndexSchema:
         ],
         copy_fields=[CopyField("*_t", "text")],
     )
+
+
+# ----------------------------------------------------------------- schemaless
+
+#: type-guess escalation chain (AddSchemaFieldsUpdateProcessorFactory's
+#: typeMapping cascade Boolean -> Long -> Double -> Date -> fallback
+#: string/text, AddSchemaFieldsUpdateProcessorFactory.java:76-116). The
+#: JOIN of two guesses is the least common escalation: numeric widens
+#: (plong ∨ pdouble = pdouble); anything incompatible (boolean vs
+#: number, date vs number) falls to analyzed text, the reference's
+#: catch-all mapping.
+_GUESS_RANK = {"boolean": 0, "plong": 1, "pdouble": 2, "pdate": 3,
+               "text_general": 4}
+
+
+def _join_guess(a: str, b: str) -> str:
+    """Commutative/associative join on the escalation lattice — partial
+    guesses merge to the same result in any order, which is what makes
+    distributed inference deterministic regardless of partition order."""
+    if a == b:
+        return a
+    pair = {a, b}
+    if pair == {"plong", "pdouble"}:
+        return "pdouble"
+    return "text_general"
+
+
+def guess_field_type(col: pa.ChunkedArray | pa.Array) -> str:
+    """One partition's guess for an undeclared column. Arrow-typed
+    columns map directly; string columns try the reference's parse
+    cascade (long -> double -> date) on the non-null values and fall
+    back to analyzed text."""
+    t = col.type
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_integer(t):
+        return "plong"
+    if pa.types.is_floating(t):
+        return "pdouble"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "pdate"
+    vals = col.drop_null()
+    if len(vals) == 0:
+        return "text_general"
+    for target, tname in ((pa.int64(), "plong"),
+                          (pa.float64(), "pdouble"),
+                          (pa.timestamp("us"), "pdate")):
+        try:
+            vals.cast(target)
+            return tname
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            continue
+    return "text_general"
+
+
+def infer_schemaless(source, base: IndexSchema) -> IndexSchema:
+    """Phase-1 of schemaless ingest: scan the dataset once, guess a type
+    for every column the base schema does not resolve, and return a new
+    IndexSchema with those fields added explicitly.
+
+    Where the reference mutates a shared managed schema as documents
+    stream in (first-writer-wins through ZooKeeper optimistic
+    concurrency), a distributed Ray ingest infers per-partition guesses
+    in parallel (``map_batches`` partials) and merges them with the
+    commutative lattice join — the converged schema is a pure function
+    of the data, independent of partition count or arrival order.
+    ``source`` is a ``ray.data.Dataset`` or a ``pa.Table``.
+    """
+    import ray.data as rd
+
+    def batch_guesses(t: pa.Table) -> pa.Table:
+        names, guesses = [], []
+        for name in t.column_names:
+            if base.resolve(name) is None:
+                names.append(name)
+                guesses.append(guess_field_type(t.column(name)))
+        return pa.table({"field": pa.array(names, type=pa.string()),
+                         "guess": pa.array(guesses, type=pa.string())})
+
+    merged: dict[str, str] = {}
+    if isinstance(source, pa.Table):
+        partial = batch_guesses(source)
+        pairs = zip(partial.column("field").to_pylist(),
+                    partial.column("guess").to_pylist())
+        for f, g in pairs:
+            merged[f] = _join_guess(merged[f], g) if f in merged else g
+    else:
+        ds = source.map_batches(batch_guesses, batch_format="pyarrow")
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            for f, g in zip(b.column("field").to_pylist(),
+                            b.column("guess").to_pylist()):
+                merged[f] = _join_guess(merged[f], g) if f in merged else g
+    if not merged:
+        return base
+    new_fields = list(base.fields.values()) + list(base.dynamic) + [
+        SchemaField(f, merged[f]) for f in sorted(merged)
+    ]
+    return IndexSchema(new_fields, base.copy_fields,
+                       list(base.types.values()))
+
+
+def schemaless_ingest(source, base: IndexSchema):
+    """Two-phase schemaless ingest (the ``update.autoCreateFields``
+    flag): infer the converged schema, then apply it. Returns
+    ``(schema, prepared)`` where prepared is the coerced dataset/table
+    ready for the update-processor chain."""
+    import ray.data as rd
+
+    schema = infer_schemaless(source, base)
+    if isinstance(source, pa.Table):
+        return schema, schema.prepare_batch(source)
+    return schema, source.map_batches(schema.prepare_batch,
+                                      batch_format="pyarrow")

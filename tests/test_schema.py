@@ -129,3 +129,86 @@ def test_required_satisfied_by_copy_field():
     assert out.column("text")[0].as_py() == "from copy"
     with pytest.raises(ValueError, match="required"):
         s.prepare_batch(pa.table({"id": ["a"]}))
+
+
+# ----------------------------------------------------------- schemaless mode
+
+def _base():
+    from lucene_solr_ray.sources.schema import (IndexSchema, SchemaField)
+
+    return IndexSchema([SchemaField("id", "string", required=True)])
+
+
+def test_schemaless_guesses_and_prepares(ray_session):
+    import pyarrow as pa
+
+    from lucene_solr_ray.sources.schema import schemaless_ingest
+
+    t = pa.table({
+        "id": pa.array(["a", "b"]),
+        "views": pa.array([1, 2], type=pa.int32()),
+        "ratio": pa.array(["1.5", "2"]),           # string -> pdouble
+        "when": pa.array(["2024-01-01T00:00:00", "2024-02-01T00:00:00"]),
+        "blurb": pa.array(["hello world", "42 not only digits here"]),
+        "flag": pa.array([True, False]),
+    })
+    schema, out = schemaless_ingest(t, _base())
+    assert schema.field_type("views").name == "plong"
+    assert schema.field_type("ratio").name == "pdouble"
+    assert schema.field_type("when").name == "pdate"
+    assert schema.field_type("blurb").name == "text_general"
+    assert schema.field_type("flag").name == "boolean"
+    assert out.column("views").type == pa.int64()
+    assert out.column("ratio").to_pylist() == [1.5, 2.0]
+    assert str(out.column("when").type).startswith("timestamp")
+    # base schema still enforced: undeclared stays undeclared without flag
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        _base().field_type("views")
+
+
+def test_schemaless_converges_independent_of_partition_order(ray_session):
+    """The lattice join makes inference a pure function of the data:
+    any partitioning / ordering yields the same converged schema."""
+    import itertools
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lucene_solr_ray.sources.schema import infer_schemaless
+
+    parts = [
+        pa.table({"id": pa.array(["a"]), "x": pa.array([1]),
+                  "y": pa.array(["10"])}),
+        pa.table({"id": pa.array(["b"]), "x": pa.array([2.5]),
+                  "y": pa.array(["3.5"])}),
+        pa.table({"id": pa.array(["c"]), "x": pa.array([3]),
+                  "y": pa.array(["not a number"])}),
+    ]
+    want = None
+    for perm in itertools.permutations(range(3)):
+        ds = rd.from_arrow([parts[i] for i in perm])
+        schema = infer_schemaless(ds, _base())
+        got = (schema.field_type("x").name, schema.field_type("y").name)
+        if want is None:
+            want = got
+        assert got == want, perm
+    # mixed int+float escalates numeric; string col with a non-numeric
+    # value anywhere falls to analyzed text
+    assert want == ("pdouble", "text_general")
+
+
+def test_schemaless_escalation_join_table():
+    from lucene_solr_ray.sources.schema import _join_guess
+
+    assert _join_guess("plong", "pdouble") == "pdouble"
+    assert _join_guess("pdouble", "plong") == "pdouble"
+    assert _join_guess("plong", "plong") == "plong"
+    assert _join_guess("boolean", "plong") == "text_general"
+    assert _join_guess("pdate", "pdouble") == "text_general"
+    assert _join_guess("pdate", "pdate") == "pdate"
+    # associativity spot check on a triple
+    a = _join_guess(_join_guess("plong", "pdouble"), "pdate")
+    b = _join_guess("plong", _join_guess("pdouble", "pdate"))
+    assert a == b == "text_general"
