@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-diffed in pytest)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         "bm25_filtered_docs": fulltext.bm25_filtered_docs,
+        "docfreq_boost_docs": fulltext.docfreq_boost_docs,
         "minhash_neardup": dedup.minhash_neardup,
         "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "embedding_neardup": knn.embedding_neardup_pairs,
@@ -335,6 +336,16 @@ def oracle_sql() -> dict[str, str]:
         "antijoin_customers":
             "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 420000)",
+        "docfreq_boost_docs":
+            # boost = ln(1 + numdocs()/docfreq('data')); docs matching
+            # 'data' (non-stopword, pure-alpha => analyzer-agnostic df)
+            "WITH toks AS (SELECT DISTINCT doc_id FROM (" + _TOKS + ") "
+            "WHERE term = 'data'), "
+            "s AS (SELECT (SELECT count(*) FROM documents) AS nd, "
+            "(SELECT count(*) FROM toks) AS df) "
+            "SELECT t.doc_id AS doc_id, "
+            "round(ln(1 + s.nd * 1.0 / s.df), 6) AS boost "
+            "FROM toks t, s",
         "term_df_simple":
             "SELECT term, count(*) AS df, sum(tf)::BIGINT AS ttf FROM ("
             "SELECT doc_id, term, count(*) AS tf FROM (" + _TOKS + ") "

@@ -111,6 +111,79 @@ FUNCTIONS: dict[str, tuple[Any, Callable]] = {
     "neq": (2, lambda a, b: pc.cast(pc.not_equal(a, b), pa.float64())),
 }
 
+
+def _unbound(name):
+    def fn(*_):
+        raise ValueError(
+            f"{name}() is an index-statistics accessor; bind the "
+            "expression with bind_index_stats(ast, stats) before eval "
+            "(it has no meaning without a searcher)")
+    return fn
+
+
+# Index-statistics accessors (DocFreqValueSource.java:35,
+# NumDocsValueSource, MaxDocValueSource, NormValueSource from
+# lucene/queries/.../function/valuesource/): query-time constants /
+# per-doc columns resolved against the live index by bind_index_stats,
+# so boosts can reference docFreq("term"), corpus size, or the doc's
+# encoded field length. norm(field) evaluates to the SmallFloat-DECODED
+# field length (the engine's norm byte payload).
+FUNCTIONS.update({
+    "docfreq": (1, _unbound("docfreq")),
+    "numdocs": (0, _unbound("numdocs")),
+    "maxdoc": (0, _unbound("maxdoc")),
+    "norm": (1, _unbound("norm")),
+})
+
+#: pseudo-field prefix a bound norm() rewrites to; the evaluating caller
+#: supplies this column (per-hit decoded norms)
+NORM_PSEUDO_FIELD = "__norm__"
+
+
+def stats_terms(node) -> set[str]:
+    """Terms referenced by docfreq() accessors in an AST."""
+    if isinstance(node, Func):
+        if node.name == "docfreq":
+            (arg,) = node.args
+            if not isinstance(arg, Field):
+                raise ValueError("docfreq() takes a bare term")
+            return {arg.name}
+        out: set[str] = set()
+        for a in node.args:
+            out |= stats_terms(a)
+        return out
+    return set()
+
+
+def uses_norm(node) -> bool:
+    if isinstance(node, Func):
+        if node.name == "norm":
+            return True
+        return any(uses_norm(a) for a in node.args)
+    return False
+
+
+def bind_index_stats(node, stats: dict):
+    """Rewrite stats accessors to constants / the norm pseudo-field.
+
+    ``stats`` = {"docfreq": {term: df}, "numdocs": n, "maxdoc": m} —
+    computed once per query by the searcher (local or driver-side for
+    the distributed scatter), so the shipped AST is pure data and the
+    per-batch evaluation stays a plain kernel chain."""
+    if isinstance(node, Func):
+        if node.name == "docfreq":
+            (arg,) = node.args
+            return Const(float(stats["docfreq"].get(arg.name, 0)))
+        if node.name == "numdocs":
+            return Const(float(stats["numdocs"]))
+        if node.name == "maxdoc":
+            return Const(float(stats["maxdoc"]))
+        if node.name == "norm":
+            return Field(NORM_PSEUDO_FIELD)
+        return Func(node.name,
+                    tuple(bind_index_stats(a, stats) for a in node.args))
+    return node
+
 _TOKEN = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_.]*|[-+]?[0-9]*\.?[0-9]+"
                     r"(?:[eE][-+]?[0-9]+)?|[(),])")
 

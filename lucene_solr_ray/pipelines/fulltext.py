@@ -6,6 +6,7 @@ from __future__ import annotations
 import hashlib
 from pathlib import Path
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -132,4 +133,31 @@ def bm25_filtered_docs(sf_dir: str, k: int = 10) -> pa.Table:
         "rank": pa.array([r[1] for r in rows], type=pa.int64()),
         "doc_id": pa.array([r[2] for r in rows], type=pa.int64()),
         "score": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
+def docfreq_boost_docs(sf_dir: str, term: str = "data") -> pa.Table:
+    """ValueSource index-statistics accessors as a driver query
+    (DocFreqValueSource.java:35, NumDocsValueSource, MaxDocValueSource):
+    every doc matching ``term`` with the bound boost value
+    ``ln(1 + numdocs()/docfreq(term))`` — the accessors resolve against
+    the live index and the DuckDB oracle recomputes the same statistics
+    from the raw corpus."""
+    from ..functions import parse_func
+    from ..functions.valuesource import bind_index_stats, eval_expr, \
+        stats_terms
+    from ..search.features import _all_hits, index_stats
+
+    idx = docs_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    ast = parse_func(f"ln(sum(1,div(numdocs(),docfreq({term}))))")
+    ast = bind_index_stats(ast, index_stats(searcher, stats_terms(ast)))
+    docs, _ = _all_hits(searcher, term)
+    boost = eval_expr(ast, pa.table({"__d": pa.array([0.0])}))
+    val = round(float(boost.as_py() if isinstance(boost, pa.Scalar)
+                      else boost[0].as_py()), 6)
+    docs = np.sort(docs)
+    return pa.table({
+        "doc_id": pa.array(docs, type=pa.int64()),
+        "boost": pa.array(np.full(len(docs), val), type=pa.float64()),
     })

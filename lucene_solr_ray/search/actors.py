@@ -230,15 +230,24 @@ class SearchActor:
         return out
 
     def boosted_partial(self, query: Query, df_map: dict[str, int],
-                        boost_expr: str, k: int) -> list[tuple[int, float]]:
+                        boost_expr: str, k: int,
+                        stats: dict | None = None
+                        ) -> list[tuple[int, float]]:
         """Per-actor top-k of BM25 * f(docvalues). The boost is per-doc,
-        so per-actor pruning to k is exact under the global merge."""
+        so per-actor pruning to k is exact under the global merge.
+        ``stats`` (driver-computed global index statistics) binds the
+        docfreq/numdocs/maxdoc/norm accessors; norm() resolves
+        shard-locally from the pinned norm bytes."""
         import pyarrow as pa
 
         from ..functions import parse_func
-        from ..functions.valuesource import Field, Func, eval_expr
+        from ..functions.valuesource import (NORM_PSEUDO_FIELD, Field,
+                                             Func, bind_index_stats,
+                                             eval_expr)
 
         ast = parse_func(boost_expr)
+        if stats is not None:
+            ast = bind_index_stats(ast, stats)
 
         def fields_of(node) -> set[str]:
             if isinstance(node, Field):
@@ -257,6 +266,13 @@ class SearchActor:
                 continue
             cols = {}
             for f in sorted(fields_of(ast)):
+                if f == NORM_PSEUDO_FIELD:
+                    from ..util.smallfloat import NORM_TABLE
+
+                    cols[f] = pa.array(
+                        NORM_TABLE[sh.norms[docs - sh.base]]
+                        .astype(np.float64), type=pa.float64())
+                    continue
                 vals = sh.docvalues_local(f, docs)
                 # missing doc values evaluate as 0 (FunctionScoreQuery)
                 vals = np.asarray(
@@ -714,10 +730,18 @@ class DistributedSearcher:
     def boosted_search(self, query: Query | str, boost_expr: str,
                        k: int = 10):
         """Distributed FunctionScoreQuery: the boost is per-doc, so
-        per-actor top-k partials merge exactly."""
+        per-actor top-k partials merge exactly. Index-statistics
+        accessors in the boost are bound driver-side (global df) and
+        shipped as constants; norm() resolves on the shards."""
+        from ..functions import parse_func
+        from ..functions.valuesource import stats_terms
+        from .features import index_stats
+
         parsed = self.parse(query) if isinstance(query, str) else query
         df = self._stats_phase(parsed)
-        partials = ray.get([a.boosted_partial.remote(parsed, df, boost_expr, k)
+        stats = index_stats(self, stats_terms(parse_func(boost_expr)))
+        partials = ray.get([a.boosted_partial.remote(parsed, df, boost_expr,
+                                                     k, stats)
                             for a in self.actors])
         hits = [h for p in partials for h in p]
         hits.sort(key=lambda h: (-h[1], h[0]))

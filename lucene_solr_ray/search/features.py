@@ -209,6 +209,42 @@ def highlight_hits(searcher, query: Query | str, rows: list[dict],
     return out
 
 
+def index_stats(searcher, terms: set[str]) -> dict:
+    """Index statistics for the ValueSource accessors
+    (DocFreqValueSource.java:35 et al.): maxdoc = every assigned doc id
+    (deleted included, IndexReader.maxDoc), numdocs = maxdoc minus
+    tombstones (IndexReader.numDocs), docfreq = global df per term."""
+    from ..index.update import read_deletes
+
+    stats = searcher.manifest["stats"]
+    n_del = len(read_deletes(searcher.index_dir))
+    df: dict[str, int] = {}
+    if terms:
+        if hasattr(searcher, "shards"):  # in-process IndexSearcher
+            for sh in searcher.shards:
+                for t, d in sh.local_df(sorted(terms)).items():
+                    df[t] = df.get(t, 0) + d
+        else:  # DistributedSearcher: one local_df scatter round
+            from .query import TermQuery
+
+            for t in sorted(terms):
+                df[t] = searcher.global_df(TermQuery(term=t)).get(t, 0)
+    return {"docfreq": df, "numdocs": stats["num_docs"] - n_del,
+            "maxdoc": stats["num_docs"]}
+
+
+def decoded_norms(searcher, docs):
+    """Per-hit decoded field length (NORM_TABLE[norm_byte]) — the
+    NormValueSource column for norm(field)."""
+    import numpy as np
+
+    from ..util.smallfloat import NORM_TABLE
+
+    all_norms = np.concatenate([sh.norms for sh in searcher.shards])
+    return NORM_TABLE[all_norms[np.asarray(docs, dtype=np.int64)]] \
+        .astype(np.float64)
+
+
 def boosted_search(searcher: IndexSearcher, query: Query | str,
                    boost_expr: str, k: int = 10):
     """FunctionScoreQuery / Solr ``{!boost b=f(...)}``
@@ -220,9 +256,14 @@ def boosted_search(searcher: IndexSearcher, query: Query | str,
     import pyarrow as pa
 
     from ..functions import parse_func
-    from ..functions.valuesource import Field, Func, eval_expr
+    from ..functions.valuesource import (NORM_PSEUDO_FIELD, Field, Func,
+                                         bind_index_stats, eval_expr,
+                                         stats_terms, uses_norm)
 
     ast = parse_func(boost_expr)
+    # bind index-statistics accessors (docfreq/numdocs/maxdoc/norm) to
+    # this searcher before the per-doc evaluation
+    ast = bind_index_stats(ast, index_stats(searcher, stats_terms(ast)))
 
     def fields_of(node) -> set[str]:
         if isinstance(node, Field):
@@ -239,6 +280,10 @@ def boosted_search(searcher: IndexSearcher, query: Query | str,
         return []
     cols = {}
     for f in sorted(fields_of(ast)):
+        if f == NORM_PSEUDO_FIELD:
+            cols[f] = pa.array(decoded_norms(searcher, docs),
+                               type=pa.float64())
+            continue
         vals = searcher.docvalues(f)
         if vals is None:
             raise KeyError(f"field {f!r} was not indexed as a doc value")

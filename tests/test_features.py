@@ -16,11 +16,16 @@ from lucene_solr_ray.search.searcher import IndexSearcher
 
 
 @pytest.fixture(scope="module")
-def searcher(ray_session, tmp_path_factory):
+def built_index(ray_session, tmp_path_factory):
     src = transcripts_path("tiny")
     out = tmp_path_factory.mktemp("fidx") / "idx"
     build_index(src, str(out), num_shards=3, batch_size=64)
-    return IndexSearcher(str(out)), src
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    return IndexSearcher(built_index), transcripts_path("tiny")
 
 
 def test_block_join_max(searcher):
@@ -156,3 +161,59 @@ def test_query_elevation(searcher):
     out2 = elevate(s, "ray", pin[:1], k=10, exclude_ids=[pin[1]])
     assert pin[1] not in [d for d, _ in out2]
     assert out2[0][0] == pin[0]
+
+
+def test_valuesource_stats_accessors_recompute(built_index):
+    """docfreq()/numdocs()/maxdoc()/norm() bind to real index statistics:
+    recompute each from the raw index and compare (r3 verdict #8)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.functions import parse_func
+    from lucene_solr_ray.functions.valuesource import (
+        bind_index_stats, eval_expr, stats_terms, uses_norm)
+    from lucene_solr_ray.search.features import (_all_hits, boosted_search,
+                                                 decoded_norms, index_stats)
+    from lucene_solr_ray.search.searcher import IndexSearcher
+    from lucene_solr_ray.util.smallfloat import NORM_TABLE
+
+    s = IndexSearcher(built_index)
+    st = index_stats(s, {"ray", "zzzmissing"})
+    # recompute df by walking shard postings
+    want_df = sum(sh.local_df(["ray"]).get("ray", 0) for sh in s.shards)
+    assert st["docfreq"]["ray"] == want_df > 0
+    assert st["docfreq"].get("zzzmissing", 0) == 0
+    assert st["maxdoc"] == s.manifest["stats"]["num_docs"]
+    assert st["numdocs"] == st["maxdoc"]  # no deletes in this fixture
+    # boosted_search with accessors == manual recompute per hit
+    expr = "mul(ln(sum(1,div(numdocs(),docfreq(ray)))),norm(text))"
+    got = dict(boosted_search(s, "ray", expr, k=1 << 20))
+    docs, scores = _all_hits(s, "ray")
+    idf_ish = np.log(1 + st["numdocs"] / st["docfreq"]["ray"])
+    norms = decoded_norms(s, docs)
+    for d, bm, nrm in zip(docs, scores, norms):
+        want = float(bm) * idf_ish * float(nrm)
+        assert abs(got[int(d)] - want) < 1e-6 * max(1.0, abs(want))
+    # norm() equals the SmallFloat-decoded byte for each hit doc
+    for d in docs[:20]:
+        sh = s.shards[int(d) // s.shards[0].docs_per_shard]
+        assert norms[list(docs).index(d)] == \
+            NORM_TABLE[sh.norms[int(d) - sh.base]]
+
+
+def test_stats_accessors_distributed_parity(built_index, ray_session):
+    from lucene_solr_ray.search.actors import DistributedSearcher
+    from lucene_solr_ray.search.features import boosted_search
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    s = IndexSearcher(built_index)
+    dist = DistributedSearcher(built_index, num_actors=2)
+    try:
+        expr = "mul(ln(sum(1,div(numdocs(),docfreq(ray)))),norm(text))"
+        want = boosted_search(s, "ray", expr, k=8)
+        got = dist.boosted_search("ray", expr, k=8)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(float(gs) - float(ws)) < 1e-9
+    finally:
+        dist.close()
