@@ -350,6 +350,15 @@ class CustomAnalyzer:
         return self.analyze(text)[0]
 
 
+def _phonetic_chain(encoder: str) -> CustomAnalyzer:
+    from .phonetic import make_phonetic_filter
+
+    # inject=True: original + code at the same position, so exact matches
+    # still outrank phonetic ones (PhoneticFilter's default)
+    return CustomAnalyzer(
+        [lowercase_filter, make_phonetic_filter(encoder, inject=True)])
+
+
 #: named chains available to build_index(analyzer=...) via the registry
 CUSTOM_CHAINS: dict[str, CustomAnalyzer] = {
     "english_stemmed": CustomAnalyzer(
@@ -359,6 +368,10 @@ CUSTOM_CHAINS: dict[str, CustomAnalyzer] = {
         [lowercase_filter, make_edge_ngram_filter(2, 8)]),
     "shingled": CustomAnalyzer(
         [lowercase_filter, make_stop_filter(), make_shingle_filter(2)]),
+    "phonetic_metaphone": _phonetic_chain("metaphone"),
+    "phonetic_soundex": _phonetic_chain("soundex"),
+    "phonetic_nysiis": _phonetic_chain("nysiis"),
+    "phonetic_caverphone": _phonetic_chain("caverphone2"),
 }
 
 

@@ -193,16 +193,34 @@ class RegexpQuery(MultiTermQuery):
 def _analyze_chunk(chunk: str, analyzer, boost: float = 1.0) -> Query:
     """One whitespace-delimited query chunk -> Term / Phrase / MatchNoDocs.
 
-    Classic parser behavior: if query-side analysis yields multiple tokens,
-    the chunk becomes a phrase query (QueryParserBase.newFieldQuery).
-    """
+    Classic parser behavior (QueryParserBase.newFieldQuery →
+    QueryBuilder.createFieldQuery): multiple tokens at DISTINCT positions
+    become a phrase; multiple tokens at the SAME position (synonym /
+    phonetic injection, posIncrement 0) become a SynonymQuery — modeled
+    as a SHOULD-of-terms with min_should_match=1. Mixed streams (several
+    positions, some with stacked tokens) approximate MultiPhraseQuery as
+    a MUST-of-per-position-synonyms (position constraint relaxed)."""
     terms, positions = analyzer.analyze(chunk)
     if not terms:
         return MatchNoDocs()
     if len(terms) == 1:
         return TermQuery(terms[0], boost)
-    base = positions[0]
-    return PhraseQuery(tuple(terms), tuple(p - base for p in positions), boost)
+    by_pos: dict[int, list[str]] = {}
+    for t, p in zip(terms, positions):
+        by_pos.setdefault(p, []).append(t)
+    if len(by_pos) == 1:  # synonym stack at one position
+        return BooleanQuery(
+            should=[TermQuery(t, boost) for t in terms],
+            min_should_match=1)
+    if all(len(v) == 1 for v in by_pos.values()):
+        base = positions[0]
+        return PhraseQuery(tuple(terms), tuple(p - base for p in positions),
+                           boost)
+    return BooleanQuery(must=[
+        vs[0] if len(vs) == 1 else BooleanQuery(should=vs,
+                                                min_should_match=1)
+        for vs in ([TermQuery(t, boost) for t in by_pos[p]]
+                   for p in sorted(by_pos))])
 
 
 def levenshtein_within(a: str, b: str, k: int) -> bool:

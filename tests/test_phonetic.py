@@ -1,0 +1,134 @@
+"""Phonetic encoders (lucene/analysis/phonetic/.../PhoneticFilter.java;
+algorithms re-implemented from the published descriptions) — golden
+vectors from the public specs plus same-sounding-pair invariants and an
+end-to-end phonetic-match search."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.analysis.phonetic import (
+    caverphone2,
+    make_phonetic_filter,
+    metaphone,
+    nysiis,
+    refined_soundex,
+    soundex,
+)
+
+
+def test_soundex_nara_vectors():
+    # the NARA "General Rules" worked examples
+    for w, want in [("Robert", "R163"), ("Rupert", "R163"),
+                    ("Ashcraft", "A261"), ("Ashcroft", "A261"),
+                    ("Tymczak", "T522"), ("Pfister", "P236"),
+                    ("Honeyman", "H555"), ("Washington", "W252"),
+                    ("Lee", "L000"), ("Gutierrez", "G362"),
+                    ("Jackson", "J250"), ("VanDeusen", "V532")]:
+        assert soundex(w) == want, w
+    assert soundex("smith") == soundex("Smyth") == "S530"
+    assert soundex("") == ""
+    assert soundex("123") == ""
+
+
+def test_refined_soundex_vectors():
+    # commons-codec RefinedSoundexTest sentence vectors
+    for w, want in [("testing", "T6036084"), ("The", "T60"),
+                    ("quick", "Q503"), ("brown", "B1908"),
+                    ("fox", "F205"), ("jumped", "J408106"),
+                    ("over", "O0209"), ("lazy", "L7050"),
+                    ("dogs", "D6043")]:
+        assert refined_soundex(w) == want, w
+
+
+def test_metaphone_vectors():
+    for w, want in [("The", "0"), ("quick", "KK"), ("brown", "BRN"),
+                    ("fox", "FKS"), ("jumped", "JMPT"), ("over", "OFR"),
+                    ("lazy", "LS"), ("dogs", "TKS"), ("howl", "HL"),
+                    ("testing", "TSTN"), ("phone", "FN"),
+                    ("wright", "RT"), ("science", "SNS"),
+                    ("judge", "JJ"), ("ghost", "KST")]:
+        assert metaphone(w) == want, w
+    # same-sounding pairs collapse
+    assert metaphone("Smith") == metaphone("Smyth") == "SM0"
+    assert metaphone("Knight") == metaphone("night") == "NT"
+    # 4-char default cap, like the reference's Metaphone default
+    assert len(metaphone("encyclopedia")) <= 4
+    assert metaphone("a") == "A"
+    assert metaphone("") == ""
+
+
+def test_nysiis_vectors():
+    # hand-traced through the Taft 1970 ruleset
+    assert nysiis("Knight") == "NAGT"
+    assert nysiis("MacDonald") == "MCDANALD"
+    assert nysiis("Phillipson") == "FALAPSAN"
+    # Y is NOT a vowel under Taft's rules, so Smith/Smyth differ (only
+    # AEIOU -> A); both still share the S-N skeleton
+    assert nysiis("Smith") == "SNAT"
+    assert nysiis("Smyth") == "SNYT"
+    assert nysiis("Schmidt") == "SNAD"
+    assert nysiis("") == ""
+
+
+def test_caverphone2_vectors():
+    # Caversham project spec examples (10 chars, '1'-padded)
+    assert caverphone2("Peter") == "PTA1111111"
+    assert caverphone2("Stevenson") == "STFNSN1111"
+    assert caverphone2("Thompson") == "TMPSN11111"
+    for a, b in [("Smith", "Smyth"), ("Stevenson", "Stefenson")]:
+        assert caverphone2(a) == caverphone2(b)
+    assert all(len(caverphone2(w)) == 10
+               for w in ("a", "Peter", "encyclopedia"))
+
+
+def test_phonetic_filter_inject_semantics():
+    toks = [("smith", 0), ("works", 1)]
+    inj = make_phonetic_filter("metaphone", inject=True)(toks)
+    # original kept + code at the SAME position (posIncrement 0)
+    assert ("smith", 0) in inj and ("SM0", 0) in inj
+    repl = make_phonetic_filter("metaphone", inject=False)(toks)
+    assert repl[0] == ("SM0", 0)
+    assert all(t != "smith" for t, _ in repl)
+
+
+def test_phonetic_chain_registered():
+    from lucene_solr_ray.analysis.analyzer import get_analyzer
+
+    a = get_analyzer("phonetic_metaphone")
+    terms, pos = a.analyze("Smith said")
+    assert "smith" in terms and "SM0" in terms
+    # injected code shares the original's position
+    assert pos[terms.index("smith")] == pos[terms.index("SM0")]
+
+
+def test_phonetic_match_end_to_end(ray_session, tmp_path):
+    """Index with the phonetic chain; a same-sounding query term matches
+    docs spelled differently (the PhoneticFilter use case)."""
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    rows = [("c-000", 0, "user", "Mr Smith filed the report", "", 0),
+            ("c-001", 0, "user", "Smyth attended the meeting", "", 1),
+            ("c-002", 0, "user", "completely unrelated text", "", 2)]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+        "tool": pa.array([r[4] for r in rows]),
+        "ts": pa.array([r[5] for r in rows], type=pa.int64()),
+    })
+    src = tmp_path / "ph.parquet"
+    pq.write_table(t, src)
+    out = tmp_path / "idx"
+    build_index(str(src), str(out), num_shards=1,
+                analyzer="phonetic_metaphone")
+    s = IndexSearcher(str(out))
+    # query analyzed through the same chain: smyth -> smyth + SM0;
+    # SM0 hits the Smith doc too
+    hits = s.search("smyth", k=10)
+    got = {d for d, _ in hits}
+    assert got == {0, 1}
+    # exact spelling outranks phonetic-only (inject keeps the original)
+    assert hits[0][0] == 1
