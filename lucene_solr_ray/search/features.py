@@ -181,6 +181,99 @@ def highlight(text: str, query: Query | str, analyzer_name: str = "standard",
         ("..." if hi < len(text) else "")
 
 
+def best_fragments(text: str, query: Query | str,
+                   analyzer_name: str = "standard",
+                   fragment_size: int = 100, max_fragments: int = 3,
+                   pre: str = "<b>", post: str = "</b>",
+                   merge_contiguous: bool = True,
+                   weights: dict[str, float] | None = None,
+                   ) -> list[tuple[str, float]]:
+    """Scored multi-fragment highlighting (``lucene/highlighter/src/java/
+    org/apache/lucene/search/highlight/Highlighter.java:60``
+    getBestFragments with QueryScorer + SimpleFragmenter semantics):
+
+    - the text is fragmented at token boundaries every ``fragment_size``
+      chars (SimpleFragmenter.isNewFragment);
+    - each fragment scores the sum of weights of the DISTINCT query
+      terms it contains (QueryScorer counts a term once per fragment;
+      default weight 1.0, or pass per-term weights, e.g. idf);
+    - contiguous scoring fragments merge (mergeContiguousFragments);
+    - the top ``max_fragments`` come back ordered by descending score,
+      ties in document order, matches wrapped in ``pre``/``post``.
+    """
+    analyzer = get_analyzer(analyzer_name)
+    if isinstance(query, str):
+        from .query import parse_query
+
+        query = parse_query(query, analyzer)
+    wanted = collect_terms(query)
+    from ..analysis.analyzer import java_lowercase
+
+    tokens = analyzer.tokenizer.tokenize_full(text)
+    # fragment boundaries: first token whose end crosses the next
+    # fragment_size multiple starts a new fragment
+    frags: list[dict] = []
+    cur = {"start": 0, "tokens": [], "idx": 0}
+    boundary = fragment_size
+    for t in tokens:
+        if t.end > boundary and cur["tokens"]:
+            cur["end"] = cur["tokens"][-1].end
+            frags.append(cur)
+            cur = {"start": cur["end"], "tokens": [], "idx": len(frags)}
+            while boundary < t.end:
+                boundary += fragment_size
+        cur["tokens"].append(t)
+    if cur["tokens"]:
+        cur["end"] = len(text)
+        frags.append(cur)
+    if not frags:
+        return []
+    frags[-1]["end"] = len(text)
+
+    def score_of(frag) -> tuple[float, list]:
+        seen: set[str] = set()
+        s = 0.0
+        matched = []
+        for t in frag["tokens"]:
+            term = java_lowercase(t.text)
+            if term in wanted:
+                matched.append(t)
+                if term not in seen:
+                    seen.add(term)
+                    s += (weights or {}).get(term, 1.0)
+        return s, matched
+
+    scored = []
+    for f in frags:
+        s, matched = score_of(f)
+        if s > 0:
+            scored.append({**f, "score": s, "matched": matched})
+    if merge_contiguous and scored:
+        merged = [scored[0]]
+        for f in scored[1:]:
+            prev = merged[-1]
+            if f["idx"] == prev["idx"] + 1:
+                # re-score the union so shared terms still count once
+                u = {**prev, "end": f["end"], "idx": f["idx"],
+                     "tokens": prev["tokens"] + f["tokens"]}
+                u["score"], u["matched"] = score_of(u)
+                merged[-1] = u
+            else:
+                merged.append(f)
+        scored = merged
+    scored.sort(key=lambda f: (-f["score"], f["start"]))
+    out = []
+    for f in scored[:max_fragments]:
+        pieces, cpos = [], f["start"]
+        for t in f["matched"]:
+            pieces.append(text[cpos:t.start])
+            pieces.append(pre + text[t.start:t.end] + post)
+            cpos = t.end
+        pieces.append(text[cpos:f["end"]])
+        out.append(("".join(pieces).strip(), f["score"]))
+    return out
+
+
 def highlight_hits(searcher, query: Query | str, rows: list[dict],
                    source_path: str, **hl_kw) -> list[dict]:
     """Attach highlight snippets to resolved hit rows (the stored-fields
@@ -201,11 +294,19 @@ def highlight_hits(searcher, query: Query | str, rows: list[dict],
                                 t.column("turn_idx").to_pylist(),
                                 t.column("text").to_pylist())
              if (str(c), int(i)) in want}
+    n_frags = hl_kw.pop("fragments", 0)
     out = []
     for r in rows:
         text = texts.get((str(r["conv_id"]), int(r["turn_idx"])), "")
-        out.append({**r, "snippet": highlight(
-            text, query, analyzer_name=searcher.analyzer_name, **hl_kw)})
+        if n_frags > 0:  # hl.snippets > 1: scored multi-fragment path
+            fr = best_fragments(text, query, max_fragments=n_frags,
+                                analyzer_name=searcher.analyzer_name,
+                                **hl_kw)
+            snip = " ... ".join(s for s, _ in fr) or text[:80]
+        else:
+            snip = highlight(text, query,
+                             analyzer_name=searcher.analyzer_name, **hl_kw)
+        out.append({**r, "snippet": snip})
     return out
 
 

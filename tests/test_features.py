@@ -217,3 +217,65 @@ def test_stats_accessors_distributed_parity(built_index, ray_session):
             assert abs(float(gs) - float(ws)) < 1e-9
     finally:
         dist.close()
+
+
+def test_best_fragments_scoring():
+    """Highlighter.getBestFragments semantics: distinct-term fragment
+    scores, contiguous merge, score-ordered output."""
+    from lucene_solr_ray.search.features import best_fragments
+
+    text = ("Ray schedules tasks across the cluster. " * 2
+            + "Nothing relevant here at all in this sentence. " * 3
+            + "The ray data engine shuffles data between ray workers. "
+            + "Final filler sentence with no matches whatsoever here.")
+    fr = best_fragments(text, "ray AND data", fragment_size=60,
+                        max_fragments=2)
+    assert fr
+    # best fragment contains BOTH terms (score 2.0 > 1.0)
+    best_text, best_score = fr[0]
+    assert "<b>ray</b>" in best_text and "<b>data</b>" in best_text
+    assert best_score == 2.0
+    assert all(a >= b for (_, a), (_, b) in zip(fr, fr[1:]))
+    # per-term weights change the winner
+    fr_w = best_fragments(text, "schedules OR shuffles", fragment_size=60,
+                          max_fragments=1,
+                          weights={"schedules": 10.0, "shuffles": 0.1})
+    assert "<b>schedules</b>" in fr_w[0][0]
+    # no matches -> no fragments
+    assert best_fragments(text, "zzzmissing", fragment_size=60) == []
+
+
+def test_best_fragments_merge_contiguous():
+    from lucene_solr_ray.search.features import best_fragments
+
+    text = "alpha beta ray. data gamma delta. epsilon ray data zeta."
+    merged = best_fragments(text, "ray OR data", fragment_size=18,
+                            max_fragments=1, merge_contiguous=True)
+    split = best_fragments(text, "ray OR data", fragment_size=18,
+                           max_fragments=5, merge_contiguous=False)
+    # merging contiguous scoring fragments yields one long fragment whose
+    # score still counts each distinct term once
+    assert merged[0][1] == 2.0
+    assert len(split) >= 2
+
+
+def test_highlight_hits_multi_fragment(searcher):
+    from lucene_solr_ray.data.transcripts import transcripts_path
+    from lucene_solr_ray.search.features import highlight_hits
+
+    s, src = searcher
+    hits = s.search("ray", k=3)
+    rows = s.resolve(hits) if hasattr(s, "resolve") else [
+        {"conv_id": c, "turn_idx": t}
+        for c, t in (s.doc_keys([d for d, _ in hits])
+                     if hasattr(s, "doc_keys") else [])]
+    if not rows:
+        import pyarrow.parquet as pq
+        t = pq.read_table(src, columns=["conv_id", "turn_idx", "text"])
+        rows = [{"conv_id": t.column("conv_id")[i].as_py(),
+                 "turn_idx": t.column("turn_idx")[i].as_py()}
+                for i in range(t.num_rows)
+                if "ray" in t.column("text")[i].as_py().lower()][:3]
+    out = highlight_hits(s, "ray", rows, src, fragments=2)
+    assert all("snippet" in r for r in out)
+    assert any("<b>" in r["snippet"] for r in out)
