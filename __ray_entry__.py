@@ -44,6 +44,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.pipelines import (
+        analytics,
         dedup,
         export,
         fulltext,
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_facet_orders": relational.pivot_facet_orders,
         "stats_events": relational.stats_events,
         "rollup_lineitem": relational.rollup_lineitem,
+        "analytics_lineitem": analytics.analytics_lineitem,
         "distinct_users_events": relational.distinct_users_events,
         # sorts / top-k / grouping (§2.7)
         "topk_orders": relational.topk_orders,
@@ -252,6 +254,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, "
             "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS cnt "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "analytics_lineitem":
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+            "round(avg(l_quantity), 6) AS avg_qty, "
+            "max(l_extendedprice) AS max_price, count(*) AS cnt "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus",
         "distinct_users_events":
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
