@@ -133,24 +133,47 @@ FUNCTIONS.update({
     "numdocs": (0, _unbound("numdocs")),
     "maxdoc": (0, _unbound("maxdoc")),
     "norm": (1, _unbound("norm")),
+    # TermFreqValueSource / TotalTermFreqValueSource /
+    # SumTotalTermFreqValueSource (same valuesource/ package)
+    "termfreq": (1, _unbound("termfreq")),
+    "totaltermfreq": (1, _unbound("totaltermfreq")),
+    "sumtotaltermfreq": (0, _unbound("sumtotaltermfreq")),
 })
 
 #: pseudo-field prefix a bound norm() rewrites to; the evaluating caller
 #: supplies this column (per-hit decoded norms)
 NORM_PSEUDO_FIELD = "__norm__"
+#: pseudo-field prefix termfreq(t) rewrites to (per-hit tf of t)
+TF_PSEUDO_PREFIX = "__tf__"
 
 
 def stats_terms(node) -> set[str]:
-    """Terms referenced by docfreq() accessors in an AST."""
+    """Terms referenced by the per-term global-statistics accessors
+    (docfreq / totaltermfreq) in an AST."""
     if isinstance(node, Func):
-        if node.name == "docfreq":
+        if node.name in ("docfreq", "totaltermfreq"):
             (arg,) = node.args
             if not isinstance(arg, Field):
-                raise ValueError("docfreq() takes a bare term")
+                raise ValueError(f"{node.name}() takes a bare term")
             return {arg.name}
         out: set[str] = set()
         for a in node.args:
             out |= stats_terms(a)
+        return out
+    return set()
+
+
+def tf_terms(node) -> set[str]:
+    """Terms referenced by termfreq() accessors (per-doc columns)."""
+    if isinstance(node, Func):
+        if node.name == "termfreq":
+            (arg,) = node.args
+            if not isinstance(arg, Field):
+                raise ValueError("termfreq() takes a bare term")
+            return {arg.name}
+        out: set[str] = set()
+        for a in node.args:
+            out |= tf_terms(a)
         return out
     return set()
 
@@ -174,12 +197,20 @@ def bind_index_stats(node, stats: dict):
         if node.name == "docfreq":
             (arg,) = node.args
             return Const(float(stats["docfreq"].get(arg.name, 0)))
+        if node.name == "totaltermfreq":
+            (arg,) = node.args
+            return Const(float(stats.get("ttf", {}).get(arg.name, 0)))
+        if node.name == "sumtotaltermfreq":
+            return Const(float(stats["sumttf"]))
         if node.name == "numdocs":
             return Const(float(stats["numdocs"]))
         if node.name == "maxdoc":
             return Const(float(stats["maxdoc"]))
         if node.name == "norm":
             return Field(NORM_PSEUDO_FIELD)
+        if node.name == "termfreq":
+            (arg,) = node.args
+            return Field(TF_PSEUDO_PREFIX + arg.name)
         return Func(node.name,
                     tuple(bind_index_stats(a, stats) for a in node.args))
     return node

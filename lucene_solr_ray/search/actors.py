@@ -39,6 +39,19 @@ class SearchActor:
                 out[t] = out.get(t, 0) + d
         return out
 
+    def local_term_stats(self, terms: list[str]
+                         ) -> tuple[dict[str, int], dict[str, int]]:
+        """(df, ttf) partials for the index-statistics ValueSources
+        (DocFreqValueSource / TotalTermFreqValueSource) in one trip."""
+        df: dict[str, int] = {}
+        ttf: dict[str, int] = {}
+        for sh in self.searchers:
+            for t, d in sh.local_df(terms).items():
+                df[t] = df.get(t, 0) + d
+            for t, d in sh.local_ttf(terms).items():
+                ttf[t] = ttf.get(t, 0) + d
+        return df, ttf
+
     def facet_partial(self, query: Query, df_map: dict[str, int],
                       field: str) -> dict[str, int]:
         """Per-actor facet counts over the query's full result set."""
@@ -241,7 +254,8 @@ class SearchActor:
         import pyarrow as pa
 
         from ..functions import parse_func
-        from ..functions.valuesource import (NORM_PSEUDO_FIELD, Field,
+        from ..functions.valuesource import (NORM_PSEUDO_FIELD,
+                                             TF_PSEUDO_PREFIX, Field,
                                              Func, bind_index_stats,
                                              eval_expr)
 
@@ -272,6 +286,12 @@ class SearchActor:
                     cols[f] = pa.array(
                         NORM_TABLE[sh.norms[docs - sh.base]]
                         .astype(np.float64), type=pa.float64())
+                    continue
+                if f.startswith(TF_PSEUDO_PREFIX):
+                    # termfreq(t): per-hit tf, resolved shard-locally
+                    cols[f] = pa.array(
+                        sh.local_termfreq(f[len(TF_PSEUDO_PREFIX):], docs),
+                        type=pa.float64())
                     continue
                 vals = sh.docvalues_local(f, docs)
                 # missing doc values evaluate as 0 (FunctionScoreQuery)
@@ -489,6 +509,21 @@ class DistributedSearcher:
         """IndexSearcher-compatible global docFreq (lets the feature
         helpers — e.g. more_like_this — run against either searcher)."""
         return self._stats_phase(query)
+
+    def global_term_stats(self, terms: list[str]
+                          ) -> tuple[dict[str, int], dict[str, int]]:
+        """Global (df, ttf) for the index-statistics ValueSources —
+        one scatter round over all actors for the whole term set."""
+        partials = ray.get([a.local_term_stats.remote(terms)
+                            for a in self.actors])
+        df: dict[str, int] = {}
+        ttf: dict[str, int] = {}
+        for pdf, pttf in partials:
+            for t, d in pdf.items():
+                df[t] = df.get(t, 0) + d
+            for t, d in pttf.items():
+                ttf[t] = ttf.get(t, 0) + d
+        return df, ttf
 
     def _stats_phase(self, parsed: Query) -> dict[str, int]:
         """Phase-1 global docFreq for one query (one actor round trip)."""

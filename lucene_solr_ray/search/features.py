@@ -320,18 +320,20 @@ def index_stats(searcher, terms: set[str]) -> dict:
     stats = searcher.manifest["stats"]
     n_del = len(read_deletes(searcher.index_dir))
     df: dict[str, int] = {}
+    ttf: dict[str, int] = {}
     if terms:
         if hasattr(searcher, "shards"):  # in-process IndexSearcher
             for sh in searcher.shards:
                 for t, d in sh.local_df(sorted(terms)).items():
                     df[t] = df.get(t, 0) + d
-        else:  # DistributedSearcher: one local_df scatter round
-            from .query import TermQuery
-
-            for t in sorted(terms):
-                df[t] = searcher.global_df(TermQuery(term=t)).get(t, 0)
-    return {"docfreq": df, "numdocs": stats["num_docs"] - n_del,
-            "maxdoc": stats["num_docs"]}
+                for t, d in sh.local_ttf(sorted(terms)).items():
+                    ttf[t] = ttf.get(t, 0) + d
+        else:  # DistributedSearcher: one term-stats scatter round
+            df, ttf = searcher.global_term_stats(sorted(terms))
+    return {"docfreq": df, "ttf": ttf,
+            "numdocs": stats["num_docs"] - n_del,
+            "maxdoc": stats["num_docs"],
+            "sumttf": stats["sum_total_term_freq"]}
 
 
 def decoded_norms(searcher, docs):
@@ -357,7 +359,8 @@ def boosted_search(searcher: IndexSearcher, query: Query | str,
     import pyarrow as pa
 
     from ..functions import parse_func
-    from ..functions.valuesource import (NORM_PSEUDO_FIELD, Field, Func,
+    from ..functions.valuesource import (NORM_PSEUDO_FIELD,
+                                         TF_PSEUDO_PREFIX, Field, Func,
                                          bind_index_stats, eval_expr,
                                          stats_terms, uses_norm)
 
@@ -384,6 +387,16 @@ def boosted_search(searcher: IndexSearcher, query: Query | str,
         if f == NORM_PSEUDO_FIELD:
             cols[f] = pa.array(decoded_norms(searcher, docs),
                                type=pa.float64())
+            continue
+        if f.startswith(TF_PSEUDO_PREFIX):
+            # termfreq(t): per-hit tf, each shard fills its doc range
+            term = f[len(TF_PSEUDO_PREFIX):]
+            tf = np.zeros(len(docs), dtype=np.float64)
+            for sh in searcher.shards:
+                m = (docs >= sh.base) & (docs < sh.base + sh.docs_per_shard)
+                if m.any():
+                    tf[m] = sh.local_termfreq(term, docs[m])
+            cols[f] = pa.array(tf, type=pa.float64())
             continue
         vals = searcher.docvalues(f)
         if vals is None:

@@ -339,6 +339,26 @@ class ShardSearcher:
     def local_df(self, terms: list[str]) -> dict[str, int]:
         return {t: int(self._df[self._terms[t]]) for t in terms if t in self._terms}
 
+    def local_ttf(self, terms: list[str]) -> dict[str, int]:
+        """Per-term total term frequency on this shard
+        (TotalTermFreqValueSource's per-segment contribution)."""
+        return {t: int(self._ttf[self._terms[t]])
+                for t in terms if t in self._terms}
+
+    def local_termfreq(self, term: str, docs: np.ndarray) -> np.ndarray:
+        """tf of ``term`` in each of ``docs`` (global ids on this shard),
+        0 where absent (TermFreqValueSource semantics)."""
+        out = np.zeros(len(docs), dtype=np.float64)
+        p = self._postings(term)
+        if p is None or len(docs) == 0:
+            return out
+        pdocs, freqs = p[0], p[1]
+        j = np.searchsorted(pdocs, docs)
+        jc = np.minimum(j, len(pdocs) - 1)
+        ok = (j < len(pdocs)) & (pdocs[jc] == docs)
+        out[ok] = freqs[jc[ok]]
+        return out
+
     def term_vector(self, doc_id: int) -> list[tuple[str, int, list[int]]]:
         """Per-doc (term, freq, positions) vector
         (``solr/core/.../handler/component/TermVectorComponent.java:79``).

@@ -279,3 +279,66 @@ def test_highlight_hits_multi_fragment(searcher):
     out = highlight_hits(s, "ray", rows, src, fragments=2)
     assert all("snippet" in r for r in out)
     assert any("<b>" in r["snippet"] for r in out)
+
+
+def test_termfreq_accessors_recompute(built_index):
+    """termfreq()/totaltermfreq()/sumtotaltermfreq() bind to real index
+    statistics (TermFreqValueSource.java:36, TotalTermFreqValueSource,
+    SumTotalTermFreqValueSource — lucene/queries/.../valuesource/):
+    recompute each from raw shard postings and compare."""
+    from lucene_solr_ray.search.features import (_all_hits, boosted_search,
+                                                 index_stats)
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    s = IndexSearcher(built_index)
+    st = index_stats(s, {"ray", "zzzmissing"})
+    # ttf recompute: sum of postings freqs per shard
+    want_ttf = 0
+    for sh in s.shards:
+        p = sh._postings("ray")
+        if p is not None:
+            want_ttf += int(p[1].sum())
+    assert st["ttf"]["ray"] == want_ttf > 0
+    assert st["ttf"].get("zzzmissing", 0) == 0
+    assert st["sumttf"] == s.manifest["stats"]["sum_total_term_freq"] > 0
+    # boosted_search: score = bm25 * (1 + termfreq(ray)) per hit, with the
+    # per-hit tf recomputed straight from the postings lists
+    got = dict(boosted_search(s, "ray", "sum(1,termfreq(ray))", k=1 << 20))
+    docs, scores = _all_hits(s, "ray")
+    tf_of = {}
+    for sh in s.shards:
+        p = sh._postings("ray")
+        if p is not None:
+            for d, f in zip(p[0], p[1]):
+                tf_of[int(d)] = int(f)
+    assert len(got) == len(docs)
+    for d, bm in zip(docs, scores):
+        want = float(bm) * (1.0 + tf_of.get(int(d), 0))
+        assert abs(got[int(d)] - want) < 1e-6 * max(1.0, abs(want))
+    # constant accessors: sumtotaltermfreq()/totaltermfreq(t) are
+    # query-independent constants inside the boost
+    got2 = dict(boosted_search(
+        s, "ray", "div(totaltermfreq(ray),sumtotaltermfreq())", k=1 << 20))
+    ratio = want_ttf / st["sumttf"]
+    for d, bm in zip(docs, scores):
+        want = float(bm) * ratio
+        assert abs(got2[int(d)] - want) < 1e-6 * max(1.0, abs(want))
+
+
+def test_termfreq_distributed_parity(built_index, ray_session):
+    from lucene_solr_ray.search.actors import DistributedSearcher
+    from lucene_solr_ray.search.features import boosted_search
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    s = IndexSearcher(built_index)
+    dist = DistributedSearcher(built_index, num_actors=2)
+    try:
+        expr = ("mul(sum(1,termfreq(ray)),"
+                "div(totaltermfreq(ray),sumtotaltermfreq()))")
+        want = boosted_search(s, "ray", expr, k=8)
+        got = dist.boosted_search("ray", expr, k=8)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert abs(float(gs) - float(ws)) < 1e-9
+    finally:
+        dist.close()
