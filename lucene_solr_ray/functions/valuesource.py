@@ -138,6 +138,15 @@ FUNCTIONS.update({
     "termfreq": (1, _unbound("termfreq")),
     "totaltermfreq": (1, _unbound("totaltermfreq")),
     "sumtotaltermfreq": (0, _unbound("sumtotaltermfreq")),
+    # Solr ValueSourceParser registrations with index/request context:
+    # exists(f) (SimpleBoolFunction over FieldValueSource), def(f,d)
+    # (DefFunction), ms() date math (DateValueSourceParser), ord/rord
+    # (OrdFieldSource / ReverseOrdFieldSource)
+    "exists": (1, _unbound("exists")),
+    "def": (2, _unbound("def")),
+    "ms": ((0, 1, 2), _unbound("ms")),
+    "ord": (1, _unbound("ord")),
+    "rord": (1, _unbound("rord")),
 })
 
 #: pseudo-field prefix a bound norm() rewrites to; the evaluating caller
@@ -145,6 +154,13 @@ FUNCTIONS.update({
 NORM_PSEUDO_FIELD = "__norm__"
 #: pseudo-field prefix termfreq(t) rewrites to (per-hit tf of t)
 TF_PSEUDO_PREFIX = "__tf__"
+#: pseudo-field prefix exists(f) rewrites to (1.0 where the doc has a
+#: value for f, else 0.0)
+EXISTS_PSEUDO_PREFIX = "__exists__"
+#: pseudo-field prefixes ord(f)/rord(f) rewrite to (1-based rank of the
+#: doc's value among the index's sorted distinct values; 0 = missing)
+ORD_PSEUDO_PREFIX = "__ord__"
+RORD_PSEUDO_PREFIX = "__rord__"
 
 
 def stats_terms(node) -> set[str]:
@@ -186,6 +202,23 @@ def uses_norm(node) -> bool:
     return False
 
 
+def ord_fields(node) -> set[str]:
+    """Doc-value fields referenced by ord()/rord() — the distributed
+    searcher pre-gathers their global sorted distinct values so every
+    shard ranks against the same ordinal table."""
+    if isinstance(node, Func):
+        if node.name in ("ord", "rord"):
+            (arg,) = node.args
+            if not isinstance(arg, Field):
+                raise ValueError(f"{node.name}() takes a bare field name")
+            return {arg.name}
+        out: set[str] = set()
+        for a in node.args:
+            out |= ord_fields(a)
+        return out
+    return set()
+
+
 def bind_index_stats(node, stats: dict):
     """Rewrite stats accessors to constants / the norm pseudo-field.
 
@@ -211,6 +244,36 @@ def bind_index_stats(node, stats: dict):
         if node.name == "termfreq":
             (arg,) = node.args
             return Field(TF_PSEUDO_PREFIX + arg.name)
+        if node.name == "exists":
+            (arg,) = node.args
+            if not isinstance(arg, Field):
+                raise ValueError("exists() takes a bare field name")
+            return Field(EXISTS_PSEUDO_PREFIX + arg.name)
+        if node.name == "def":
+            # DefFunction: value if present, else the default — lowered
+            # to if(exists(f), f, default) over the exists pseudo-column
+            f, d = node.args
+            if not isinstance(f, Field):
+                raise ValueError("def() takes a bare field name first")
+            return Func("if", (Field(EXISTS_PSEUDO_PREFIX + f.name), f,
+                               bind_index_stats(d, stats)))
+        if node.name == "ms":
+            # DateValueSourceParser: ms() = request NOW (epoch millis,
+            # one value per request — Solr's single-NOW semantics),
+            # ms(a) = a, ms(a,b) = a - b; date doc values are epoch-ms
+            # numerics in this engine
+            if len(node.args) == 0:
+                return Const(float(stats["now_ms"]))
+            if len(node.args) == 1:
+                return bind_index_stats(node.args[0], stats)
+            a, b = node.args
+            return Func("sub", (bind_index_stats(a, stats),
+                                bind_index_stats(b, stats)))
+        if node.name in ("ord", "rord"):
+            (arg,) = node.args
+            pref = (ORD_PSEUDO_PREFIX if node.name == "ord"
+                    else RORD_PSEUDO_PREFIX)
+            return Field(pref + arg.name)
         return Func(node.name,
                     tuple(bind_index_stats(a, stats) for a in node.args))
     return node
@@ -260,10 +323,14 @@ def parse_func(expr: str):
             if t not in FUNCTIONS:
                 raise ValueError(f"unknown function {t!r}")
             arity = FUNCTIONS[t][0]
-            if arity is not None and len(args) != arity:
+            if isinstance(arity, tuple):
+                if len(args) not in arity:
+                    raise ValueError(
+                        f"{t} takes {arity} args, got {len(args)}")
+            elif arity is not None and len(args) != arity:
                 raise ValueError(
                     f"{t} takes {arity} args, got {len(args)}")
-            if arity is None and len(args) < 2:
+            elif arity is None and len(args) < 2:
                 raise ValueError(f"{t} takes >=2 args")
             return Func(t, tuple(args))
         return Field(t)
@@ -365,7 +432,11 @@ def parse_infix(expr: str):
             if t not in FUNCTIONS:
                 raise ValueError(f"unknown function {t!r}")
             arity = FUNCTIONS[t][0]
-            if arity is not None and len(args) != arity:
+            if isinstance(arity, tuple):
+                if len(args) not in arity:
+                    raise ValueError(
+                        f"{t} expects {arity} args, got {len(args)}")
+            elif arity is not None and len(args) != arity:
                 raise ValueError(
                     f"{t} expects {arity} args, got {len(args)}")
             return Func(t, tuple(args))

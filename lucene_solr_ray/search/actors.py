@@ -39,6 +39,19 @@ class SearchActor:
                 out[t] = out.get(t, 0) + d
         return out
 
+    def local_unique_docvalues(self, fields: list[str]) -> dict[str, list]:
+        """Per-actor distinct non-null doc values — partials the driver
+        merges into the global ordinal table for ord()/rord()."""
+        import numpy as np
+
+        out: dict[str, set] = {f: set() for f in fields}
+        for sh in self.searchers:
+            all_docs = np.arange(sh.base, sh.base + sh.docs_per_shard)
+            for f in fields:
+                vals = sh.docvalues_local(f, all_docs)
+                out[f].update(x for x in vals if x is not None)
+        return {f: sorted(v) for f, v in out.items()}
+
     def local_term_stats(self, terms: list[str]
                          ) -> tuple[dict[str, int], dict[str, int]]:
         """(df, ttf) partials for the index-statistics ValueSources
@@ -254,7 +267,10 @@ class SearchActor:
         import pyarrow as pa
 
         from ..functions import parse_func
-        from ..functions.valuesource import (NORM_PSEUDO_FIELD,
+        from ..functions.valuesource import (EXISTS_PSEUDO_PREFIX,
+                                             NORM_PSEUDO_FIELD,
+                                             ORD_PSEUDO_PREFIX,
+                                             RORD_PSEUDO_PREFIX,
                                              TF_PSEUDO_PREFIX, Field,
                                              Func, bind_index_stats,
                                              eval_expr)
@@ -292,6 +308,27 @@ class SearchActor:
                     cols[f] = pa.array(
                         sh.local_termfreq(f[len(TF_PSEUDO_PREFIX):], docs),
                         type=pa.float64())
+                    continue
+                if f.startswith(EXISTS_PSEUDO_PREFIX):
+                    vals = sh.docvalues_local(
+                        f[len(EXISTS_PSEUDO_PREFIX):], docs)
+                    cols[f] = pa.array(np.asarray(
+                        [0.0 if x is None else 1.0 for x in vals]),
+                        type=pa.float64())
+                    continue
+                if f.startswith(ORD_PSEUDO_PREFIX) or \
+                        f.startswith(RORD_PSEUDO_PREFIX):
+                    from .features import picked_ordinals
+
+                    rev = f.startswith(RORD_PSEUDO_PREFIX)
+                    pref = (RORD_PSEUDO_PREFIX if rev
+                            else ORD_PSEUDO_PREFIX)
+                    fname = f[len(pref):]
+                    uniq = (stats or {}).get("ord_uniques", {}) \
+                        .get(fname, [])
+                    vals = sh.docvalues_local(fname, docs)
+                    cols[f] = pa.array(picked_ordinals(vals, uniq, rev),
+                                       type=pa.float64())
                     continue
                 vals = sh.docvalues_local(f, docs)
                 # missing doc values evaluate as 0 (FunctionScoreQuery)
@@ -769,12 +806,22 @@ class DistributedSearcher:
         accessors in the boost are bound driver-side (global df) and
         shipped as constants; norm() resolves on the shards."""
         from ..functions import parse_func
-        from ..functions.valuesource import stats_terms
+        from ..functions.valuesource import ord_fields, stats_terms
         from .features import index_stats
 
         parsed = self.parse(query) if isinstance(query, str) else query
         df = self._stats_phase(parsed)
-        stats = index_stats(self, stats_terms(parse_func(boost_expr)))
+        ast = parse_func(boost_expr)
+        stats = index_stats(self, stats_terms(ast))
+        ofields = sorted(ord_fields(ast))
+        if ofields:
+            # ord()/rord(): merge per-actor distinct-value partials into
+            # one global ordinal table, shipped with the stats
+            per = ray.get([a.local_unique_docvalues.remote(ofields)
+                           for a in self.actors])
+            stats["ord_uniques"] = {
+                f: sorted(set().union(*[set(p[f]) for p in per]))
+                for f in ofields}
         partials = ray.get([a.boosted_partial.remote(parsed, df, boost_expr,
                                                      k, stats)
                             for a in self.actors])

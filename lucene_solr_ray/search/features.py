@@ -330,10 +330,51 @@ def index_stats(searcher, terms: set[str]) -> dict:
                     ttf[t] = ttf.get(t, 0) + d
         else:  # DistributedSearcher: one term-stats scatter round
             df, ttf = searcher.global_term_stats(sorted(terms))
+    import time
+
     return {"docfreq": df, "ttf": ttf,
             "numdocs": stats["num_docs"] - n_del,
             "maxdoc": stats["num_docs"],
-            "sumttf": stats["sum_total_term_freq"]}
+            "sumttf": stats["sum_total_term_freq"],
+            # ms(): one NOW per request (Solr's DateMathParser NOW
+            # pinning), computed driver-side so every shard agrees
+            "now_ms": time.time() * 1000.0}
+
+
+def global_uniques(vals) -> list:
+    """Sorted distinct non-null values of a doc-value column — the
+    ordinal table ord()/rord() rank against (OrdFieldSource semantics:
+    rank in index value order)."""
+    if vals is None:
+        return []
+    return sorted({x for x in vals if x is not None})
+
+
+def picked_ordinals(picked, uniq: list, reverse: bool) -> "np.ndarray":
+    """ord()/rord() for already-picked per-hit values: 1-based rank of
+    each value in ``uniq`` (0 = missing); rord = n_uniq + 1 - ord
+    (OrdFieldSource / ReverseOrdFieldSource semantics)."""
+    import numpy as np
+
+    out = np.zeros(len(picked), dtype=np.float64)
+    if not uniq:
+        return out
+    lookup = {v: i + 1 for i, v in enumerate(uniq)}
+    n = len(uniq)
+    for i, x in enumerate(picked):
+        o = lookup.get(x, 0)
+        if o:
+            out[i] = (n + 1 - o) if reverse else o
+    return out
+
+
+def ordinal_column(vals, docs, uniq: list, reverse: bool) -> "np.ndarray":
+    """Per-hit ord()/rord() over a full doc-value column."""
+    import numpy as np
+
+    if vals is None:
+        return np.zeros(len(docs), dtype=np.float64)
+    return picked_ordinals(vals[docs], uniq, reverse)
 
 
 def decoded_norms(searcher, docs):
@@ -359,7 +400,10 @@ def boosted_search(searcher: IndexSearcher, query: Query | str,
     import pyarrow as pa
 
     from ..functions import parse_func
-    from ..functions.valuesource import (NORM_PSEUDO_FIELD,
+    from ..functions.valuesource import (EXISTS_PSEUDO_PREFIX,
+                                         NORM_PSEUDO_FIELD,
+                                         ORD_PSEUDO_PREFIX,
+                                         RORD_PSEUDO_PREFIX,
                                          TF_PSEUDO_PREFIX, Field, Func,
                                          bind_index_stats, eval_expr,
                                          stats_terms, uses_norm)
@@ -382,8 +426,9 @@ def boosted_search(searcher: IndexSearcher, query: Query | str,
     docs, scores = _all_hits(searcher, query)
     if len(docs) == 0:
         return []
+    fields = fields_of(ast)
     cols = {}
-    for f in sorted(fields_of(ast)):
+    for f in sorted(fields):
         if f == NORM_PSEUDO_FIELD:
             cols[f] = pa.array(decoded_norms(searcher, docs),
                                type=pa.float64())
@@ -398,8 +443,30 @@ def boosted_search(searcher: IndexSearcher, query: Query | str,
                     tf[m] = sh.local_termfreq(term, docs[m])
             cols[f] = pa.array(tf, type=pa.float64())
             continue
+        if f.startswith(EXISTS_PSEUDO_PREFIX):
+            fname = f[len(EXISTS_PSEUDO_PREFIX):]
+            vals = searcher.docvalues(fname)
+            ex = (np.zeros(len(docs)) if vals is None else np.asarray(
+                [0.0 if x is None else 1.0 for x in vals[docs]]))
+            cols[f] = pa.array(ex, type=pa.float64())
+            continue
+        if f.startswith(ORD_PSEUDO_PREFIX) or \
+                f.startswith(RORD_PSEUDO_PREFIX):
+            rev = f.startswith(RORD_PSEUDO_PREFIX)
+            pref = RORD_PSEUDO_PREFIX if rev else ORD_PSEUDO_PREFIX
+            fname = f[len(pref):]
+            vals = searcher.docvalues(fname)
+            cols[f] = pa.array(
+                ordinal_column(vals, docs, global_uniques(vals), rev),
+                type=pa.float64())
+            continue
         vals = searcher.docvalues(f)
         if vals is None:
+            # def(f, d) lowers to if(exists(f), f, d): an unindexed f
+            # evaluates as 0 under exists()=0, not an error
+            if EXISTS_PSEUDO_PREFIX + f in fields:
+                cols[f] = pa.array(np.zeros(len(docs)), type=pa.float64())
+                continue
             raise KeyError(f"field {f!r} was not indexed as a doc value")
         # missing doc values evaluate as 0 (FunctionScoreQuery semantics),
         # not TypeError from a None in the float64 cast

@@ -312,11 +312,14 @@ class ShardSearcher:
         if field not in self._dv_cols:
             part = Path(self.index_dir) / "norms" / f"doc_shard={self.shard_id}"
             arr = np.empty(self.docs_per_shard, dtype=object)
-            if part.exists():
+            first = next(part.glob("*.parquet"), None) \
+                if part.exists() else None
+            if first is not None and field in pq.read_schema(first).names:
                 t = pq.read_table(part, columns=["doc_id", field])
                 ids = t.column("doc_id").to_numpy(zero_copy_only=False)
                 arr[ids - self.base] = np.asarray(
                     t.column(field).to_pylist(), dtype=object)
+            # unknown field: all-None column (exists()=0 semantics)
             self._dv_cols[field] = arr
         return self._dv_cols[field][docs - self.base]
 

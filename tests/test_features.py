@@ -342,3 +342,85 @@ def test_termfreq_distributed_parity(built_index, ray_session):
             assert abs(float(gs) - float(ws)) < 1e-9
     finally:
         dist.close()
+
+
+def test_exists_def_ms_ord_rord(built_index):
+    """exists()/def()/ms()/ord()/rord() (Solr ValueSourceParser:
+    exists → SimpleBoolFunction, def → DefFunction, ms →
+    DateValueSourceParser, ord/rord → OrdFieldSource /
+    ReverseOrdFieldSource): recompute each against raw doc values."""
+    from lucene_solr_ray.functions import parse_func
+    from lucene_solr_ray.functions.valuesource import bind_index_stats
+    from lucene_solr_ray.search.features import (_all_hits, boosted_search,
+                                                 global_uniques,
+                                                 index_stats)
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    s = IndexSearcher(built_index)
+    docs, scores = _all_hits(s, "ray")
+    tvals = s.docvalues("turn_idx")
+
+    # exists(turn_idx) == 1 for docs carrying the docvalue
+    got = dict(boosted_search(s, "ray", "exists(turn_idx)", k=1 << 20))
+    for d, bm in zip(docs, scores):
+        want = float(bm) * (0.0 if tvals[int(d)] is None else 1.0)
+        assert abs(got[int(d)] - want) < 1e-6
+
+    # def() on an unindexed field falls back to the default, not KeyError
+    got = dict(boosted_search(s, "ray", "def(nosuchfield,2.5)", k=1 << 20))
+    for d, bm in zip(docs, scores):
+        assert abs(got[int(d)] - float(bm) * 2.5) < 1e-6
+
+    # def() on an indexed field passes the value through
+    got = dict(boosted_search(s, "ray", "sum(1,def(turn_idx,99))",
+                              k=1 << 20))
+    for d, bm in zip(docs, scores):
+        v = tvals[int(d)]
+        want = float(bm) * (1.0 + (99.0 if v is None else float(v)))
+        assert abs(got[int(d)] - want) < 1e-6 * max(1.0, abs(want))
+
+    # ms(a, b) = a - b; ms() = request NOW in epoch millis
+    got = dict(boosted_search(s, "ray", "ms(turn_idx,turn_idx)", k=1 << 20))
+    assert all(abs(v) < 1e-9 for v in got.values())
+    import time
+    st = index_stats(s, set())
+    assert abs(st["now_ms"] - time.time() * 1000.0) < 60_000
+
+    # ord/rord: rank among sorted distinct turn_idx values
+    uniq = global_uniques(tvals)
+    n = len(uniq)
+    rank = {v: i + 1 for i, v in enumerate(uniq)}
+    got_o = dict(boosted_search(s, "ray", "ord(turn_idx)", k=1 << 20))
+    got_r = dict(boosted_search(s, "ray", "rord(turn_idx)", k=1 << 20))
+    for d, bm in zip(docs, scores):
+        v = tvals[int(d)]
+        o = 0 if v is None else rank[v]
+        r = 0 if o == 0 else n + 1 - o
+        assert abs(got_o[int(d)] - float(bm) * o) < 1e-6 * max(1.0, o)
+        assert abs(got_r[int(d)] - float(bm) * r) < 1e-6 * max(1.0, r)
+
+    # arity validation: ms takes 0-2 args
+    with pytest.raises(ValueError):
+        parse_func("ms(a,b,c)")
+    # exists/ord reject non-field args at bind time
+    with pytest.raises(ValueError):
+        bind_index_stats(parse_func("exists(sum(x,1))"), st)
+
+
+def test_exists_ord_distributed_parity(built_index, ray_session):
+    from lucene_solr_ray.search.actors import DistributedSearcher
+    from lucene_solr_ray.search.features import boosted_search
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    s = IndexSearcher(built_index)
+    dist = DistributedSearcher(built_index, num_actors=2)
+    try:
+        for expr in ("sum(exists(turn_idx),def(nosuchfield,2.5))",
+                     "sum(mul(ord(turn_idx),0.1),rord(turn_idx))"):
+            want = boosted_search(s, "ray", expr, k=8)
+            got = dist.boosted_search("ray", expr, k=8)
+            assert [d for d, _ in got] == [d for d, _ in want], expr
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(float(gs) - float(ws)) < 1e-9
+    finally:
+        dist.close()
