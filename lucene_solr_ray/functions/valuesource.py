@@ -67,6 +67,29 @@ def _scale(x, lo, hi):
                               pc.subtract(hi, lo)), lo)
 
 
+def _np_kernel(fn: Callable, *args):
+    """Run a numpy-vectorized kernel over pyarrow inputs (for formulas
+    with no direct pyarrow.compute spelling, e.g. haversine)."""
+    def unbox(x):
+        if isinstance(x, pa.Scalar):
+            return x.as_py()
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        return x.to_numpy(zero_copy_only=False)
+
+    out = fn(*(unbox(a) for a in args))
+    if np.ndim(out) == 0:
+        return pa.scalar(float(out), type=pa.float64())
+    return pa.array(np.asarray(out, dtype=np.float64), type=pa.float64())
+
+
+def _hsin_rad(radius, x1, y1, x2, y2):
+    """Haversine over radian coordinates, scaled by ``radius``."""
+    a = (np.sin((x2 - x1) / 2.0) ** 2
+         + np.cos(x1) * np.cos(x2) * np.sin((y2 - y1) / 2.0) ** 2)
+    return 2.0 * radius * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
 FUNCTIONS: dict[str, tuple[Any, Callable]] = {
     # arithmetic (SumFloatFunction etc.)
     "sum": (None, _variadic(pc.add)),
@@ -100,6 +123,26 @@ FUNCTIONS: dict[str, tuple[Any, Callable]] = {
                                          a, b)),
     # expressions-module operator kernels (JavascriptCompiler lowering):
     # comparisons yield 1.0/0.0, % is C-style fmod (truncated division)
+    # geo / vector distances (ValueSourceParser: geodist, hsin,
+    # sqedist, dist — solr/core/.../search/function/distance/)
+    # geodist(lat1,lon1,lat2,lon2): degrees in, great-circle km out
+    "geodist": (4, lambda a, b, c, d: _np_kernel(
+        lambda w, x, y, z: __import__(
+            "lucene_solr_ray.pipelines.geo", fromlist=["haversine_km"])
+        .haversine_km(w, x, y, z), a, b, c, d)),
+    # hsin(radius, x1,y1,x2,y2): HaversineFunction — RADIANS in,
+    # distance out in the radius' unit (the reference's default
+    # convertToRadians=false path)
+    "hsin": (5, lambda r, x1, y1, x2, y2: _np_kernel(_hsin_rad,
+                                                     r, x1, y1, x2, y2)),
+    # sqedist/dist: 2-D squared-euclidean / Minkowski-p
+    "sqedist": (4, lambda x1, y1, x2, y2: pc.add(
+        pc.power(pc.subtract(x1, x2), pa.scalar(2.0)),
+        pc.power(pc.subtract(y1, y2), pa.scalar(2.0)))),
+    "dist": (5, lambda p, x1, y1, x2, y2: pc.power(
+        pc.add(pc.power(pc.abs(pc.subtract(x1, x2)), p),
+               pc.power(pc.abs(pc.subtract(y1, y2)), p)),
+        pc.divide(pa.scalar(1.0), p))),
     "neg": (1, pc.negate),
     "mod": (2, lambda a, b: pc.subtract(
         a, pc.multiply(pc.trunc(pc.divide(a, b)), b))),
@@ -142,6 +185,9 @@ FUNCTIONS.update({
     # exists(f) (SimpleBoolFunction over FieldValueSource), def(f,d)
     # (DefFunction), ms() date math (DateValueSourceParser), ord/rord
     # (OrdFieldSource / ReverseOrdFieldSource)
+    # IDFValueSource routed through the engine's one similarity (BM25),
+    # like the reference routes it through the schema similarity
+    "idf": (1, _unbound("idf")),
     "exists": (1, _unbound("exists")),
     "def": (2, _unbound("def")),
     "ms": ((0, 1, 2), _unbound("ms")),
@@ -167,7 +213,7 @@ def stats_terms(node) -> set[str]:
     """Terms referenced by the per-term global-statistics accessors
     (docfreq / totaltermfreq) in an AST."""
     if isinstance(node, Func):
-        if node.name in ("docfreq", "totaltermfreq"):
+        if node.name in ("docfreq", "totaltermfreq", "idf"):
             (arg,) = node.args
             if not isinstance(arg, Field):
                 raise ValueError(f"{node.name}() takes a bare term")
@@ -235,6 +281,14 @@ def bind_index_stats(node, stats: dict):
             return Const(float(stats.get("ttf", {}).get(arg.name, 0)))
         if node.name == "sumtotaltermfreq":
             return Const(float(stats["sumttf"]))
+        if node.name == "idf":
+            # the engine's similarity is BM25 (bm25.py idf formula),
+            # mirroring IDFValueSource's route through the schema sim
+            (arg,) = node.args
+            from ..search import bm25
+
+            return Const(float(bm25.idf(
+                stats["docfreq"].get(arg.name, 0), stats["numdocs"])))
         if node.name == "numdocs":
             return Const(float(stats["numdocs"]))
         if node.name == "maxdoc":

@@ -424,3 +424,27 @@ def test_exists_ord_distributed_parity(built_index, ray_session):
                 assert abs(float(gs) - float(ws)) < 1e-9
     finally:
         dist.close()
+
+
+def test_idf_valuesource(built_index, ray_session):
+    """idf(term) binds to the engine similarity's idf (IDFValueSource
+    routed through BM25, bm25.py:29): recompute + distributed parity."""
+    from lucene_solr_ray.search import bm25
+    from lucene_solr_ray.search.actors import DistributedSearcher
+    from lucene_solr_ray.search.features import (_all_hits, boosted_search,
+                                                 index_stats)
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    s = IndexSearcher(built_index)
+    st = index_stats(s, {"ray"})
+    want_idf = float(bm25.idf(st["docfreq"]["ray"], st["numdocs"]))
+    got = dict(boosted_search(s, "ray", "idf(ray)", k=1 << 20))
+    docs, scores = _all_hits(s, "ray")
+    for d, bm in zip(docs, scores):
+        assert abs(got[int(d)] - float(bm) * want_idf) < 1e-6
+    dist = DistributedSearcher(built_index, num_actors=2)
+    try:
+        assert dist.boosted_search("ray", "idf(ray)", k=5) == \
+            boosted_search(s, "ray", "idf(ray)", k=5)
+    finally:
+        dist.close()

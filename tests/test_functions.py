@@ -186,3 +186,34 @@ def test_unary_minus_binds_looser_than_pow():
         vals = [got.as_py()] * 2 if isinstance(got, pa.Scalar) else \
             got.to_pylist()
         assert vals == want, expr
+
+
+def test_distance_kernels():
+    """geodist/hsin/sqedist/dist (solr/core/.../search/function/distance/
+    HaversineFunction.java, SquaredEuclideanFunction, VectorDistanceFunction):
+    vectorized over Arrow columns, scalar-broadcast constants."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.functions.valuesource import eval_expr, parse_func
+    from lucene_solr_ray.pipelines.geo import haversine_km
+
+    t = pa.table({"lat": pa.array([0.0, 48.8566, -33.8688]),
+                  "lon": pa.array([0.0, 2.3522, 151.2093]),
+                  "x": pa.array([1.0, 2.0, 3.0]),
+                  "y": pa.array([4.0, 6.0, 8.0])})
+    # geodist == the geo module's haversine (degrees in, km out)
+    got = eval_expr(parse_func("geodist(lat,lon,40.7128,-74.0060)"), t)
+    want = haversine_km(np.array([0.0, 48.8566, -33.8688]),
+                        np.array([0.0, 2.3522, 151.2093]),
+                        40.7128, -74.0060)
+    assert np.allclose(got.to_numpy(), want)
+    # hsin on radian coords with unit radius
+    got = eval_expr(parse_func("hsin(1.0,0.0,0.0,0.0,1.5707963)"), t)
+    assert abs(float(got.as_py()) - 1.5707963) < 1e-5
+    # sqedist / dist: Minkowski p=2 == sqrt of sqedist
+    sq = eval_expr(parse_func("sqedist(x,y,0,0)"), t).to_numpy()
+    d2 = eval_expr(parse_func("dist(2,x,y,0,0)"), t).to_numpy()
+    assert np.allclose(np.sqrt(sq), d2)
+    d1 = eval_expr(parse_func("dist(1,x,y,0,0)"), t).to_numpy()
+    assert np.allclose(d1, [5.0, 8.0, 11.0])
