@@ -140,6 +140,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": dedup.simhash_neardup,
         "lang_id": textstats.lang_id,
         "doc_fingerprints": textstats.fingerprints,
+        # phonetic analysis as a pipeline statistic (PhoneticFilter /
+        # commons-codec Soundex; encoder runs over distinct terms only)
+        "phonetic_keys_docs": textstats.phonetic_keys_docs,
+        # search-result clustering (ClusteringComponent / Carrot2 Lingo)
+        "cluster_topk_docs": fulltext.cluster_topk_docs,
         # payload scoring (PayloadScoreQuery over synthetic annotations)
         "payload_avg_docs": __import__(
             "lucene_solr_ray.search.payloads",

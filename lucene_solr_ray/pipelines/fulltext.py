@@ -161,3 +161,32 @@ def docfreq_boost_docs(sf_dir: str, term: str = "data") -> pa.Table:
         "doc_id": pa.array(docs, type=pa.int64()),
         "boost": pa.array(np.full(len(docs), val), type=pa.float64()),
     })
+
+
+def cluster_topk_docs(sf_dir: str, query: str = "table scan merge",
+                      top_n: int = 60, n_clusters: int = 4) -> pa.Table:
+    """Search-result clustering over the documents index
+    (ClusteringComponent / Carrot2 Lingo analog,
+    ``solr/contrib/clustering/.../CarrotClusteringEngine.java:103``):
+    one row per (cluster, member) with the cluster's centroid label and
+    cohesion. Deterministic (seed=0) — rows-only driver check; the
+    kmeans/labeling kernels are oracle-tested in tests/test_clustering.py."""
+    from ..search.clustering import cluster_results
+
+    idx = docs_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    clusters = cluster_results(searcher, query, top_n=top_n,
+                               n_clusters=n_clusters, seed=0)
+    rows = []
+    for ci, cl in enumerate(clusters):
+        for rank, (doc_id, score) in enumerate(cl["docs"]):
+            rows.append((ci, cl["label"], round(cl["score"], 6),
+                         rank, doc_id, float(score)))
+    return pa.table({
+        "cluster": pa.array([r[0] for r in rows], type=pa.int64()),
+        "label": pa.array([r[1] for r in rows]),
+        "cohesion": pa.array([r[2] for r in rows], type=pa.float64()),
+        "rank": pa.array([r[3] for r in rows], type=pa.int64()),
+        "doc_id": pa.array([r[4] for r in rows], type=pa.int64()),
+        "score": pa.array([r[5] for r in rows], type=pa.float64()),
+    })

@@ -218,3 +218,52 @@ def bpe_token_counts(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def phonetic_keys_docs(sf_dir: str, limit: int = 25):
+    """Top Soundex buckets over the documents vocabulary: code ->
+    (distinct terms, total occurrences), occurrences desc / code asc.
+
+    PhoneticFilter applied as a pipeline statistic
+    (``lucene/analysis/phonetic/.../PhoneticFilter.java:36``,
+    ``commons-codec Soundex``): the per-word encoder is Python, so it
+    runs over DISTINCT terms only — the per-batch explode is vectorized,
+    the bucketed term shuffle merges (term, ttf) partials, and only the
+    merged vocabulary (≪ token stream at any scale) pays the encoder
+    call. The final per-code rollup is a few hundred rows."""
+    from ..analysis.phonetic import soundex
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        _, terms = _explode_terms(t)
+        ttf = pd.Series(terms).value_counts(sort=False)
+        return pd.DataFrame({"term": ttf.index.to_numpy(),
+                             "ttf": ttf.to_numpy().astype(np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False)["ttf"].sum().reset_index()
+        out["ttf"] = out["ttf"].astype(np.int64)
+        return out
+
+    vocab = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["term"], merge)
+
+    def encode(g: pd.DataFrame) -> pd.DataFrame:
+        codes = g["term"].map(soundex)
+        out = g.groupby(codes)["ttf"].agg(["count", "sum"]).reset_index()
+        out.columns = ["code", "n_terms", "occurrences"]
+        return out
+
+    per_code = (vocab.map_batches(encode, batch_format="pandas")
+                .groupby("code")
+                .sum(["n_terms", "occurrences"]))
+    t = per_code.to_pandas()
+    t.columns = ["code", "n_terms", "occurrences"]
+    t = t[t["code"] != ""]
+    t = (t.sort_values(["occurrences", "code"],
+                       ascending=[False, True])
+         .head(limit).reset_index(drop=True))
+    t["n_terms"] = t["n_terms"].astype(np.int64)
+    t["occurrences"] = t["occurrences"].astype(np.int64)
+    return t

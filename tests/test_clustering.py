@@ -93,3 +93,21 @@ def test_cluster_degenerate_single_doc(topic_index):
     out = cluster_results(s, "recipe", top_n=5, n_clusters=3)
     # one matching doc -> one catch-all cluster
     assert len(out) == 1 and len(out[0]["docs"]) == 1
+
+
+def test_cluster_topk_docs_driver_shape(ray_session):
+    """Driver query: deterministic, every member row carries its
+    cluster's label, clusters ordered by size desc."""
+    from lucene_solr_ray.pipelines.fulltext import cluster_topk_docs
+
+    t1 = cluster_topk_docs("/root/testdata/sf0.001").to_pandas()
+    t2 = cluster_topk_docs("/root/testdata/sf0.001").to_pandas()
+    pd_testing = __import__("pandas.testing", fromlist=["assert_frame_equal"])
+    pd_testing.assert_frame_equal(t1, t2)
+    assert len(t1) > 0
+    sizes = t1.groupby("cluster").size()
+    assert list(sizes.index) == sorted(sizes.index)
+    assert list(sizes) == sorted(sizes, reverse=True)
+    # per-cluster ranks are contiguous from 0
+    for _, g in t1.groupby("cluster"):
+        assert list(g["rank"]) == list(range(len(g)))

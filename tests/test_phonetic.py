@@ -132,3 +132,34 @@ def test_phonetic_match_end_to_end(ray_session, tmp_path):
     assert got == {0, 1}
     # exact spelling outranks phonetic-only (inject keeps the original)
     assert hits[0][0] == 1
+
+
+def test_phonetic_keys_docs_matches_recompute(ray_session):
+    """The distributed vocab->soundex rollup equals a single-process
+    pandas recompute over the same parquet."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis.phonetic import soundex
+    from lucene_solr_ray.pipelines.textstats import phonetic_keys_docs
+
+    got = phonetic_keys_docs("/root/testdata/sf0.001", limit=25)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text"]).to_pandas()
+    terms = pd.Series(
+        [w for txt in docs["text"]
+         for w in re.split("[^a-z0-9]+", txt.lower()) if w])
+    vocab = terms.value_counts()
+    codes = vocab.index.map(soundex)
+    df = pd.DataFrame({"code": codes, "ttf": vocab.to_numpy()})
+    df = df[df["code"] != ""]
+    want = (df.groupby("code")["ttf"].agg(["count", "sum"]).reset_index()
+            .rename(columns={"count": "n_terms", "sum": "occurrences"})
+            .sort_values(["occurrences", "code"], ascending=[False, True])
+            .head(25).reset_index(drop=True))
+    assert list(got["code"]) == list(want["code"])
+    assert list(got["n_terms"]) == list(want["n_terms"])
+    assert list(got["occurrences"]) == list(want["occurrences"])
