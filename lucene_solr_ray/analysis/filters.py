@@ -427,3 +427,47 @@ def make_stemmer_override_filter(overrides: dict[str, str],
         return [(overrides.get(t) or stem(t), p) for t, p in tokens]
 
     return stemmer_override_filter
+
+
+def icu_normalize_filter(tokens: TokenStream) -> TokenStream:
+    """ICUNormalizer2Filter analog (``lucene/analysis/icu/.../
+    ICUNormalizer2Filter.java:30``): the reference's default is NFKC +
+    case folding (nfkc_cf). Python's unicodedata provides NFKC; simple
+    casefold() approximates UTS#46 case folding (no ICU in this
+    container — behavior divergence is limited to the small set of
+    full-casefold expansions ICU adds on top)."""
+    out = []
+    for t, p in tokens:
+        n = unicodedata.normalize("NFKC", t).casefold()
+        if n:
+            out.append((n, p))
+    return out
+
+
+def make_common_grams_filter(common: frozenset[str] | set[str] | None = None
+                             ) -> Filter:
+    """CommonGramsFilter (``lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java:43``): for each adjacent pair where either
+    word is a common word, ALSO emit the bigram ``a_b`` at the first
+    word's position — keeping unigrams, so stopword-adjacent phrases
+    ("the who") stay searchable as one precise token without dropping
+    recall."""
+    words = frozenset(common if common is not None else ENGLISH_STOP_WORDS)
+
+    def common_grams_filter(tokens: TokenStream) -> TokenStream:
+        out: TokenStream = []
+        for i, (t, p) in enumerate(tokens):
+            out.append((t, p))
+            if i + 1 < len(tokens):
+                nt, np_ = tokens[i + 1]
+                # only adjacent positions pair up (no gram across a hole)
+                if np_ == p + 1 and (t in words or nt in words):
+                    out.append((f"{t}_{nt}", p))
+        return out
+
+    return common_grams_filter
+
+
+CUSTOM_CHAINS["icu_folded"] = CustomAnalyzer([icu_normalize_filter])
+CUSTOM_CHAINS["common_grams"] = CustomAnalyzer(
+    [lowercase_filter, make_common_grams_filter()])

@@ -224,3 +224,39 @@ def test_stemmer_override_filter():
     out = f([("running", 0), ("jumping", 1)])
     assert out[0] == ("sprint", 0)
     assert out[1] == (porter_stem("jumping"), 1)
+
+
+def test_icu_normalize_filter():
+    """NFKC + casefold (ICUNormalizer2Filter's nfkc_cf default):
+    compatibility forms fold, case folds beyond simple lowercase."""
+    from lucene_solr_ray.analysis.filters import icu_normalize_filter
+
+    toks = [("ＦＵＬＬＷＩＤＴＨ", 0), ("ﬁle", 1), ("STRASSE", 2),
+            ("Straße", 3), ("½", 4)]
+    out = icu_normalize_filter(toks)
+    assert out == [("fullwidth", 0), ("file", 1), ("strasse", 2),
+                   ("strasse", 3), ("1⁄2", 4)]
+
+
+def test_common_grams_filter():
+    """CommonGramsFilter: bigram emitted at the first word's position
+    when either member is common; no gram across a position hole."""
+    from lucene_solr_ray.analysis.filters import make_common_grams_filter
+
+    f = make_common_grams_filter(common={"the", "of"})
+    out = f([("the", 0), ("who", 1), ("sound", 2), ("of", 3), ("music", 4)])
+    assert out == [("the", 0), ("the_who", 0), ("who", 1), ("sound", 2),
+                   ("sound_of", 2), ("of", 3), ("of_music", 3),
+                   ("music", 4)]
+    # hole (stopword removed earlier): positions 0,2 adjacent-in-list but
+    # not adjacent-in-position -> no bigram
+    assert f([("the", 0), ("music", 2)]) == [("the", 0), ("music", 2)]
+
+
+def test_new_chains_registered():
+    from lucene_solr_ray.analysis.filters import CUSTOM_CHAINS
+
+    terms, _ = CUSTOM_CHAINS["icu_folded"].analyze("Ｔｈｅ ﬁle")
+    assert terms == ["the", "file"]
+    terms, pos = CUSTOM_CHAINS["common_grams"].analyze("The Who rocks")
+    assert "the_who" in terms
