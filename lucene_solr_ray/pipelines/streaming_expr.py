@@ -161,6 +161,11 @@ def _eval_search(e: Expr, sf_dir: str) -> rd.Dataset:
                                     pc.less_equal(col, pa.scalar(hi))))
 
         ds = ds.map_batches(fil, batch_format="pyarrow")
+    if "rows" in e.params:  # bound the stream (CloudSolrStream rows)
+        if "sort" in e.params:
+            keys, desc = _sort_spec(e.params["sort"])
+            ds = ds.sort(keys, descending=desc)
+        ds = ds.limit(int(e.params["rows"]))
     return ds
 
 
@@ -212,6 +217,17 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
 
     if name == "search":
         return _eval_search(e, sf_dir)
+    if name == "daemon":
+        # daemon(id=.., runInterval=.., <inner>): returns the handle,
+        # not a Dataset — each iteration re-evaluates the inner stream
+        # (DaemonStream.java:39; start()/stop()/status() on the handle)
+        from .daemon import DaemonStream
+
+        (inner,) = [a for a in e.args if isinstance(a, Expr)]
+        return DaemonStream(
+            e.params.get("id", "daemon"),
+            lambda: evaluate(inner, sf_dir),
+            run_interval_ms=int(e.params.get("runInterval", 1000)))
     if name == "select":
         src = evaluate(e.args[0], sf_dir)
         cols, renames = [], {}

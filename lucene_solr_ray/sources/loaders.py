@@ -252,3 +252,66 @@ def load_enwiki_docs(path: str) -> rd.Dataset:
         })
 
     return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def load_sql(db_path: str, query: str, *,
+             partition_col: str | None = None,
+             num_partitions: int = 8) -> rd.Dataset:
+    """DataImportHandler / JdbcDataSource analog over DuckDB (the
+    container's public SQL engine): ``solr/contrib/dataimporthandler/
+    .../JdbcDataSource.java:62`` streams one JDBC ResultSet;
+    SqlEntityProcessor's split pattern shards by a key range. Here:
+
+    - ``partition_col=None`` — one read, like the reference's single
+      JDBC connection (fine for small dimension imports).
+    - ``partition_col='id'`` — the scale path: min/max probed once,
+      then each Ray task opens the database READ-ONLY and pulls one
+      ``WHERE col >= lo AND col < hi`` range, so the import fans out
+      across the cluster instead of funnelling through the driver.
+
+    ``query`` must be a plain SELECT; with partitioning it is wrapped
+    as a subquery and range-filtered on ``partition_col``.
+    """
+    import duckdb
+
+    if partition_col is None:
+        con = duckdb.connect(db_path, read_only=True)
+        try:
+            t = con.sql(query).arrow()
+        finally:
+            con.close()
+        return rd.from_arrow(t)
+
+    con = duckdb.connect(db_path, read_only=True)
+    try:
+        lo, hi = con.sql(
+            f"SELECT min({partition_col}), max({partition_col}) "
+            f"FROM ({query})").fetchone()
+    finally:
+        con.close()
+    if lo is None:
+        return rd.from_arrow(pa.table({}))
+    import numpy as np
+
+    bounds = np.linspace(float(lo), float(hi), num_partitions + 1)
+    ranges = [{"lo": float(bounds[i]), "hi": float(bounds[i + 1]),
+               "last": i == num_partitions - 1}
+              for i in range(num_partitions)]
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        tables = []
+        for row in batch.to_pylist():
+            op_hi = "<=" if row["last"] else "<"
+            c = duckdb.connect(db_path, read_only=True)
+            try:
+                tables.append(c.sql(
+                    f"SELECT * FROM ({query}) WHERE "
+                    f"{partition_col} >= {row['lo']} AND "
+                    f"{partition_col} {op_hi} {row['hi']}").arrow())
+            finally:
+                c.close()
+        return pa.concat_tables(tables)
+
+    return (rd.from_items(ranges)
+            .repartition(num_partitions)
+            .map_batches(fetch, batch_format="pyarrow", batch_size=1))
