@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": dedup.simhash_neardup,
         "lang_id": textstats.lang_id,
         "doc_fingerprints": textstats.fingerprints,
+        # PII scrubbing (training-data redaction stage; RE2 kernels)
+        "pii_redact_docs": textstats.pii_redact_docs,
         # phonetic analysis as a pipeline statistic (PhoneticFilter /
         # commons-codec Soundex; encoder runs over distinct terms only)
         "phonetic_keys_docs": textstats.phonetic_keys_docs,
@@ -429,6 +431,20 @@ def oracle_sql() -> dict[str, str]:
             "WHEN c.de >= c.fr AND c.de >= c.es THEN 'de' "
             "WHEN c.fr >= c.es THEN 'fr' ELSE 'es' END AS lang_pred "
             "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id",
+        "pii_redact_docs":
+            "WITH aug AS (SELECT doc_id, text || ' contact doc' || doc_id "
+            "|| '@example.com or +1-555-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t "
+            "FROM documents) SELECT doc_id, "
+            "regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), '\\+1-555-[0-9]{4}', '<PHONE>', 'g') "
+            "AS redacted, "
+            "len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS n_emails, "
+            "len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS n_phones "
+            "FROM aug",
         "doc_fingerprints":
             "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
             "list_transform(generate_series(1, least(length(lower(text)), "

@@ -267,3 +267,47 @@ def phonetic_keys_docs(sf_dir: str, limit: int = 25):
     t["n_terms"] = t["n_terms"].astype(np.int64)
     t["occurrences"] = t["occurrences"].astype(np.int64)
     return t
+
+
+# PII redaction patterns — RE2 syntax, so the SAME pattern runs in
+# pyarrow's kernel and the DuckDB oracle (both RE2-based)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_redact_docs(sf_dir: str):
+    """PII scrubbing over documents: redact emails/phones to typed
+    placeholder tokens and count matches per doc — the standard
+    LLM-training-data scrub stage, fully vectorized (two RE2
+    replace kernels + two count kernels per batch, no Python rows).
+
+    The synthetic corpus carries no PII, so each doc's text is first
+    augmented with a deterministic email+phone derived from doc_id —
+    the DuckDB oracle performs the identical derivation, so redaction
+    is verified end-to-end on text that actually contains matches."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = t.column("doc_id")
+        id_np = ids.to_numpy(zero_copy_only=False)
+        phone4 = pa.array(np.char.zfill(
+            (id_np % 10000).astype("U4"), 4))
+        aug = pc.binary_join_element_wise(
+            t.column("text"), pa.repeat(" contact doc", n),
+            pc.cast(ids, pa.string()),
+            pa.repeat("@example.com or +1-555-", n), phone4,
+            pa.repeat("", n))
+        red = pc.replace_substring_regex(
+            pc.replace_substring_regex(aug, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>")
+        return pa.table({
+            "doc_id": ids,
+            "redacted": red,
+            "n_emails": pc.count_substring_regex(
+                aug, PII_EMAIL_RE).cast(pa.int64()),
+            "n_phones": pc.count_substring_regex(
+                aug, PII_PHONE_RE).cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -174,3 +174,29 @@ def test_load_enwiki_docs(ray_session, tmp_path):
     assert out["id"].tolist() == ["10", "20"]
     assert out["title"].tolist() == ["Alpha", "Beta"]
     assert out["text"][0] == "alpha body text"
+
+
+def test_load_rich_docs_html(ray_session, tmp_path):
+    """Tika-analog extraction: HTML visible text + title, script/style
+    stripped, entities decoded; .txt passthrough; unknown formats raise
+    the declared stub error."""
+    import pytest
+
+    from lucene_solr_ray.sources.loaders import load_rich_docs
+
+    (tmp_path / "a.html").write_text(
+        "<html><head><title>Doc &amp; Title</title>"
+        "<style>body{color:red}</style></head>"
+        "<body><h1>Hello</h1><script>var x=1;</script>"
+        "<p>world &lt;tag&gt; text</p></body></html>")
+    (tmp_path / "b.txt").write_text("plain text body")
+    rows = {r["id"].rsplit("/", 1)[-1]: r
+            for r in load_rich_docs(str(tmp_path)).take_all()}
+    assert rows["a.html"]["title"] == "Doc & Title"
+    assert rows["a.html"]["text"] == "Hello world <tag> text"
+    assert rows["b.txt"]["text"] == "plain text body"
+
+    (tmp_path / "c.pdf").write_bytes(b"%PDF-1.4 fake")
+    with pytest.raises(Exception) as ei:
+        load_rich_docs(str(tmp_path)).take_all()
+    assert "no parser" in str(ei.value)
