@@ -151,6 +151,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_avg_docs": __import__(
             "lucene_solr_ray.search.payloads",
             fromlist=["payload_avg_docs"]).payload_avg_docs,
+        # AnalyzingSuggester (lucene/suggest FST lookup analog)
+        "suggest_docs_source": __import__(
+            "lucene_solr_ray.search.suggest",
+            fromlist=["suggest_docs_source"]).suggest_docs_source,
     }
 
 
@@ -445,6 +449,12 @@ def oracle_sql() -> dict[str, str]:
             "AS n_emails, "
             "len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS n_phones "
             "FROM aug",
+        "suggest_docs_source":
+            "WITH s AS (SELECT source AS surface, MAX(n_chars) AS weight "
+            "FROM documents WHERE source LIKE 'src1%' GROUP BY source) "
+            "SELECT surface, weight FROM s ORDER BY "
+            "(CASE WHEN surface = 'src1' THEN 0 ELSE 1 END), "
+            "weight DESC, surface LIMIT 5",
         "doc_fingerprints":
             "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
             "list_transform(generate_series(1, least(length(lower(text)), "

@@ -1,0 +1,391 @@
+"""Analyzing / Fuzzy / Infix suggesters (``lucene/suggest`` analog).
+
+Reference semantics:
+
+- ``AnalyzingSuggester`` (``lucene/suggest/src/java/org/apache/lucene/
+  search/suggest/analyzing/AnalyzingSuggester.java:69-117``): the surface
+  form is analyzed and the ANALYZED form becomes the lookup key (tokens
+  joined with SEP_LABEL 0x1f when preserveSep, ``:167,300-302``);
+  suggestions are the stored SURFACE forms. Lookup analyzes the query the
+  same way and matches entries whose analyzed key has the analyzed query
+  as a prefix. Results rank by weight desc, ties by analyzed form asc
+  (class javadoc: "tie-broken by the analyzed form"); with ``exactFirst``
+  (the default), entries whose analyzed form equals the query exactly are
+  returned before all prefix-only matches. At most
+  ``maxSurfaceFormsPerAnalyzedForm`` (default 256, ``:251-254,540-541``)
+  surfaces are kept per analyzed form (highest weights win). Empty-string
+  lookups return no results.
+
+- ``FuzzySuggester`` (``.../analyzing/FuzzySuggester.java:44-109``): like
+  AnalyzingSuggester but the analyzed query is matched with up to
+  ``maxEdits`` (default 1) Damerau-Levenshtein edits (``transpositions``
+  default true), the first ``nonFuzzyPrefix`` (default 1) characters must
+  match exactly, and no edits are allowed at all when the analyzed query
+  is shorter than ``minFuzzyLength`` (default 3). An entry matches when
+  SOME PREFIX of its analyzed key is within ``maxEdits`` of the analyzed
+  query (the Levenshtein automaton is intersected with the FST's prefix
+  paths, ``FSTUtil.java:intersectPrefixPaths``).
+
+- ``AnalyzingInfixSuggester`` (``.../analyzing/AnalyzingInfixSuggester.java``
+  javadoc + ``lookup()``): query tokens may match ANYWHERE in the analyzed
+  text, all fully-typed tokens must match exactly (allTermsRequired
+  default true), the final token matches as a prefix, results rank by
+  weight desc, and matched regions can be highlighted with ``<b>..</b>``.
+
+The FST itself is a Java memory optimization; the Ray-native equivalent
+is the same sorted-key-array + binary-search layout the term dictionary
+uses (``searcher.py:_TermDict``): prefix lookup = one ``bisect`` range
+probe, weights ranked with numpy. The BUILD is distributed — analysis
+runs as ``map_batches`` over Arrow batches and the (key, surface) →
+max-weight dedup is a bucketed vectorized shuffle — while the finished
+dictionary (distinct surface forms, term-dictionary scale, orders of
+magnitude smaller than the corpus) is held locally; at cluster scale one
+suggester per index shard merged like ``DistributedSearcher.suggest`` is
+the same pattern.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..analysis.analyzer import get_analyzer
+
+# TokenStreamToAutomaton remaps token separators to SEP_LABEL 0x1f when
+# preserveSep (AnalyzingSuggester.java:167,300-302).
+SEP_LABEL = "\x1f"
+
+DEFAULT_MAX_SURFACE_FORMS = 256   # AnalyzingSuggester.java:207
+DEFAULT_MAX_EDITS = 1             # FuzzySuggester.java:104
+DEFAULT_TRANSPOSITIONS = True     # FuzzySuggester.java:109
+DEFAULT_NON_FUZZY_PREFIX = 1      # FuzzySuggester.java:98
+DEFAULT_MIN_FUZZY_LENGTH = 3      # FuzzySuggester.java:93
+
+
+def _analyzed_key(analyzer, text: str, preserve_sep: bool) -> str:
+    toks = analyzer.analyze_terms(text)
+    return (SEP_LABEL if preserve_sep else "").join(toks)
+
+
+def build_entries(
+    ds: rd.Dataset,
+    text_field: str,
+    weight_field: str | None = None,
+    *,
+    analyzer: str = "standard",
+    preserve_sep: bool = True,
+    max_surface_forms: int = DEFAULT_MAX_SURFACE_FORMS,
+) -> pa.Table:
+    """Distributed suggester dictionary build.
+
+    Analysis is a vectorized-per-batch ``map_batches`` stage; the
+    (key, surface) → max(weight) dedup is a per-batch partial combine +
+    one bucketed shuffle (``bucketed_group_agg``), mirroring
+    DocumentDictionary (``suggest/DocumentDictionary.java``: weight read
+    from a field per doc) + the maxSurfaceFormsPerAnalyzedForm cap
+    (``AnalyzingSuggester.java:540-541``, highest weights kept).
+
+    Returns an Arrow table (key, surface, weight) sorted by key.
+    """
+    import pandas as pd
+
+    from ..pipelines.util import bucketed_group_agg, materialize_typed
+
+    aname = analyzer
+
+    class _Analyze:
+        def __init__(self):
+            self.analyzer = get_analyzer(aname)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            surfaces = batch.column(text_field).to_pylist()
+            if weight_field is not None:
+                weights = batch.column(weight_field).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+            else:
+                weights = np.ones(len(surfaces), dtype=np.int64)
+            keys = [_analyzed_key(self.analyzer, s or "", preserve_sep)
+                    for s in surfaces]
+            return pa.table({
+                "key": pa.array(keys, type=pa.string()),
+                "surface": pa.array(surfaces, type=pa.string()),
+                "weight": pa.array(weights, type=pa.int64()),
+            })
+
+    analyzed = ds.map_batches(_Analyze, batch_format="pyarrow",
+                              concurrency=(1, 8), num_cpus=1)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["key", "surface"], as_index=False)["weight"]
+                .max())
+
+    schema = pa.schema([("key", pa.string()), ("surface", pa.string()),
+                        ("weight", pa.int64())])
+    deduped = materialize_typed(
+        bucketed_group_agg(analyzed, ["key", "surface"], dedup, pre=dedup),
+        schema)
+    # dictionary-scale result (distinct surface forms) — local finish:
+    # sort by key, cap surfaces per analyzed form keeping highest weights.
+    df = deduped.to_pandas()
+    df = df[df["key"] != ""]
+    df = df.sort_values(["key", "weight", "surface"],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("key", as_index=False, sort=False).head(
+        max_surface_forms)
+    df = df.sort_values("key", kind="mergesort").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+
+
+class AnalyzingSuggester:
+    """Sorted-array suggester over analyzed forms (AnalyzingSuggester)."""
+
+    def __init__(self, entries: pa.Table, *, analyzer: str = "standard",
+                 preserve_sep: bool = True, exact_first: bool = True):
+        self.analyzer = get_analyzer(analyzer)
+        self.preserve_sep = preserve_sep
+        self.exact_first = exact_first
+        self._keys: list[str] = entries.column("key").to_pylist()
+        self._surfaces = np.asarray(entries.column("surface").to_pylist(),
+                                    dtype=object)
+        self._weights = entries.column("weight").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    @classmethod
+    def build(cls, ds: rd.Dataset, text_field: str,
+              weight_field: str | None = None, *,
+              analyzer: str = "standard", preserve_sep: bool = True,
+              exact_first: bool = True,
+              max_surface_forms: int = DEFAULT_MAX_SURFACE_FORMS):
+        entries = build_entries(
+            ds, text_field, weight_field, analyzer=analyzer,
+            preserve_sep=preserve_sep, max_surface_forms=max_surface_forms)
+        return cls(entries, analyzer=analyzer, preserve_sep=preserve_sep,
+                   exact_first=exact_first)
+
+    def _query_key(self, query: str) -> str:
+        return _analyzed_key(self.analyzer, query, self.preserve_sep)
+
+    def _prefix_range(self, prefix: str) -> tuple[int, int]:
+        lo = bisect.bisect_left(self._keys, prefix)
+        hi = bisect.bisect_left(self._keys, prefix + "\U0010ffff")
+        return lo, hi
+
+    def _rank(self, idx: np.ndarray, qkey: str, num: int):
+        """weight desc, analyzed key asc, surface asc; exactFirst pulls
+        key == qkey entries ahead (AnalyzingSuggester.java:146,class doc)."""
+        if len(idx) == 0:
+            return []
+        keys = np.asarray([self._keys[i] for i in idx], dtype=object)
+        order = sorted(
+            range(len(idx)),
+            key=lambda j: (
+                0 if (self.exact_first and keys[j] == qkey) else 1,
+                -int(self._weights[idx[j]]),
+                keys[j],
+                self._surfaces[idx[j]],
+            ))
+        picked = order[:num]
+        return [(str(self._surfaces[idx[j]]), int(self._weights[idx[j]]))
+                for j in picked]
+
+    def lookup(self, query: str, num: int = 5) -> list[tuple[str, int]]:
+        qkey = self._query_key(query)
+        if not qkey:
+            return []   # empty-string lookups return no results (class doc)
+        lo, hi = self._prefix_range(qkey)
+        return self._rank(np.arange(lo, hi), qkey, num)
+
+
+def _min_prefix_edit_distance(query: str, key: str, max_edits: int,
+                              transpositions: bool) -> int:
+    """min over prefixes p of ``key`` of DL(query, p), early-cut at
+    ``max_edits`` (the FuzzySuggester automaton-∩-FST-prefix-paths
+    equivalence). Only the first len(query)+max_edits key chars matter."""
+    q = query
+    n = len(q)
+    key = key[: n + max_edits]
+    prev2 = None
+    prev = np.arange(n + 1, dtype=np.int64)  # dp for empty key prefix
+    best = int(prev[n])                       # p = "" prefix
+    for i, kc in enumerate(key, start=1):
+        cur = np.empty(n + 1, dtype=np.int64)
+        cur[0] = i
+        for j in range(1, n + 1):
+            cost = 0 if q[j - 1] == kc else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (transpositions and i > 1 and j > 1
+                    and q[j - 1] == key[i - 2] and q[j - 2] == kc):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+        best = min(best, int(cur[n]))
+        if best == 0:
+            break
+        # row mins can dip once more via the two-rows-back transposition
+        # term, so require BOTH trailing rows above the cap before cutting
+        if int(cur.min()) > max_edits and int(prev.min()) > max_edits:
+            break
+        prev2, prev = prev, cur
+    return best
+
+
+class FuzzySuggester(AnalyzingSuggester):
+    """AnalyzingSuggester with Damerau-Levenshtein-tolerant lookup
+    (FuzzySuggester.java:44-109 defaults)."""
+
+    def __init__(self, entries: pa.Table, *, analyzer: str = "standard",
+                 preserve_sep: bool = True, exact_first: bool = True,
+                 max_edits: int = DEFAULT_MAX_EDITS,
+                 transpositions: bool = DEFAULT_TRANSPOSITIONS,
+                 non_fuzzy_prefix: int = DEFAULT_NON_FUZZY_PREFIX,
+                 min_fuzzy_length: int = DEFAULT_MIN_FUZZY_LENGTH):
+        super().__init__(entries, analyzer=analyzer,
+                         preserve_sep=preserve_sep, exact_first=exact_first)
+        self.max_edits = max_edits
+        self.transpositions = transpositions
+        self.non_fuzzy_prefix = non_fuzzy_prefix
+        self.min_fuzzy_length = min_fuzzy_length
+
+    @classmethod
+    def build(cls, ds: rd.Dataset, text_field: str,
+              weight_field: str | None = None, *,
+              analyzer: str = "standard", preserve_sep: bool = True,
+              max_surface_forms: int = DEFAULT_MAX_SURFACE_FORMS,
+              **fuzzy_opts):
+        entries = build_entries(
+            ds, text_field, weight_field, analyzer=analyzer,
+            preserve_sep=preserve_sep, max_surface_forms=max_surface_forms)
+        return cls(entries, analyzer=analyzer, preserve_sep=preserve_sep,
+                   **fuzzy_opts)
+
+    def lookup(self, query: str, num: int = 5) -> list[tuple[str, int]]:
+        qkey = self._query_key(query)
+        if not qkey:
+            return []
+        # no edits below minFuzzyLength (FuzzySuggester.java:93)
+        edits = self.max_edits if len(qkey) >= self.min_fuzzy_length else 0
+        if edits == 0:
+            return super().lookup(query, num)
+        nfp = min(self.non_fuzzy_prefix, len(qkey))
+        lo, hi = self._prefix_range(qkey[:nfp])
+        qtail = qkey[nfp:]
+        hits = [i for i in range(lo, hi)
+                if _min_prefix_edit_distance(
+                    qtail, self._keys[i][nfp:], edits,
+                    self.transpositions) <= edits]
+        return self._rank(np.asarray(hits, dtype=np.int64), qkey, num)
+
+
+def suggest_docs_source(sf_dir: str) -> pa.Table:
+    """Driver query: AnalyzingSuggester over ``documents.source``
+    (single-token surfaces) weighted by max ``n_chars``; lookup("src1")
+    top-5 with exactFirst. SQL-expressible because the analyzed key of a
+    lowercase single-token surface is the surface itself."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    sugg = AnalyzingSuggester.build(ds, "source", "n_chars")
+    hits = sugg.lookup("src1", num=5)
+    return pa.table({
+        "surface": pa.array([s for s, _ in hits], type=pa.string()),
+        "weight": pa.array([w for _, w in hits], type=pa.int64()),
+    })
+
+
+class AnalyzingInfixSuggester:
+    """Token-postings suggester: exact inner tokens + prefix last token,
+    ranked by weight desc (AnalyzingInfixSuggester javadoc/lookup)."""
+
+    def __init__(self, entries: pa.Table, *, analyzer: str = "standard",
+                 all_terms_required: bool = True):
+        self.analyzer = get_analyzer(analyzer)
+        self.all_terms_required = all_terms_required
+        self._surfaces = np.asarray(entries.column("surface").to_pylist(),
+                                    dtype=object)
+        self._weights = entries.column("weight").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # token -> sorted entry-id postings; sorted token list for prefixes
+        postings: dict[str, set[int]] = {}
+        for eid, surf in enumerate(self._surfaces):
+            for tok in set(self.analyzer.analyze_terms(surf or "")):
+                postings.setdefault(tok, set()).add(eid)
+        self._postings = {t: np.asarray(sorted(s), dtype=np.int64)
+                          for t, s in postings.items()}
+        self._tokens = sorted(self._postings)
+
+    @classmethod
+    def build(cls, ds: rd.Dataset, text_field: str,
+              weight_field: str | None = None, *,
+              analyzer: str = "standard", all_terms_required: bool = True,
+              max_surface_forms: int = DEFAULT_MAX_SURFACE_FORMS):
+        # infix keys on the surface itself; dedup identical surfaces to
+        # max weight (preserve_sep irrelevant — postings are per token)
+        entries = build_entries(
+            ds, text_field, weight_field, analyzer=analyzer,
+            preserve_sep=True, max_surface_forms=max_surface_forms)
+        return cls(entries, analyzer=analyzer,
+                   all_terms_required=all_terms_required)
+
+    def _prefix_postings(self, prefix: str) -> np.ndarray:
+        lo = bisect.bisect_left(self._tokens, prefix)
+        hi = bisect.bisect_left(self._tokens, prefix + "\U0010ffff")
+        if lo == hi:
+            return np.empty(0, dtype=np.int64)
+        arrs = [self._postings[self._tokens[i]] for i in range(lo, hi)]
+        return np.unique(np.concatenate(arrs))
+
+    def lookup(self, query: str, num: int = 5, *,
+               highlight: bool = False) -> list[tuple]:
+        toks = self.analyzer.analyze_terms(query)
+        if not toks:
+            return []
+        exact, last = toks[:-1], toks[-1]
+        sets = [self._postings.get(t, np.empty(0, dtype=np.int64))
+                for t in exact]
+        sets.append(self._prefix_postings(last))
+        if self.all_terms_required:
+            cand = sets[0]
+            for s in sets[1:]:
+                cand = np.intersect1d(cand, s, assume_unique=True)
+        else:
+            cand = np.unique(np.concatenate(sets))
+        if len(cand) == 0:
+            return []
+        order = sorted(cand.tolist(),
+                       key=lambda e: (-int(self._weights[e]),
+                                      str(self._surfaces[e])))[:num]
+        out = []
+        for e in order:
+            surf = str(self._surfaces[e])
+            w = int(self._weights[e])
+            if highlight:
+                out.append((surf, w, self._highlight(surf, exact, last)))
+            else:
+                out.append((surf, w))
+        return out
+
+    def _highlight(self, surface: str, exact: list[str], last: str) -> str:
+        """Wrap matched tokens in <b>..</b> (reference default markup);
+        prefix matches highlight only the typed prefix region + remainder
+        like the reference's addPrefixMatch."""
+        import re
+
+        exact_set = set(exact)
+        parts = []
+        pos = 0
+        for m in re.finditer(r"\w+", surface, re.UNICODE):
+            tok_lc = m.group(0).lower()
+            parts.append(surface[pos:m.start()])
+            if tok_lc in exact_set:
+                parts.append(f"<b>{m.group(0)}</b>")
+            elif last and tok_lc.startswith(last):
+                cut = m.start() + len(last)
+                parts.append(f"<b>{surface[m.start():cut]}</b>"
+                             f"{surface[cut:m.end()]}")
+            else:
+                parts.append(m.group(0))
+            pos = m.end()
+        parts.append(surface[pos:])
+        return "".join(parts)

@@ -1,0 +1,216 @@
+"""Analyzing / Fuzzy / Infix suggesters (lucene/suggest analog).
+
+Semantics pinned against the reference javadocs/defaults:
+AnalyzingSuggester.java:69-117 (analyzed-form keys, surface results,
+exactFirst, weight-desc rank), FuzzySuggester.java:44-109 (maxEdits=1,
+transpositions, nonFuzzyPrefix=1, minFuzzyLength=3),
+AnalyzingInfixSuggester (inner tokens exact + last-token prefix,
+<b> highlighting).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from lucene_solr_ray.search.suggest import (
+    SEP_LABEL,
+    AnalyzingInfixSuggester,
+    AnalyzingSuggester,
+    FuzzySuggester,
+    _min_prefix_edit_distance,
+    build_entries,
+)
+
+
+def _ds(rows):
+    return rd.from_arrow(pa.table({
+        "text": pa.array([r[0] for r in rows], type=pa.string()),
+        "weight": pa.array([r[1] for r in rows], type=pa.int64()),
+    }))
+
+
+CORPUS = [
+    ("The Ghost of Christmas Past", 50),
+    ("ghost busters", 10),
+    ("ghoul stories", 7),
+    ("christmas carol", 30),
+    ("submarine sandwich", 20),
+    ("suburban trains", 15),
+]
+
+
+@pytest.fixture(scope="module")
+def analyzing(ray_session):
+    return AnalyzingSuggester.build(_ds(CORPUS), "text", "weight")
+
+
+def test_analyzed_keys_join_with_sep(ray_session):
+    entries = build_entries(_ds([("Ghost Busters", 3)]), "text", "weight")
+    assert entries.column("key").to_pylist() == [f"ghost{SEP_LABEL}busters"]
+    assert entries.column("surface").to_pylist() == ["Ghost Busters"]
+
+
+def test_prefix_lookup_returns_surfaces_by_weight(analyzing):
+    got = analyzing.lookup("gho", num=5)
+    # ghost busters(10) and ghoul stories(7) both start with "gho";
+    # "The Ghost..." keys as "the<SEP>ghost..." (stopwords keep positions
+    # in the standard chain but "the" is a stopword => dropped token, key
+    # starts at "ghost") — verify against the actual analyzed key
+    surfaces = [s for s, _ in got]
+    assert surfaces[0] in ("The Ghost of Christmas Past", "ghost busters")
+    weights = [w for _, w in got]
+    assert weights == sorted(weights, reverse=True)
+
+
+def test_stopword_removal_matches_reference_example(ray_session):
+    # class javadoc: with a stop filter, "ghost chr..." finds
+    # "The Ghost of Christmas Past" when separators are not preserved
+    sugg = AnalyzingSuggester.build(
+        _ds(CORPUS), "text", "weight", preserve_sep=False)
+    got = sugg.lookup("ghost chr", num=3)
+    assert got and got[0][0] == "The Ghost of Christmas Past"
+
+
+def test_empty_lookup_returns_nothing(analyzing):
+    assert analyzing.lookup("", num=5) == []
+    assert analyzing.lookup("the", num=5) == []  # analyzes to no tokens
+
+
+def test_exact_first(ray_session):
+    sugg = AnalyzingSuggester.build(
+        _ds([("nine", 1), ("nine inch nails", 99)]), "text", "weight")
+    # prefix "nine" matches both; higher-weight entry would win on
+    # weight, but exactFirst pulls the exact analyzed form ahead
+    assert sugg.lookup("nine", num=2)[0] == ("nine", 1)
+    off = AnalyzingSuggester.build(
+        _ds([("nine", 1), ("nine inch nails", 99)]), "text", "weight",
+        exact_first=False)
+    assert off.lookup("nine", num=2)[0] == ("nine inch nails", 99)
+
+
+def test_max_surface_forms_cap(ray_session):
+    rows = [(f"Cap {i}", i) for i in range(10)]
+    # all analyze to distinct keys; force same key via same text casing
+    rows = [("CAP", i) for i in range(10)]
+    entries = build_entries(_ds(rows), "text", "weight",
+                            max_surface_forms=3)
+    assert entries.num_rows == 1  # identical (key,surface) dedup to max
+    rows = [(f"cAp{'!' * 0}", i) for i in range(3)]
+    # distinct surfaces, same analyzed key
+    rows = [("cap", 5), ("Cap", 7), ("CAP", 9), ("cAp", 1)]
+    entries = build_entries(_ds(rows), "text", "weight",
+                            max_surface_forms=2)
+    assert entries.num_rows == 2
+    assert sorted(entries.column("weight").to_pylist()) == [7, 9]
+
+
+def test_dedup_keeps_max_weight(ray_session):
+    entries = build_entries(
+        _ds([("same text", 3), ("same text", 11), ("same text", 5)]),
+        "text", "weight")
+    assert entries.num_rows == 1
+    assert entries.column("weight").to_pylist() == [11]
+
+
+def test_min_prefix_edit_distance_kernel():
+    # exact prefix -> 0
+    assert _min_prefix_edit_distance("sub", "submarine", 2, True) == 0
+    # one substitution against a prefix
+    assert _min_prefix_edit_distance("sob", "submarine", 2, True) == 1
+    # transposition = 1 edit when enabled, 2 otherwise
+    assert _min_prefix_edit_distance("usb", "submarine", 2, True) == 1
+    assert _min_prefix_edit_distance("usb", "submarine", 2, False) == 2
+    # far off
+    assert _min_prefix_edit_distance("zzz", "submarine", 1, True) > 1
+
+
+@pytest.fixture(scope="module")
+def fuzzy(ray_session):
+    return FuzzySuggester.build(_ds(CORPUS), "text", "weight")
+
+
+def test_fuzzy_matches_with_one_edit(fuzzy):
+    # "sumbarine" = transposition of "submarine" -> matches (default
+    # transpositions=true)
+    got = fuzzy.lookup("sumbarine", num=5)
+    assert ("submarine sandwich", 20) in got
+
+
+def test_fuzzy_non_fuzzy_prefix_is_exact(fuzzy):
+    # first char must match exactly (nonFuzzyPrefix=1): edit at char 0
+    # never matches
+    got = fuzzy.lookup("wubmarine", num=5)
+    assert all(s != "submarine sandwich" for s, _ in got)
+
+
+def test_fuzzy_short_queries_get_no_edits(fuzzy):
+    # len(analyzed) < minFuzzyLength=3 -> pure prefix semantics
+    assert fuzzy.lookup("sx", num=5) == []
+    assert {s for s, _ in fuzzy.lookup("su", num=5)} == {
+        "submarine sandwich", "suburban trains"}
+
+
+def test_fuzzy_brute_force_oracle(ray_session):
+    """Every reported match obeys the automaton definition: some prefix of
+    the analyzed key (first nonFuzzyPrefix chars exact) within maxEdits of
+    the analyzed query — and no qualifying entry is missed."""
+    rng = np.random.default_rng(7)
+    alphabet = list("abcd")
+    rows = ["".join(rng.choice(alphabet, size=rng.integers(3, 8)))
+            for _ in range(80)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(rows)}))
+    sugg = FuzzySuggester.build(ds, "text")
+    for q in ["abca", "bcda", "aab", "dcb", "abcd"]:
+        got = {s for s, _ in sugg.lookup(q, num=1000)}
+        expect = set()
+        for surf in rows:
+            key = surf  # single lowercase token: analyzed == surface
+            if not key.startswith(q[:1]):
+                continue
+            if _min_prefix_edit_distance(q[1:], key[1:], 1, True) <= 1:
+                expect.add(surf)
+        assert got == expect, q
+
+
+@pytest.fixture(scope="module")
+def infix(ray_session):
+    return AnalyzingInfixSuggester.build(_ds(CORPUS), "text", "weight")
+
+
+def test_infix_matches_inner_tokens(infix):
+    got = infix.lookup("christmas", num=5)
+    assert [s for s, _ in got] == [
+        "The Ghost of Christmas Past", "christmas carol"]
+
+
+def test_infix_last_token_is_prefix_others_exact(infix):
+    got = infix.lookup("christmas ca", num=5)
+    assert [s for s, _ in got] == ["christmas carol"]
+    # "chr" alone is a prefix everywhere it appears
+    got = infix.lookup("chr", num=5)
+    assert {s for s, _ in got} == {
+        "The Ghost of Christmas Past", "christmas carol"}
+
+
+def test_infix_all_terms_required_toggle(ray_session):
+    sugg = AnalyzingInfixSuggester.build(
+        _ds(CORPUS), "text", "weight", all_terms_required=False)
+    got = sugg.lookup("ghost carol", num=10)
+    surfaces = {s for s, _ in got}
+    assert "ghost busters" in surfaces and "christmas carol" in surfaces
+
+
+def test_infix_highlight(infix):
+    got = infix.lookup("christmas ca", num=1, highlight=True)
+    (surface, weight, marked) = got[0]
+    assert marked == "<b>christmas</b> <b>ca</b>rol"
+
+
+def test_infix_rank_by_weight(infix):
+    got = infix.lookup("gho", num=5)
+    weights = [w for _, w in got]
+    assert weights == sorted(weights, reverse=True)
