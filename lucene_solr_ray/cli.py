@@ -106,9 +106,28 @@ def main(argv=None) -> int:
     c = sub.add_parser("check", help="validate index invariants")
     c.add_argument("index_dir")
 
+    rc = sub.add_parser("recover",
+                        help="replay the unapplied update-log tail")
+    rc.add_argument("index_dir")
+
+    ts = sub.add_parser("tlog-status", help="update-log admin view")
+    ts.add_argument("index_dir")
+
+    cb = sub.add_parser("cdcr-bootstrap",
+                        help="copy index to a new CDCR target")
+    cb.add_argument("index_dir")
+    cb.add_argument("target_dir")
+
+    cf = sub.add_parser("cdcr-forward",
+                        help="forward logged updates to a CDCR target")
+    cf.add_argument("index_dir")
+    cf.add_argument("target_dir")
+
     args = p.parse_args(argv)
     if args.cmd in ("update", "search", "check", "delete", "get",
-                    "atomic-update", "terms", "spellcheck", "facet"):
+                    "atomic-update", "terms", "spellcheck", "facet",
+                    "recover", "tlog-status", "cdcr-bootstrap",
+                    "cdcr-forward"):
         from pathlib import Path
 
         if not (Path(args.index_dir) / "manifest.json").exists():
@@ -220,6 +239,22 @@ def main(argv=None) -> int:
         from .index.check import check_index
 
         print(json.dumps(check_index(args.index_dir)))
+    elif args.cmd == "recover":
+        from .index.tlog import recover_from_log
+
+        print(json.dumps(recover_from_log(args.index_dir)))
+    elif args.cmd == "tlog-status":
+        from .index.tlog import log_status
+
+        print(json.dumps(log_status(args.index_dir)))
+    elif args.cmd == "cdcr-bootstrap":
+        from .index.tlog import cdcr_bootstrap
+
+        print(json.dumps(cdcr_bootstrap(args.index_dir, args.target_dir)))
+    elif args.cmd == "cdcr-forward":
+        from .index.tlog import cdcr_forward
+
+        print(json.dumps(cdcr_forward(args.index_dir, args.target_dir)))
     return 0
 
 
