@@ -279,6 +279,135 @@ class FuzzySuggester(AnalyzingSuggester):
         return self._rank(np.asarray(hits, dtype=np.int64), qkey, num)
 
 
+class FreeTextSuggester:
+    """Stupid-backoff n-gram language model over the corpus text
+    (``.../analyzing/FreeTextSuggester.java:83-131,551-715``): shingles of
+    order 1..grams (default 2, ``DEFAULT_GRAMS``) are counted; lookup
+    predicts completions of the last (possibly partial) token from the
+    highest-order model that saw the context, stepping down with
+    ALPHA=0.4 per model and deduping completions by last token across
+    models (``seen`` set, :557). Scores are backoff * count(gram) /
+    count(context) in [0,1] (the reference fixed-points this by
+    Long.MAX_VALUE; we keep the float). A trailing separator in the query
+    "upgrades" the context so ``"foo "`` predicts words AFTER foo rather
+    than words starting with foo (:528-543).
+
+    The count table is built distributed (per-batch shingle Counters →
+    bucketed sum shuffle); the finished model is n-gram-vocabulary
+    scale."""
+
+    ALPHA = 0.4                      # FreeTextSuggester.java:131
+    NGRAM_SEP = "\x1e"               # DEFAULT_SEPARATOR (0x1e)
+
+    def __init__(self, counts: dict[str, int], *, grams: int = 2,
+                 analyzer: str = "standard"):
+        self.grams = grams
+        self.analyzer = get_analyzer(analyzer)
+        self._counts = counts
+        # per-order sorted key lists for prefix range scans
+        self._by_order: dict[int, list[str]] = {}
+        for g in sorted({k.count(self.NGRAM_SEP) + 1 for k in counts}):
+            self._by_order[g] = sorted(
+                k for k in counts if k.count(self.NGRAM_SEP) + 1 == g)
+        self.tot_tokens = sum(v for k, v in counts.items()
+                              if self.NGRAM_SEP not in k)
+
+    @classmethod
+    def build(cls, ds: rd.Dataset, text_field: str, *, grams: int = 2,
+              analyzer: str = "standard"):
+        import pandas as pd
+
+        from ..pipelines.util import bucketed_group_agg, materialize_typed
+
+        sep, aname = cls.NGRAM_SEP, analyzer
+
+        class _Shingle:
+            def __init__(self):
+                self.analyzer = get_analyzer(aname)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                from collections import Counter
+                c: Counter = Counter()
+                for text in batch.column(text_field).to_pylist():
+                    toks = self.analyzer.analyze_terms(text or "")
+                    for order in range(1, grams + 1):
+                        for i in range(len(toks) - order + 1):
+                            c[sep.join(toks[i:i + order])] += 1
+                return pa.table({
+                    "gram": pa.array(list(c.keys()), type=pa.string()),
+                    "cnt": pa.array(list(c.values()), type=pa.int64())})
+
+        def total(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("gram", as_index=False)["cnt"].sum()
+
+        schema = pa.schema([("gram", pa.string()), ("cnt", pa.int64())])
+        shingled = ds.map_batches(_Shingle, batch_format="pyarrow",
+                                  concurrency=(1, 8), num_cpus=1)
+        table = materialize_typed(
+            bucketed_group_agg(shingled, ["gram"], total, pre=total),
+            schema)
+        df = table.to_pandas()
+        return cls(dict(zip(df["gram"], df["cnt"].astype(int))),
+                   grams=grams, analyzer=analyzer)
+
+    def _prefix_grams(self, order: int, prefix: str) -> list[str]:
+        """Stored grams of ``order`` starting with ``prefix`` whose
+        remainder stays inside the model (no separator in the suffix —
+        the addIfCompetitive separator-arc rejection, :648)."""
+        keys = self._by_order.get(order, [])
+        lo = bisect.bisect_left(keys, prefix)
+        hi = bisect.bisect_left(keys, prefix + "\U0010ffff")
+        return [k for k in keys[lo:hi]
+                if self.NGRAM_SEP not in k[len(prefix):]]
+
+    def lookup(self, key: str, num: int = 5) -> list[tuple[str, float]]:
+        sep = self.NGRAM_SEP
+        toks = self.analyzer.analyze_terms(key)
+        if not toks:
+            return []
+        # trailing non-token chars mean the last token ended (:525)
+        last_ended = bool(key) and not key[-1].isalnum()
+        last_tokens: list[str | None] = [None] * self.grams
+        for g in range(self.grams):
+            if len(toks) >= g + 1:
+                last_tokens[g] = sep.join(toks[-(g + 1):])
+        if last_ended:
+            for g in range(self.grams - 1, 0, -1):
+                if last_tokens[g - 1] is not None:
+                    last_tokens[g] = last_tokens[g - 1] + sep
+            last_tokens[0] = ""
+
+        backoff = 1.0
+        seen: set[str] = set()
+        results: list[tuple[str, float]] = []
+        for gram in range(self.grams - 1, -1, -1):
+            token = last_tokens[gram]
+            if token is None or (token == "" and key):
+                continue
+            cands = self._prefix_grams(gram + 1, token)
+            if not cands:
+                backoff *= self.ALPHA
+                continue
+            if sep in token:
+                context = token.rsplit(sep, 1)[0]
+                context_count = self._counts.get(context, 0)
+            else:
+                context_count = self.tot_tokens
+            if context_count <= 0:
+                backoff *= self.ALPHA
+                continue
+            for cand in cands:
+                last_tok = cand.rsplit(sep, 1)[-1]
+                if last_tok in seen:
+                    continue
+                seen.add(last_tok)
+                results.append(
+                    (cand, backoff * self._counts[cand] / context_count))
+            backoff *= self.ALPHA
+        results.sort(key=lambda r: (-r[1], r[0]))
+        return results[:num]
+
+
 def suggest_docs_source(sf_dir: str) -> pa.Table:
     """Driver query: AnalyzingSuggester over ``documents.source``
     (single-token surfaces) weighted by max ``n_chars``; lookup("src1")

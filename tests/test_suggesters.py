@@ -20,6 +20,7 @@ from lucene_solr_ray.search.suggest import (
     SEP_LABEL,
     AnalyzingInfixSuggester,
     AnalyzingSuggester,
+    FreeTextSuggester,
     FuzzySuggester,
     _min_prefix_edit_distance,
     build_entries,
@@ -214,3 +215,72 @@ def test_infix_rank_by_weight(infix):
     got = infix.lookup("gho", num=5)
     weights = [w for _, w in got]
     assert weights == sorted(weights, reverse=True)
+
+
+# ---- FreeTextSuggester (stupid-backoff n-gram LM) ----
+
+FREETEXT_CORPUS = [
+    ("foo bar", 1),
+    ("foo bar", 1),
+    ("foo baz", 1),
+    ("bar qux", 1),
+]
+# tokens: foo x3, bar x3, baz x1, qux x1 -> totTokens = 8
+# bigrams: foo|bar x2, foo|baz x1, bar|qux x1
+
+
+@pytest.fixture(scope="module")
+def freetext(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array([t for t, _ in FREETEXT_CORPUS])}))
+    return FreeTextSuggester.build(ds, "text", grams=2)
+
+
+def test_freetext_counts_and_totals(freetext):
+    S = FreeTextSuggester.NGRAM_SEP
+    assert freetext.tot_tokens == 8
+    assert freetext._counts[f"foo{S}bar"] == 2
+    assert freetext._counts["foo"] == 3
+
+
+def test_freetext_bigram_scores_exact(freetext):
+    S = FreeTextSuggester.NGRAM_SEP
+    got = freetext.lookup("foo b", num=5)
+    # bigram model, context "foo" (count 3): bar 2/3, baz 1/3;
+    # unigram fallback for prefix "b": "bar" already seen, "baz" seen
+    assert got[0] == (f"foo{S}bar", pytest.approx(2 / 3))
+    assert got[1] == (f"foo{S}baz", pytest.approx(1 / 3))
+    assert len(got) == 2
+
+
+def test_freetext_trailing_space_upgrades_context(freetext):
+    S = FreeTextSuggester.NGRAM_SEP
+    got = freetext.lookup("foo ", num=5)
+    # predicts words AFTER foo, not words starting with foo
+    assert [g for g, _ in got] == [f"foo{S}bar", f"foo{S}baz"]
+    # without the space: completions of the partial token "foo"
+    got2 = freetext.lookup("fo", num=5)
+    assert [g for g, _ in got2] == ["foo"]
+    assert got2[0][1] == pytest.approx(3 / 8)
+
+
+def test_freetext_backoff_to_unigram(freetext):
+    # context "qux" was never followed by anything: bigram model has no
+    # qux|b* -> backoff 0.4; unigram model completes "b*"
+    got = freetext.lookup("qux b", num=5)
+    scores = dict(got)
+    assert scores["bar"] == pytest.approx(0.4 * 3 / 8)
+    assert scores["baz"] == pytest.approx(0.4 * 1 / 8)
+
+
+def test_freetext_dedup_prefers_higher_order_model(freetext):
+    S = FreeTextSuggester.NGRAM_SEP
+    # "foo ba" -> bigram gives foo|bar, foo|baz; unigram would offer
+    # bar, baz again but they are seen -> only bigram entries remain
+    got = freetext.lookup("foo ba", num=10)
+    assert {g for g, _ in got} == {f"foo{S}bar", f"foo{S}baz"}
+
+
+def test_freetext_empty_and_unknown(freetext):
+    assert freetext.lookup("", num=5) == []
+    assert freetext.lookup("zzz", num=5) == []
