@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_docs_source": __import__(
             "lucene_solr_ray.search.suggest",
             fromlist=["suggest_docs_source"]).suggest_docs_source,
+        # benchmark decontamination (8-gram eval-set overlap flags)
+        "decontaminate_docs": dedup.decontaminate_docs,
     }
 
 
@@ -449,6 +451,21 @@ def oracle_sql() -> dict[str, str]:
             "AS n_emails, "
             "len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS n_phones "
             "FROM aug",
+        "decontaminate_docs":
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, list_transform(generate_series(1, "
+            "len(toks) - 7), i -> array_to_string(list_slice(toks, i, "
+            "i + 7), ' ')) AS grams FROM tl), "
+            "bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g "
+            "WHERE doc_id < 10), "
+            "occ AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "hits AS (SELECT o.doc_id, count(*) AS n_hits FROM occ o "
+            "JOIN bench b USING (gram) GROUP BY o.doc_id) "
+            "SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, "
+            "coalesce(h.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id)",
         "suggest_docs_source":
             "WITH s AS (SELECT source AS surface, MAX(n_chars) AS weight "
             "FROM documents WHERE source LIKE 'src1%' GROUP BY source) "

@@ -618,3 +618,79 @@ def ngram_overlap_pairs(sf_dir: str, sample_ids=tuple(range(20))):
         "n_inter": pa.array([r[2] for r in rows], type=pa.int64()),
         "n_union": pa.array([r[3] for r in rows], type=pa.int64()),
     })
+
+
+# -- benchmark decontamination (test-set n-gram overlap) ----------------
+
+def _token_ngrams(t: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, gram-string) arrays for all n-token grams of the batch:
+    one vectorized explode + one Arrow join kernel, no per-row Python."""
+    import pyarrow.compute as pc
+
+    from .textstats import _explode_terms
+
+    doc_idx, terms = _explode_terms(t)
+    m = len(terms) - (n - 1)
+    if m <= 0:
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=object))
+    # a gram is valid only when it doesn't straddle a doc boundary
+    valid = doc_idx[:m] == doc_idx[n - 1:]
+    parts = [pa.array(terms[j:m + j]) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return (doc_idx[:m][valid].astype(np.int64),
+            grams.to_numpy(zero_copy_only=False)[valid])
+
+
+def decontaminate(ds: rd.Dataset, benchmark_grams: np.ndarray,
+                  n: int = 8) -> rd.Dataset:
+    """Training-data decontamination: flag documents sharing any n-token
+    gram with a benchmark/eval set (the standard 8-13-gram overlap test
+    used by large-scale LM data pipelines). The benchmark gram set is the
+    SMALL side: broadcast once via ray.put and probed per batch with one
+    searchsorted — no shuffle touches the corpus.
+
+    Returns (doc_id, n_hits, contaminated) for every input doc, where
+    n_hits counts contaminated gram OCCURRENCES (positions)."""
+    import ray
+
+    bench_ref = ray.put(np.sort(np.unique(benchmark_grams)))
+
+    class _Probe:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            doc_idx, grams = _token_ngrams(t, n)
+            nb = len(self.bench)
+            if len(grams) and nb:
+                pos = np.searchsorted(self.bench, grams)
+                hit = (pos < nb) & (
+                    self.bench[np.minimum(pos, nb - 1)] == grams)
+                hits = np.bincount(doc_idx[hit], minlength=len(t))
+            else:
+                hits = np.zeros(len(t), dtype=np.int64)
+            hits = hits.astype(np.int64)
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_hits": pa.array(hits, type=pa.int64()),
+                "contaminated": pa.array(hits > 0, type=pa.bool_()),
+            })
+
+    return ds.map_batches(_Probe, batch_format="pyarrow",
+                          concurrency=(1, 8), num_cpus=1)
+
+
+def decontaminate_docs(sf_dir: str, n: int = 8,
+                       benchmark_max_doc_id: int = 10):
+    """Driver query: docs with doc_id < benchmark_max_doc_id act as the
+    'benchmark set'; every document is flagged if it shares any n-gram
+    with them (the benchmark docs flag themselves, deterministically)."""
+    import pyarrow.dataset as pads
+
+    bench_t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < benchmark_max_doc_id)
+    _, bench_grams = _token_ngrams(bench_t, n)
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(ds, bench_grams, n=n)

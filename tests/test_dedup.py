@@ -202,3 +202,44 @@ def test_dedup_keep_local_and_distributed_paths_agree(ray_session, corpus):
             .sort_values("doc_id").reset_index(drop=True))
     assert local.equals(dist)
     assert (~local["keep"]).sum() > 0  # the fixture has near-dups
+
+
+# ---- benchmark decontamination (n-gram eval-set overlap) ----
+
+def test_decontaminate_semantics(ray_session):
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.dedup import _token_ngrams, decontaminate
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta",          # benchmark doc
+            "prefix alpha beta gamma delta",   # contains the bench 3-gram
+            "alpha beta",                      # too short for any 3-gram
+            "delta gamma beta alpha",          # same tokens, wrong order
+        ]),
+    })
+    _, bench = _token_ngrams(docs.slice(0, 1), 3)
+    assert set(bench) == {"alpha beta gamma", "beta gamma delta"}
+
+    out = decontaminate(rd.from_arrow(docs), bench, n=3).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [True, True, False, False]
+    # doc 1 contains both benchmark grams as occurrences
+    assert out["n_hits"].tolist() == [2, 2, 0, 0]
+
+
+def test_token_ngrams_never_straddle_docs(ray_session):
+    from lucene_solr_ray.pipelines.dedup import _token_ngrams
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["one two", "three four"]),
+    })
+    doc_idx, grams = _token_ngrams(docs, 2)
+    assert list(grams) == ["one two", "three four"]
+    assert list(doc_idx) == [0, 1]
+    # n larger than any doc -> no grams
+    doc_idx, grams = _token_ngrams(docs, 3)
+    assert len(grams) == 0
