@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["suggest_docs_source"]).suggest_docs_source,
         # benchmark decontamination (8-gram eval-set overlap flags)
         "decontaminate_docs": dedup.decontaminate_docs,
+        # Gopher-style within-doc repetition quality signals
+        "repetition_stats_docs": textstats.repetition_stats,
     }
 
 
@@ -451,6 +453,24 @@ def oracle_sql() -> dict[str, str]:
             "AS n_emails, "
             "len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS n_phones "
             "FROM aug",
+        "repetition_stats_docs":
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "base AS (SELECT doc_id, len(toks) AS n_tokens, "
+            "len(list_distinct(toks)) AS n_distinct, "
+            "list_transform(generate_series(1, len(toks) - 1), "
+            "i -> array_to_string(list_slice(toks, i, i + 1), ' ')) "
+            "AS bigrams FROM tl), "
+            "occ AS (SELECT doc_id, unnest(bigrams) AS g FROM base), "
+            "top AS (SELECT doc_id, max(c) AS top_bigram_count FROM ("
+            "SELECT doc_id, g, count(*) AS c FROM occ GROUP BY doc_id, g"
+            ") GROUP BY doc_id) "
+            "SELECT b.doc_id, b.n_tokens, b.n_distinct, "
+            "CASE WHEN b.n_tokens > 0 THEN round(1.0 - b.n_distinct / "
+            "b.n_tokens, 6) ELSE 0.0 END AS dup_token_frac, "
+            "coalesce(t.top_bigram_count, 0) AS top_bigram_count "
+            "FROM base b LEFT JOIN top t USING (doc_id)",
         "decontaminate_docs":
             "WITH tl AS (SELECT doc_id, list_filter(string_split_regex("
             "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "

@@ -311,3 +311,50 @@ def pii_redact_docs(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_stats(sf_dir: str):
+    """Gopher-style within-document repetition signals (beyond-reference
+    training-data quality filters; Rae et al. 2021 "Scaling Language
+    Models" repetition heuristics): per doc —
+
+    - ``n_tokens`` / ``n_distinct``: total vs distinct token counts
+    - ``dup_token_frac``: 1 - distinct/total (0 for empty docs)
+    - ``top_bigram_count``: occurrences of the doc's most frequent
+      2-token gram (0 when the doc has < 2 tokens)
+
+    One vectorized explode per batch; per-doc reductions are pandas
+    groupby kernels. Docs never straddle batches, so the stats need no
+    shuffle at all."""
+    from .dedup import _token_ngrams
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = len(t)
+        doc_idx, terms = _explode_terms(t)
+        n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        f = pd.DataFrame({"doc": doc_idx, "term": terms})
+        nd = f.groupby("doc", sort=False)["term"].nunique()
+        n_distinct = np.zeros(n, dtype=np.int64)
+        n_distinct[nd.index.to_numpy()] = nd.to_numpy()
+        dup_frac = np.where(n_tokens > 0,
+                            1.0 - n_distinct / np.maximum(n_tokens, 1),
+                            0.0)
+        bi_idx, bigrams = _token_ngrams(t, 2)
+        top_bi = np.zeros(n, dtype=np.int64)
+        if len(bi_idx):
+            bf = (pd.DataFrame({"doc": bi_idx, "g": bigrams})
+                  .groupby(["doc", "g"], sort=False).size()
+                  .groupby(level="doc", sort=False).max())
+            top_bi[bf.index.to_numpy()] = bf.to_numpy()
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct, type=pa.int64()),
+            "dup_token_frac": pa.array(dup_frac, type=pa.float64()),
+            "top_bigram_count": pa.array(top_bi, type=pa.int64()),
+        })
+        return round_col(out, "dup_token_frac", 6)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -243,3 +243,26 @@ def test_token_ngrams_never_straddle_docs(ray_session):
     # n larger than any doc -> no grams
     doc_idx, grams = _token_ngrams(docs, 3)
     assert len(grams) == 0
+
+
+def test_repetition_stats_semantics(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.textstats import repetition_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "spam spam spam spam",       # 4 tokens, 1 distinct
+            "all tokens are different",  # no repetition
+            "",                          # empty doc
+        ]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = (repetition_stats(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [4, 4, 0]
+    assert out["n_distinct"].tolist() == [1, 4, 0]
+    assert out["dup_token_frac"].tolist() == [0.75, 0.0, 0.0]
+    # "spam spam" occurs 3 times; a no-repeat doc's top bigram occurs once
+    assert out["top_bigram_count"].tolist() == [3, 1, 0]
