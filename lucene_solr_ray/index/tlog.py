@@ -6,36 +6,41 @@ Reference semantics:
   UpdateLog.java:74,414,458,815``): every add / delete / atomic update is
   written to a transaction log BEFORE being applied; after a crash,
   ``recoverFromLog`` replays the un-committed tail so the index converges
-  to the pre-crash state. Adds replay through the uniqueKey overwrite
-  path (updateDocument), which makes re-application after a
-  crash-between-apply-and-mark idempotent.
+  to the pre-crash state, and updates are blocked while a replay is
+  pending (Solr buffers them; we raise and require ``recover_from_log``).
 
 - ``CdcrReplicator`` (``solr/core/src/java/org/apache/solr/handler/
   CdcrReplicator.java:42-130``): a source cluster forwards its update log
-  to a target cluster in batches, one op stream per target, each target
-  tracking its own log-position checkpoint; deletes flush the pending add
-  batch so cross-op ordering is preserved.
+  to a target cluster, each target tracking its own log-position
+  checkpoint; ops are keyed by uniqueKey so they mean the same thing on
+  the target.
 
 Ray-native mapping: the log is a directory of atomically-renamed entry
-files (``tlog/tlog.<version>.json`` + a parquet payload for adds) beside
-the index manifest; entries are keyed by (conv_id, turn_idx) — never by
-doc_id, which differs between clusters — so a forwarded op means the same
-thing on the target. Replay/forward call the SAME public update surface
-(``update_index`` / ``delete_documents`` / ``atomic_update``), i.e. the
-log is a WAL over the existing operators, not a second write path.
+files (``tlog/tlog.<version>.json`` + a durable parquet payload for adds)
+beside the index manifest; entries are keyed by (conv_id, turn_idx) —
+never by doc_id, which differs between clusters. Replay/forward call the
+SAME public update surface (``update_index`` / ``delete_documents`` /
+``atomic_update``); the log is a WAL over the existing operators, not a
+second write path.
 
-Idempotence: ``add`` replays with overwrite=True (uniqueKey semantics),
-``delete``/``set``/``remove`` are naturally idempotent, and ``inc`` ops
-are resolved to their post-image ``set`` AT LOG TIME (physical logging) —
-so every entry can be safely re-applied when a crash lands between apply
-and the applied-marker rename. Solr gets the same property from per-doc
-``_version_`` tracking; post-image logging is the equivalent without a
-per-doc version column.
+Exactly-once: each apply passes ``manifest_extra={"tlog_applied": v}``
+into the op, which merges it into its FINAL atomic manifest publish —
+op-completed and applied-version-recorded are ONE rename, so recovery
+after any crash resolves unambiguously: ``manifest["tlog_applied"] >= v``
+⇔ entry v's apply completed. (Intermediate manifest bumps inside an op —
+the overwrite path's tombstone write, atomic_update's docvalue publish
+before a text re-index — never carry the marker.) This is the role
+Solr's per-doc ``_version_`` check plays in LogReplayer, at batch
+granularity, under the same single-update-owner assumption as the
+reference's leader-only tlog writes. ``inc`` atomics are additionally
+logged as their post-image ``set`` so re-application is idempotent even
+across CDCR forwarding.
 
-Scale: one entry per update BATCH (not per doc); payloads are parquet
-written once and streamed back through ``read_parquet`` at replay, so a
-resumed 100-TB ingest replays block-by-block with the same streaming
-executor as the original apply.
+Scale: one entry per update BATCH (not per doc); a Dataset payload is
+streamed to parquet once (``write_parquet``) and streamed back through
+``read_parquet`` at apply/replay, so a resumed 100-TB ingest replays
+block-by-block with the same streaming executor as the original apply —
+nothing is materialized on the driver.
 """
 
 from __future__ import annotations
@@ -67,52 +72,69 @@ class UpdateLog:
     def _entry_path(self, version: int) -> Path:
         return self.path / f"tlog.{version:010d}.json"
 
-    def _payload_path(self, version: int) -> Path:
+    def _payload_file(self, version: int) -> Path:
         return self.path / f"tlog.{version:010d}.parquet"
+
+    def _payload_dir(self, version: int) -> Path:
+        return self.path / f"tlog.{version:010d}.pq"
 
     def _applied_path(self, version: int) -> Path:
         return self.path / f"tlog.{version:010d}.applied"
+
+    def _failed_path(self, version: int) -> Path:
+        return self.path / f"tlog.{version:010d}.failed"
 
     def last_version(self) -> int:
         versions = [int(p.name.split(".")[1])
                     for p in self.path.glob("tlog.*.json")]
         return max(versions, default=0)
 
-    def append(self, op: dict, payload: pa.Table | str | None = None) -> int:
+    def append(self, op: dict,
+               payload: pa.Table | rd.Dataset | str | None = None) -> int:
         """Write one entry atomically (payload first, then the entry
-        rename publishes it — same two-phase order as the manifest)."""
+        rename publishes it — same two-phase order as the manifest).
+        A Dataset payload is streamed to parquet (never driver-collected);
+        a parquet file/directory path is copied byte-for-byte."""
         version = self.last_version() + 1
         if payload is not None:
-            ppath = self._payload_path(version)
-            tmp = ppath.with_suffix(".tmp")
-            if isinstance(payload, str):
+            if isinstance(payload, rd.Dataset):
+                tmp = self._payload_dir(version).with_suffix(".tmp")
+                shutil.rmtree(tmp, ignore_errors=True)
+                payload.write_parquet(str(tmp))
+                dest = self._payload_dir(version)
+            elif isinstance(payload, pa.Table):
+                import pyarrow.parquet as pq
+                tmp = self._payload_file(version).with_suffix(".tmp")
+                pq.write_table(payload, tmp)
+                dest = self._payload_file(version)
+            else:
                 src = Path(payload)
                 if src.is_dir():
-                    # normalize a parquet dir into one durable log payload
-                    import pyarrow.dataset as pads
-                    import pyarrow.parquet as pq
-                    pq.write_table(pads.dataset(str(src)).to_table(), tmp)
+                    tmp = self._payload_dir(version).with_suffix(".tmp")
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    shutil.copytree(src, tmp)
+                    dest = self._payload_dir(version)
                 else:
+                    tmp = self._payload_file(version).with_suffix(".tmp")
                     shutil.copyfile(src, tmp)
-            else:
-                import pyarrow.parquet as pq
-                pq.write_table(payload, tmp)
-            os.replace(tmp, ppath)
-            op = {**op, "payload": ppath.name}
+                    dest = self._payload_file(version)
+            os.replace(tmp, dest)
+            op = {**op, "payload": dest.name}
         entry = self._entry_path(version)
         tmp = entry.with_suffix(".tmp")
         tmp.write_text(json.dumps({"version": version, **op}))
         os.replace(tmp, entry)
         return version
 
-    def _intent_path(self, version: int) -> Path:
-        return self.path / f"tlog.{version:010d}.applying"
-
     def mark_applied(self, version: int) -> None:
         tmp = self._applied_path(version).with_suffix(".tmp")
         tmp.write_text("")
         os.replace(tmp, self._applied_path(version))
-        self._intent_path(version).unlink(missing_ok=True)
+
+    def mark_failed(self, version: int, error: str) -> None:
+        tmp = self._failed_path(version).with_suffix(".tmp")
+        tmp.write_text(json.dumps({"error": error}))
+        os.replace(tmp, self._failed_path(version))
 
     def entries(self, after: int = 0) -> list[dict]:
         out = []
@@ -123,47 +145,59 @@ class UpdateLog:
         return out
 
     def unapplied(self) -> list[dict]:
+        """Entries neither applied nor terminally failed."""
         return [e for e in self.entries()
-                if not self._applied_path(e["version"]).exists()]
+                if not self._applied_path(e["version"]).exists()
+                and not self._failed_path(e["version"]).exists()]
+
+    def failed(self) -> list[dict]:
+        out = []
+        for e in self.entries():
+            fp = self._failed_path(e["version"])
+            if fp.exists():
+                out.append({**e, **json.loads(fp.read_text())})
+        return out
+
+    def applied_through_manifest(self, version: int) -> bool:
+        """True iff entry ``version``'s apply COMPLETED: its final
+        manifest publish atomically recorded ``tlog_applied`` (see module
+        docstring — this is the crash-window disambiguator)."""
+        return read_manifest(self.index_dir).get("tlog_applied", 0) \
+            >= version
+
+    def require_clean_tail(self) -> None:
+        """New logged updates are refused while un-replayed entries exist
+        (Solr blocks/buffers updates during log replay): out-of-order
+        application would break the monotone ``tlog_applied`` marker."""
+        pending = self.unapplied()
+        if pending:
+            raise RuntimeError(
+                f"update log has un-applied entries "
+                f"{[e['version'] for e in pending]}; run recover_from_log "
+                f"(CLI: recover) before new logged updates")
 
     def apply_entry(self, entry: dict, **add_kwargs) -> bool:
         """Apply one entry exactly-once through the public update surface
-        and mark it applied. Returns False when the entry turns out to
-        have already been applied (crash between apply and mark).
-
-        Exactly-once mechanism: an *apply intent* file recording the
-        pre-apply manifest version is renamed into place BEFORE the op
-        runs. The ops themselves publish atomically (two-phase manifest
-        rename, version+1), so at recovery the ambiguity of a missing
-        applied-marker resolves by comparing the live manifest version
-        with the intent: advanced ⇒ the apply completed ⇒ mark only.
-        This is the role Solr's per-doc ``_version_`` check plays in
-        LogReplayer (UpdateLog.java:815), done at batch granularity —
-        valid under the same single-update-owner assumption as the
-        reference's leader-only tlog writes."""
+        and mark it applied. Returns False when the entry had already
+        been applied (crash landed between the op's final publish and
+        the applied-marker rename)."""
         version = entry["version"]
-        intent = self._intent_path(version)
-        if intent.exists():
-            pre = json.loads(intent.read_text())["manifest_version"]
-            if read_manifest(self.index_dir)["version"] > pre:
-                self.mark_applied(version)
-                return False
-        else:
-            tmp = intent.with_suffix(".tmp")
-            tmp.write_text(json.dumps({
-                "manifest_version":
-                    read_manifest(self.index_dir)["version"]}))
-            os.replace(tmp, intent)
+        if self.applied_through_manifest(version):
+            self.mark_applied(version)
+            return False
         op = entry["op"]
+        marker = {"tlog_applied": version}
         if op == "add":
             update_index(self.index_dir, str(self.path / entry["payload"]),
                          overwrite=bool(entry.get("overwrite")),
-                         **add_kwargs)
+                         manifest_extra=marker, **add_kwargs)
         elif op == "delete":
             delete_documents(self.index_dir,
-                             keys=[tuple(k) for k in entry["keys"]])
+                             keys=[tuple(k) for k in entry["keys"]],
+                             manifest_extra=marker)
         elif op == "atomic":
-            atomic_update(self.index_dir, entry["updates"])
+            atomic_update(self.index_dir, entry["updates"],
+                          manifest_extra=marker)
         else:
             raise ValueError(f"unknown tlog op {op!r}")
         self.mark_applied(version)
@@ -171,9 +205,12 @@ class UpdateLog:
 
 
 def _keys_for_doc_ids(index_dir: str, doc_ids) -> list[tuple[str, int]]:
+    """Resolve doc_ids to keys; unknown/tombstoned ids are skipped (Solr
+    delete-by-id of a missing document is a no-op, so a WAL'd delete
+    retry after a crash stays idempotent)."""
     t = realtime_get(index_dir, doc_ids=[int(d) for d in doc_ids])
-    if t is None or t.num_rows < len(set(int(d) for d in doc_ids)):
-        raise KeyError("delete by doc_id on unknown documents")
+    if t is None:
+        return []
     return [(str(r["conv_id"]), int(r["turn_idx"])) for r in t.to_pylist()]
 
 
@@ -207,24 +244,14 @@ def _resolve_inc_ops(index_dir: str, updates: list[dict]) -> list[dict]:
 
 def logged_add(index_dir: str, source: str | rd.Dataset | pa.Table, *,
                overwrite: bool = False, **kw) -> dict:
-    """update_index with write-ahead logging (UpdateLog.add analog)."""
+    """update_index with write-ahead logging (UpdateLog.add analog).
+    The apply reads FROM the durable log payload (what was logged is
+    what runs)."""
     log = UpdateLog(index_dir)
-    # normalize the input to one durable log payload; a parquet path is
-    # copied byte-for-byte, a Dataset/Table is written once
-    if isinstance(source, rd.Dataset):
-        payload: pa.Table | str = pa.concat_tables(
-            [pa.Table.from_batches([b])
-             for b in source.iter_batches(batch_format="pyarrow")])
-    elif isinstance(source, pa.Table):
-        payload = source
-    else:
-        payload = str(source)
+    log.require_clean_tail()
     version = log.append({"op": "add", "overwrite": bool(overwrite)},
-                         payload=payload)
-    # apply FROM the durable log payload (what was logged is what runs)
-    log.apply_entry({"version": version, "op": "add",
-                     "overwrite": bool(overwrite),
-                     "payload": log._payload_path(version).name}, **kw)
+                         payload=source)
+    log.apply_entry(log.entries(after=version - 1)[0], **kw)
     return read_manifest(index_dir)
 
 
@@ -233,6 +260,7 @@ def logged_delete(index_dir: str, doc_ids=None, keys=None) -> dict:
     (conv_id, turn_idx) keys at log time (doc_ids are cluster-local and
     meaningless to a CDCR target)."""
     log = UpdateLog(index_dir)
+    log.require_clean_tail()
     all_keys = [(str(c), int(t)) for c, t in (keys or [])]
     if doc_ids:
         all_keys += _keys_for_doc_ids(index_dir, doc_ids)
@@ -246,6 +274,7 @@ def logged_atomic_update(index_dir: str, updates: list[dict]) -> dict:
     """atomic_update with write-ahead logging; inc ops are logged as
     their post-image set (idempotent replay)."""
     log = UpdateLog(index_dir)
+    log.require_clean_tail()
     resolved = _resolve_inc_ops(index_dir, updates)
     version = log.append({"op": "atomic", "updates": resolved})
     log.apply_entry({"version": version, "op": "atomic",
@@ -255,13 +284,22 @@ def logged_atomic_update(index_dir: str, updates: list[dict]) -> dict:
 
 def recover_from_log(index_dir: str) -> dict:
     """Replay the un-applied log tail in version order
-    (UpdateLog.recoverFromLog:815 / LogReplayer). Returns a RecoveryInfo
-    analog: counts per op kind + the replayed versions."""
+    (UpdateLog.recoverFromLog:815 / LogReplayer). A poison entry (its
+    apply raises again) is marked failed and skipped so recovery — and
+    the update stream — can proceed; the reference's LogReplayer likewise
+    counts per-op errors and continues (RecoveryInfo.errors). Returns a
+    RecoveryInfo analog."""
     log = UpdateLog(index_dir)
     info = {"adds": 0, "deletes": 0, "atomics": 0, "replayed": [],
-            "already_applied": []}
+            "already_applied": [], "errors": []}
     for entry in log.unapplied():
-        ran = log.apply_entry(entry)
+        try:
+            ran = log.apply_entry(entry)
+        except Exception as e:  # noqa: BLE001 — LogReplayer parity
+            log.mark_failed(entry["version"], f"{type(e).__name__}: {e}")
+            info["errors"].append(
+                {"version": entry["version"], "error": str(e)})
+            continue
         if not ran:
             info["already_applied"].append(entry["version"])
             continue
@@ -277,14 +315,31 @@ def _checkpoint_path(target_dir: str) -> Path:
 
 
 def cdcr_bootstrap(source_dir: str, target_dir: str) -> dict:
-    """Bootstrap a CDCR target: copy the source index and record the
-    source log position, so forwarding starts from 'now' (the reference's
-    bootstrap + checkpoint init)."""
+    """Bootstrap a CDCR target: copy the source index — EXCLUDING the
+    source's update log and any of its own CDCR checkpoint — and record
+    the source log position, so forwarding starts from 'now' (the
+    reference's bootstrap + checkpoint init). Requires a clean source
+    tail: entries logged but not applied are not in the copied index and
+    would otherwise be skipped forever by the checkpoint."""
     src, dst = Path(source_dir), Path(target_dir)
     if dst.exists():
         raise FileExistsError(f"target {target_dir} already exists")
-    shutil.copytree(src, dst)
-    ckpt = UpdateLog(source_dir).last_version()
+    log = UpdateLog(source_dir)
+    log.require_clean_tail()
+    ckpt = log.last_version()
+    shutil.copytree(src, dst,
+                    ignore=shutil.ignore_patterns(
+                        TLOG_DIR, _checkpoint_path("x").name))
+    # the copied manifest carries the SOURCE's tlog_applied marker, which
+    # would poison the target's own (fresh, empty) log — strip it with
+    # the same atomic rewrite the ops use
+    manifest = read_manifest(str(dst))
+    if "tlog_applied" in manifest:
+        manifest = {k: v for k, v in manifest.items()
+                    if k != "tlog_applied"}
+        tmp = dst / "manifest.json.tmp"
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, dst / "manifest.json")
     tmp = _checkpoint_path(target_dir).with_suffix(".tmp")
     tmp.write_text(json.dumps({"source_version": ckpt}))
     os.replace(tmp, _checkpoint_path(target_dir))
@@ -294,16 +349,20 @@ def cdcr_bootstrap(source_dir: str, target_dir: str) -> dict:
 def cdcr_forward(source_dir: str, target_dir: str) -> dict:
     """Forward source log entries past the target's checkpoint to the
     target index (CdcrReplicator.run analog). Ops apply in version order
-    through the same public update surface; adds forward with
-    overwrite=True (CdcrUpdateProcessor keep-version analog: uniqueKey
-    decides identity on the target). The checkpoint advances after each
-    entry, so a crashed forward resumes without re-reading."""
+    through the same public update surface (WITHOUT the target-log
+    ``tlog_applied`` marker — the source log's versions are not the
+    target log's). The checkpoint advances after each entry, so a
+    crashed forward resumes without re-reading; every op is idempotent
+    by key (adds forward with overwrite=True, the CdcrUpdateProcessor
+    keep-version analog), so the at-least-once window is safe."""
     src_log = UpdateLog(source_dir)
     ckpt_file = _checkpoint_path(target_dir)
     ckpt = (json.loads(ckpt_file.read_text())["source_version"]
             if ckpt_file.exists() else 0)
     forwarded = {"adds": 0, "deletes": 0, "atomics": 0, "from": ckpt}
     for entry in src_log.entries(after=ckpt):
+        if src_log._failed_path(entry["version"]).exists():
+            continue   # never applied on the source either
         op = entry["op"]
         if op == "add":
             update_index(target_dir,
@@ -331,9 +390,12 @@ def log_status(index_dir: str) -> dict:
     """CDCR/UpdateLog admin view (CdcrRequestHandler status analog)."""
     log = UpdateLog(index_dir)
     entries = log.entries()
+    manifest = read_manifest(index_dir)
     return {
         "entries": len(entries),
         "last_version": log.last_version(),
         "unapplied": [e["version"] for e in log.unapplied()],
-        "manifest_version": read_manifest(index_dir)["version"],
+        "failed": [e["version"] for e in log.failed()],
+        "tlog_applied": manifest.get("tlog_applied", 0),
+        "manifest_version": manifest["version"],
     }

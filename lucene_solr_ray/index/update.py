@@ -141,8 +141,15 @@ class MergingSegmentWriter(SegmentWriter):
 
 def update_index(index_dir: str, source: str | rd.Dataset, *,
                  batch_size: int = 4096, concurrency: int | None = None,
-                 overwrite: bool = False) -> dict:
+                 overwrite: bool = False,
+                 manifest_extra: dict | None = None) -> dict:
     """Append new documents to an existing index.
+
+    ``manifest_extra`` (optional) is merged into the FINAL manifest
+    publish only — one atomic rename records both the new index state
+    and the caller's marker (the UpdateLog uses this to make apply +
+    applied-record a single atomic step; intermediate bumps such as the
+    overwrite-path tombstone write never carry it).
 
     ``overwrite=False`` (default): strictly append-only past the
     checkpoint (TopicStream watermark). ``overwrite=True``: updateDocument
@@ -274,6 +281,7 @@ def update_index(index_dir: str, source: str | rd.Dataset, *,
 
     new_manifest = {
         **manifest,
+        **(manifest_extra or {}),
         "version": manifest["version"] + 1,
         "created_unix": time.time(),
         "stats": new_stats,
@@ -335,7 +343,8 @@ def read_deletes(index_dir: str) -> set[int]:
     return set(json.loads(f.read_text())["doc_ids"])
 
 
-def delete_documents(index_dir: str, doc_ids=None, keys=None) -> dict:
+def delete_documents(index_dir: str, doc_ids=None, keys=None,
+                     manifest_extra: dict | None = None) -> dict:
     """Tombstone documents by doc_id or by (conv_id, turn_idx) key.
 
     Lucene semantics: deleted docs become unreachable from every query
@@ -368,6 +377,7 @@ def delete_documents(index_dir: str, doc_ids=None, keys=None) -> dict:
     os.replace(tmp, index_path / DELETES_NAME)
 
     new_manifest = {**manifest,
+                    **(manifest_extra or {}),
                     "version": manifest["version"] + 1,
                     "created_unix": time.time(),
                     "deleted_count": len(all_dels)}
@@ -486,7 +496,8 @@ def _apply_ops(current: dict, ops: dict) -> dict:
     return merged
 
 
-def atomic_update(index_dir: str, updates: list[dict]) -> dict:
+def atomic_update(index_dir: str, updates: list[dict],
+                  manifest_extra: dict | None = None) -> dict:
     """Atomic partial document updates
     (``solr/core/.../update/processor/AtomicUpdateDocumentMerger.java:44``).
 
@@ -578,7 +589,9 @@ def atomic_update(index_dir: str, updates: list[dict]) -> dict:
             os.rename(part, aside)
             os.rename(staging, part)
             shutil.rmtree(aside, ignore_errors=True)
+        # the docvalue publish is FINAL only when no text re-index follows
         new_manifest = {**manifest,
+                        **({} if text_docs else (manifest_extra or {})),
                         "version": manifest["version"] + 1,
                         "created_unix": time.time()}
         mtmp = index_path / (MANIFEST_NAME + ".tmp")
@@ -598,6 +611,7 @@ def atomic_update(index_dir: str, updates: list[dict]) -> dict:
         for c in sorted(norms_cols - {"text"}):
             cols[c] = pa.array([r.get(c) for r in text_docs])
         manifest = update_index(index_dir, rd.from_arrow(pa.table(cols)),
-                                overwrite=True)
+                                overwrite=True,
+                                manifest_extra=manifest_extra)
 
     return manifest

@@ -71,6 +71,16 @@ def _analyzed_key(analyzer, text: str, preserve_sep: bool) -> str:
     return (SEP_LABEL if preserve_sep else "").join(toks)
 
 
+def _sorted_prefix_range(keys, prefix: str) -> tuple[int, int]:
+    """[lo, hi) index range of ``prefix``-prefixed entries in a sorted
+    string sequence (one shared implementation of the sentinel-bounded
+    bisect probe; caveat: a key containing U+10FFFF at the boundary
+    sorts past the sentinel and is excluded)."""
+    lo = bisect.bisect_left(keys, prefix)
+    hi = bisect.bisect_left(keys, prefix + "\U0010ffff")
+    return lo, hi
+
+
 def build_entries(
     ds: rd.Dataset,
     text_field: str,
@@ -170,9 +180,7 @@ class AnalyzingSuggester:
         return _analyzed_key(self.analyzer, query, self.preserve_sep)
 
     def _prefix_range(self, prefix: str) -> tuple[int, int]:
-        lo = bisect.bisect_left(self._keys, prefix)
-        hi = bisect.bisect_left(self._keys, prefix + "\U0010ffff")
-        return lo, hi
+        return _sorted_prefix_range(self._keys, prefix)
 
     def _rank(self, idx: np.ndarray, qkey: str, num: int):
         """weight desc, analyzed key asc, surface asc; exactFirst pulls
@@ -204,23 +212,35 @@ def _min_prefix_edit_distance(query: str, key: str, max_edits: int,
                               transpositions: bool) -> int:
     """min over prefixes p of ``key`` of DL(query, p), early-cut at
     ``max_edits`` (the FuzzySuggester automaton-∩-FST-prefix-paths
-    equivalence). Only the first len(query)+max_edits key chars matter."""
-    q = query
-    n = len(q)
-    key = key[: n + max_edits]
+    equivalence). Only the first len(query)+max_edits key chars matter.
+
+    Each DP row is vectorized over the query: deletion/substitution
+    candidates are one shifted minimum, the transposition term one
+    masked minimum, and the left-to-right insertion chain
+    ``cur[j] = min(cand[j], cur[j-1]+1)`` resolves in closed form as
+    ``cummin(cand - j) + j`` — no per-cell Python."""
+    n = len(query)
+    if n == 0:
+        return 0
+    q = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+    k = np.frombuffer(key[: n + max_edits].encode("utf-32-le"),
+                      dtype=np.uint32)
+    idx = np.arange(n + 1, dtype=np.int64)
     prev2 = None
-    prev = np.arange(n + 1, dtype=np.int64)  # dp for empty key prefix
-    best = int(prev[n])                       # p = "" prefix
-    for i, kc in enumerate(key, start=1):
-        cur = np.empty(n + 1, dtype=np.int64)
-        cur[0] = i
-        for j in range(1, n + 1):
-            cost = 0 if q[j - 1] == kc else 1
-            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-            if (transpositions and i > 1 and j > 1
-                    and q[j - 1] == key[i - 2] and q[j - 2] == kc):
-                v = min(v, prev2[j - 2] + 1)
-            cur[j] = v
+    prev = idx.copy()                      # row for the empty key prefix
+    best = n                               # p = "" prefix
+    kc_prev = None
+    for i in range(1, len(k) + 1):
+        kc = k[i - 1]
+        cost = (q != kc).astype(np.int64)
+        cand = np.minimum(prev[1:] + 1, prev[:-1] + cost)   # j = 1..n
+        if transpositions and i > 1 and n > 1:
+            tmask = (q[1:] == kc_prev) & (q[:-1] == kc)     # j = 2..n
+            cand[1:] = np.where(tmask,
+                                np.minimum(cand[1:], prev2[:n - 1] + 1),
+                                cand[1:])
+        tmp = np.concatenate(([i], cand)) - idx
+        cur = np.minimum.accumulate(tmp) + idx
         best = min(best, int(cur[n]))
         if best == 0:
             break
@@ -228,7 +248,7 @@ def _min_prefix_edit_distance(query: str, key: str, max_edits: int,
         # term, so require BOTH trailing rows above the cap before cutting
         if int(cur.min()) > max_edits and int(prev.min()) > max_edits:
             break
-        prev2, prev = prev, cur
+        prev2, prev, kc_prev = prev, cur, kc
     return best
 
 
@@ -355,8 +375,7 @@ class FreeTextSuggester:
         remainder stays inside the model (no separator in the suffix —
         the addIfCompetitive separator-arc rejection, :648)."""
         keys = self._by_order.get(order, [])
-        lo = bisect.bisect_left(keys, prefix)
-        hi = bisect.bisect_left(keys, prefix + "\U0010ffff")
+        lo, hi = _sorted_prefix_range(keys, prefix)
         return [k for k in keys[lo:hi]
                 if self.NGRAM_SEP not in k[len(prefix):]]
 
@@ -458,8 +477,7 @@ class AnalyzingInfixSuggester:
                    all_terms_required=all_terms_required)
 
     def _prefix_postings(self, prefix: str) -> np.ndarray:
-        lo = bisect.bisect_left(self._tokens, prefix)
-        hi = bisect.bisect_left(self._tokens, prefix + "\U0010ffff")
+        lo, hi = _sorted_prefix_range(self._tokens, prefix)
         if lo == hi:
             return np.empty(0, dtype=np.int64)
         arrs = [self._postings[self._tokens[i]] for i in range(lo, hi)]

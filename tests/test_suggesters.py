@@ -117,6 +117,43 @@ def test_dedup_keeps_max_weight(ray_session):
     assert entries.column("weight").to_pylist() == [11]
 
 
+def _reference_min_prefix_dl(query: str, key: str,
+                             transpositions: bool) -> int:
+    """Independent textbook restricted-Damerau DP (no early cuts, no
+    vectorization): min over ALL prefixes of key of DL(query, prefix)."""
+    n, m = len(query), len(key)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for j in range(n + 1):
+        dp[0][j] = j
+    for i in range(1, m + 1):
+        dp[i][0] = i
+        for j in range(1, n + 1):
+            cost = 0 if query[j - 1] == key[i - 1] else 1
+            v = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                    dp[i - 1][j - 1] + cost)
+            if (transpositions and i > 1 and j > 1
+                    and query[j - 1] == key[i - 2]
+                    and query[j - 2] == key[i - 1]):
+                v = min(v, dp[i - 2][j - 2] + 1)
+            dp[i][j] = v
+    return min(dp[i][n] for i in range(m + 1))
+
+
+def test_vectorized_dp_matches_textbook_dp():
+    rng = np.random.default_rng(31)
+    alphabet = list("abc")
+    for _ in range(300):
+        q = "".join(rng.choice(alphabet, size=rng.integers(0, 6)))
+        k = "".join(rng.choice(alphabet, size=rng.integers(0, 9)))
+        for tr in (True, False):
+            ref = _reference_min_prefix_dl(q, k, tr)
+            for cap in (1, 2, 3):
+                got = _min_prefix_edit_distance(q, k, cap, tr)
+                # early cuts may overshoot ONLY above the cap
+                assert (got == ref) or (got > cap and ref > cap), \
+                    (q, k, tr, cap, got, ref)
+
+
 def test_min_prefix_edit_distance_kernel():
     # exact prefix -> 0
     assert _min_prefix_edit_distance("sub", "submarine", 2, True) == 0

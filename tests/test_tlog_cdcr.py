@@ -153,8 +153,8 @@ def test_replay_after_partial_apply_is_idempotent(ray_session, sources,
     assert log_status(idx)["unapplied"] == [v]
 
     info = recover_from_log(idx)
-    # the intent's manifest-version check detects the completed apply:
-    # nothing is re-applied, the entry is only marked
+    # the manifest's atomically-published tlog_applied marker detects the
+    # completed apply: nothing is re-applied, the entry is only marked
     assert info["replayed"] == [] and info["already_applied"] == [v]
     assert log_status(idx)["unapplied"] == []
     assert _results(idx) == _results(twin)
@@ -197,3 +197,81 @@ def test_bootstrap_refuses_existing_target(ray_session, sources, tmp_path):
     src = _build(sources, tmp_path, "boot_src")
     with pytest.raises(FileExistsError):
         cdcr_bootstrap(src, src)
+
+
+def test_logged_delete_retry_is_noop(ray_session, sources, tmp_path):
+    """Solr delete-by-id of a missing/tombstoned doc is a no-op; the
+    WAL'd retry path must not raise (review finding: KeyError broke it)."""
+    root, first, _ = sources
+    idx = _build(sources, tmp_path, "retry")
+    k = _key(first, 4)
+    doc_id = realtime_get(idx, keys=[k]).column("doc_id")[0].as_py()
+    logged_delete(idx, doc_ids=[doc_id])
+    logged_delete(idx, doc_ids=[doc_id])   # tombstoned -> resolves to []
+    entries = UpdateLog(idx).entries()
+    assert entries[-1]["keys"] == []
+    assert doc_id in read_deletes(idx)
+
+
+def test_poison_entry_marked_failed_and_stream_unblocked(
+        ray_session, sources, tmp_path):
+    """A logged entry whose apply raises blocks new logged updates until
+    recover_from_log marks it failed (LogReplayer counts errors and
+    continues), after which the stream flows again."""
+    root, first, second = sources
+    idx = _build(sources, tmp_path, "poison")
+    # reverse-sorted add payload -> update_index rejects it every time
+    bad = second.sort_by([("conv_id", "descending"),
+                          ("turn_idx", "descending")])
+    import pyarrow.parquet as pq_
+    pq_.write_table(bad, tmp_path / "bad.parquet")
+    with pytest.raises(ValueError):
+        logged_add(idx, str(tmp_path / "bad.parquet"))
+    # tail is dirty: new logged updates are refused (Solr blocks updates
+    # while replay is pending)
+    with pytest.raises(RuntimeError, match="un-applied"):
+        logged_delete(idx, keys=[_key(first, 0)])
+    info = recover_from_log(idx)
+    assert len(info["errors"]) == 1 and info["replayed"] == []
+    st = log_status(idx)
+    assert st["failed"] == [info["errors"][0]["version"]]
+    assert st["unapplied"] == []
+    # stream unblocked
+    logged_delete(idx, keys=[_key(first, 0)])
+
+
+def test_bootstrap_excludes_source_log(ray_session, sources, tmp_path):
+    root, first, _ = sources
+    src = _build(sources, tmp_path, "boot2_src")
+    logged_delete(src, keys=[_key(first, 1)])   # source log has entries
+    tgt = str(tmp_path / "boot2_tgt")
+    cdcr_bootstrap(src, tgt)
+    from pathlib import Path
+    assert not (Path(tgt) / "tlog").exists() or \
+        list((Path(tgt) / "tlog").glob("tlog.*")) == []
+    # the source's tlog_applied marker must not poison the fresh target
+    # log: a first logged op on the target must actually run
+    st = log_status(tgt)
+    assert st["tlog_applied"] == 0 and st["entries"] == 0
+    k = _key(first, 2)
+    logged_delete(tgt, keys=[k])
+    assert log_status(tgt)["tlog_applied"] == 1
+
+
+def test_logged_add_dataset_payload_streams(ray_session, sources,
+                                            tmp_path):
+    """A Dataset source is logged via write_parquet (a payload
+    directory), never collected on the driver, and applies from the
+    logged payload."""
+    import ray.data as rd
+
+    root, first, second = sources
+    idx = _build(sources, tmp_path, "ds_payload")
+    logged_add(idx, rd.from_arrow(second))
+    log = UpdateLog(idx)
+    entry = log.entries()[-1]
+    assert entry["payload"].endswith(".pq")
+    assert (log.path / entry["payload"]).is_dir()
+    twin = _build(sources, tmp_path, "ds_payload_twin")
+    logged_add(twin, str(root / "second.parquet"))
+    assert _results(idx) == _results(twin)
