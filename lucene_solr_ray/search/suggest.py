@@ -299,6 +299,82 @@ class FuzzySuggester(AnalyzingSuggester):
         return self._rank(np.asarray(hits, dtype=np.int64), qkey, num)
 
 
+def _write_json_atomic(path, obj) -> None:
+    import json as _json
+    import os as _os
+
+    tmp = str(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(_json.dumps(obj))
+    _os.replace(tmp, str(path))
+
+
+class _SuggesterPersistence:
+    """Lookup.store()/load() analog (``suggest/Lookup.java``): the
+    dictionary parquet + a meta json, written atomically."""
+
+    _META = "_suggester_meta.json"
+    _DATA = "entries.parquet"
+
+    @classmethod
+    def _save(cls, out_dir: str, table: pa.Table, meta: dict) -> None:
+        import pyarrow.parquet as pq
+        from pathlib import Path as _P
+
+        out = _P(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        pq.write_table(table, out / (cls._DATA + ".tmp"))
+        import os as _os
+        _os.replace(out / (cls._DATA + ".tmp"), out / cls._DATA)
+        _write_json_atomic(out / cls._META, meta)
+
+    @classmethod
+    def _load(cls, in_dir: str) -> tuple[pa.Table, dict]:
+        import json as _json
+        import pyarrow.parquet as pq
+        from pathlib import Path as _P
+
+        p = _P(in_dir)
+        meta = _json.loads((p / cls._META).read_text())
+        return pq.read_table(p / cls._DATA), meta
+
+
+def save_suggester(sugg, out_dir: str) -> None:
+    """Persist a suggester's dictionary (entries or n-gram counts) so a
+    serving process can load without re-scanning the corpus."""
+    if isinstance(sugg, FreeTextSuggester):
+        table = pa.table({
+            "gram": pa.array(list(sugg._counts.keys()), type=pa.string()),
+            "cnt": pa.array(list(sugg._counts.values()), type=pa.int64())})
+        meta = {"kind": "freetext", "grams": sugg.grams}
+        _SuggesterPersistence._save(out_dir, table, meta)
+        return
+    table = pa.table({
+        "key": pa.array(sugg._keys if hasattr(sugg, "_keys") else
+                        [None] * len(sugg._surfaces), type=pa.string()),
+        "surface": pa.array(list(sugg._surfaces), type=pa.string()),
+        "weight": pa.array(sugg._weights, type=pa.int64())})
+    meta = {"kind": type(sugg).__name__}
+    _SuggesterPersistence._save(out_dir, table, meta)
+
+
+def load_suggester(in_dir: str, **opts):
+    """Reconstruct a saved suggester; ``opts`` override lookup-time
+    parameters (analyzer must match the build)."""
+    table, meta = _SuggesterPersistence._load(in_dir)
+    kind = meta["kind"]
+    if kind == "freetext":
+        counts = dict(zip(table.column("gram").to_pylist(),
+                          (int(c) for c in
+                           table.column("cnt").to_pylist())))
+        return FreeTextSuggester(counts, grams=meta["grams"], **opts)
+    cls = {"AnalyzingSuggester": AnalyzingSuggester,
+           "FuzzySuggester": FuzzySuggester,
+           "AnalyzingInfixSuggester": AnalyzingInfixSuggester,
+           "BlendedInfixSuggester": BlendedInfixSuggester}[kind]
+    return cls(table, **opts)
+
+
 class FreeTextSuggester:
     """Stupid-backoff n-gram language model over the corpus text
     (``.../analyzing/FreeTextSuggester.java:83-131,551-715``): shingles of
@@ -536,3 +612,84 @@ class AnalyzingInfixSuggester:
             pos = m.end()
         parts.append(surface[pos:])
         return "".join(parts)
+
+
+class BlendedInfixSuggester(AnalyzingInfixSuggester):
+    """Infix suggester whose scores blend the stored weight with the
+    POSITION of the first matched token
+    (``.../analyzing/BlendedInfixSuggester.java:88-92,196-321``):
+    coefficient = 1 when the text starts with the query, else
+    ``position_linear`` 1 - 0.10*p (default), ``position_reciprocal``
+    1/(p+1), or ``position_exponential_reciprocal`` 1/(p+1)^exponent;
+    blended score = weight * coefficient. Internally over-fetches
+    num*num_factor candidates before re-ranking (:170,199)."""
+
+    LINEAR_COEF = 0.10          # BlendedInfixSuggester.java:62
+    DEFAULT_NUM_FACTOR = 10     # :70
+
+    def __init__(self, entries: pa.Table, *, analyzer: str = "standard",
+                 all_terms_required: bool = True,
+                 blender_type: str = "position_linear",
+                 num_factor: int = DEFAULT_NUM_FACTOR,
+                 exponent: float = 2.0):
+        super().__init__(entries, analyzer=analyzer,
+                         all_terms_required=all_terms_required)
+        self.blender_type = blender_type
+        self.num_factor = num_factor
+        self.exponent = exponent
+        # first occurrence position of each token per entry (the term
+        # vector walk in createCoefficient:268-289)
+        self._first_pos: list[dict[str, int]] = []
+        for surf in self._surfaces:
+            fp: dict[str, int] = {}
+            for p, tok in enumerate(self.analyzer.analyze_terms(surf or "")):
+                fp.setdefault(tok, p)
+            self._first_pos.append(fp)
+
+    @classmethod
+    def build(cls, ds: rd.Dataset, text_field: str,
+              weight_field: str | None = None, *,
+              analyzer: str = "standard", all_terms_required: bool = True,
+              max_surface_forms: int = DEFAULT_MAX_SURFACE_FORMS,
+              **blend_opts):
+        entries = build_entries(
+            ds, text_field, weight_field, analyzer=analyzer,
+            preserve_sep=True, max_surface_forms=max_surface_forms)
+        return cls(entries, analyzer=analyzer,
+                   all_terms_required=all_terms_required, **blend_opts)
+
+    def _coefficient(self, position: int) -> float:
+        if self.blender_type == "position_linear":
+            return 1.0 - self.LINEAR_COEF * position
+        if self.blender_type == "position_reciprocal":
+            return 1.0 / (position + 1)
+        if self.blender_type == "position_exponential_reciprocal":
+            return 1.0 / (position + 1.0) ** self.exponent
+        return 1.0
+
+    def lookup(self, query: str, num: int = 5, *,
+               highlight: bool = False) -> list[tuple]:
+        base = super().lookup(query, num * self.num_factor,
+                              highlight=highlight)
+        if not base:
+            return []
+        toks = self.analyzer.analyze_terms(query)
+        exact, last = set(toks[:-1]), toks[-1]
+        by_surface = {str(self._surfaces[e]): e
+                      for e in range(len(self._surfaces))}
+        blended = []
+        for row in base:
+            surf, weight = row[0], row[1]
+            if surf.startswith(query):
+                coeff = 1.0   # hit starts with the key: score unchanged
+            else:
+                fp = self._first_pos[by_surface[surf]]
+                pos = min((p for t, p in fp.items()
+                           if t in exact or t.startswith(last)),
+                          default=0)
+                coeff = self._coefficient(pos)
+            score = weight * coeff
+            blended.append((*row, score))
+        blended.sort(key=lambda r: (-r[-1], r[0]))
+        return blended[:num]
+

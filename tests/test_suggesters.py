@@ -321,3 +321,92 @@ def test_freetext_dedup_prefers_higher_order_model(freetext):
 def test_freetext_empty_and_unknown(freetext):
     assert freetext.lookup("", num=5) == []
     assert freetext.lookup("zzz", num=5) == []
+
+
+# ---- BlendedInfixSuggester (position-blended scores) ----
+
+BLEND_CORPUS = [
+    ("wars alone", 10),        # starts with the query -> coeff 1
+    ("galaxy far wars", 12),   # "wars" at position 2 -> linear 0.8
+    ("star wars saga", 11),    # "wars" at position 1 -> linear 0.9
+]
+
+
+@pytest.fixture(scope="module")
+def blended(ray_session):
+    from lucene_solr_ray.search.suggest import BlendedInfixSuggester
+
+    return BlendedInfixSuggester.build(_ds(BLEND_CORPUS), "text", "weight")
+
+
+def test_blended_position_linear_reranks(blended):
+    got = blended.lookup("wars", num=3)
+    # raw weights would rank galaxy(12) first; blending flips it:
+    # wars alone 10*1=10, star wars 11*0.9=9.9, galaxy 12*0.8=9.6
+    assert [s for s, *_ in got] == [
+        "wars alone", "star wars saga", "galaxy far wars"]
+    assert [round(r[-1], 4) for r in got] == [10.0, 9.9, 9.6]
+
+
+def test_blended_reciprocal(ray_session):
+    from lucene_solr_ray.search.suggest import BlendedInfixSuggester
+
+    sugg = BlendedInfixSuggester.build(
+        _ds(BLEND_CORPUS), "text", "weight",
+        blender_type="position_reciprocal")
+    got = sugg.lookup("wars", num=3)
+    scores = {s: round(r, 4) for s, _, r in got}
+    # 1/(pos+1): galaxy 12/3=4, star wars 11/2=5.5, wars alone 10*1=10
+    assert scores == {"wars alone": 10.0, "star wars saga": 5.5,
+                      "galaxy far wars": 4.0}
+
+
+def test_blended_prefix_of_query_keeps_weight(blended):
+    # "wars al" -> "wars alone" starts with the raw query: coefficient 1
+    got = blended.lookup("wars al", num=2)
+    assert got[0][0] == "wars alone" and got[0][-1] == 10.0
+
+
+# ---- store()/load() persistence ----
+
+def test_save_load_roundtrip_analyzing_fuzzy(ray_session, tmp_path,
+                                             analyzing):
+    from lucene_solr_ray.search.suggest import (
+        AnalyzingSuggester as A, FuzzySuggester as F,
+        load_suggester, save_suggester)
+
+    save_suggester(analyzing, str(tmp_path / "an"))
+    loaded = load_suggester(str(tmp_path / "an"))
+    assert isinstance(loaded, A)
+    for q in ("gho", "chr", "sub", "nine"):
+        assert loaded.lookup(q, num=5) == analyzing.lookup(q, num=5)
+
+    fz = F(  # rebuild a fuzzy view over the same persisted dictionary
+        __import__("pyarrow").parquet.read_table(
+            tmp_path / "an" / "entries.parquet"))
+    save_suggester(fz, str(tmp_path / "fz"))
+    fz2 = load_suggester(str(tmp_path / "fz"))
+    assert isinstance(fz2, F)
+    assert fz2.lookup("sumbarine", num=5) == fz.lookup("sumbarine", num=5)
+
+
+def test_save_load_roundtrip_freetext(ray_session, tmp_path, freetext):
+    from lucene_solr_ray.search.suggest import (
+        FreeTextSuggester as FT, load_suggester, save_suggester)
+
+    save_suggester(freetext, str(tmp_path / "ft"))
+    loaded = load_suggester(str(tmp_path / "ft"))
+    assert isinstance(loaded, FT)
+    assert loaded.tot_tokens == freetext.tot_tokens
+    for q in ("foo b", "foo ", "qux b"):
+        assert loaded.lookup(q, num=5) == freetext.lookup(q, num=5)
+
+
+def test_save_load_roundtrip_blended(ray_session, tmp_path, blended):
+    from lucene_solr_ray.search.suggest import (
+        BlendedInfixSuggester as B, load_suggester, save_suggester)
+
+    save_suggester(blended, str(tmp_path / "bl"))
+    loaded = load_suggester(str(tmp_path / "bl"))
+    assert isinstance(loaded, B)
+    assert loaded.lookup("wars", num=3) == blended.lookup("wars", num=3)
