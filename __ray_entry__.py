@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": dedup.decontaminate_docs,
         # Gopher-style within-doc repetition quality signals
         "repetition_stats_docs": textstats.repetition_stats,
+        # index-driven NaiveBayes classification (lucene/classification)
+        "nb_classify_docs": __import__(
+            "lucene_solr_ray.search.classify",
+            fromlist=["nb_classify_docs"]).nb_classify_docs,
     }
 
 
@@ -453,6 +457,37 @@ def oracle_sql() -> dict[str, str]:
             "AS n_emails, "
             "len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS n_phones "
             "FROM aug",
+        "nb_classify_docs":
+            "WITH tl AS (SELECT doc_id, lang, list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') "
+            "AS toks FROM documents), "
+            "occ AS (SELECT doc_id, unnest(toks) AS term FROM tl), "
+            "pairs AS (SELECT DISTINCT o.doc_id, t.lang, o.term "
+            "FROM occ o JOIN tl t USING (doc_id)), "
+            "cls AS (SELECT lang AS c, count(*)::DOUBLE AS df_c "
+            "FROM documents GROUP BY lang), "
+            "tot AS (SELECT (SELECT count(*) FROM documents)::DOUBLE "
+            "AS n_docs, (SELECT count(*) FROM pairs)::DOUBLE AS n_pairs), "
+            "tcdf AS (SELECT term, lang AS c, count(*)::DOUBLE AS df "
+            "FROM pairs GROUP BY term, lang), "
+            "ntok AS (SELECT doc_id, count(*)::DOUBLE AS n FROM occ "
+            "GROUP BY doc_id), "
+            "tokscore AS (SELECT o.doc_id, c.c, "
+            "sum(ln(coalesce(d.df, 0) + 1)) AS s "
+            "FROM occ o CROSS JOIN cls c "
+            "LEFT JOIN tcdf d ON d.term = o.term AND d.c = c.c "
+            "GROUP BY o.doc_id, c.c), "
+            "scores AS (SELECT dd.doc_id, c.c, "
+            "round(ln(c.df_c) - ln(t.n_docs) + coalesce(ts.s, 0) "
+            "- coalesce(n.n, 0) * ln(t.n_pairs / t.n_docs * c.df_c "
+            "+ t.n_docs), 6) AS score "
+            "FROM documents dd CROSS JOIN cls c CROSS JOIN tot t "
+            "LEFT JOIN tokscore ts ON ts.doc_id = dd.doc_id "
+            "AND ts.c = c.c "
+            "LEFT JOIN ntok n ON n.doc_id = dd.doc_id) "
+            "SELECT doc_id, c AS pred_lang FROM ("
+            "SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, c) AS rn FROM scores) WHERE rn = 1",
         "repetition_stats_docs":
             "WITH tl AS (SELECT doc_id, list_filter(string_split_regex("
             "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
