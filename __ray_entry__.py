@@ -163,6 +163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify_docs": __import__(
             "lucene_solr_ray.search.classify",
             fromlist=["nb_classify_docs"]).nb_classify_docs,
+        # percolation / saved-query routing (MemoryIndex use case)
+        "percolate_docs": __import__(
+            "lucene_solr_ray.pipelines.percolate",
+            fromlist=["percolate_docs"]).percolate_docs,
     }
 
 
@@ -457,6 +461,26 @@ def oracle_sql() -> dict[str, str]:
             "AS n_emails, "
             "len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS n_phones "
             "FROM aug",
+        "percolate_docs":
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents) "
+            "SELECT doc_id, 'batch_and_filter' AS query_name FROM tl "
+            "WHERE list_contains(toks, 'batch') "
+            "AND list_contains(toks, 'filter') "
+            "UNION ALL "
+            "SELECT doc_id, 'scan_or_stream' FROM tl "
+            "WHERE list_contains(toks, 'scan') "
+            "OR list_contains(toks, 'stream') "
+            "UNION ALL "
+            "SELECT doc_id, 'customer_not_slow' FROM tl "
+            "WHERE list_contains(toks, 'customer') "
+            "AND NOT list_contains(toks, 'slow') "
+            "UNION ALL "
+            "SELECT doc_id, 'phrase_batch_filter' FROM tl "
+            "WHERE len(list_filter(generate_series(1, len(toks) - 1), "
+            "i -> list_extract(toks, i) = 'batch' "
+            "AND list_extract(toks, i + 1) = 'filter')) > 0",
         "nb_classify_docs":
             "WITH tl AS (SELECT doc_id, lang, list_filter("
             "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') "
