@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_facet_source_lang": relational.nested_facet_source_lang,
         "range_facet_events": relational.range_facet_events,
         "pivot_facet_orders": relational.pivot_facet_orders,
+        "interval_facet_events": relational.interval_facet_events,
         "stats_events": relational.stats_events,
         "rollup_lineitem": relational.rollup_lineitem,
         "analytics_lineitem": analytics.analytics_lineitem,
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expression_lineitem": relational.expression_lineitem,
         "range_filter_events": relational.range_filter_events,
         "datemath_range_events": relational.datemath_range_events,
+        "frange_lineitem": relational.frange_lineitem,
         # set ops / dedup (§2.8)
         "merge_union_events": relational.merge_union_events,
         "exact_dedup": dedup.exact_dedup,
@@ -203,6 +205,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'after', count(*) FROM events WHERE value >= 350 "
             "UNION ALL SELECT 'between', count(*) FROM events "
             "WHERE value >= 50 AND value < 350",
+        "interval_facet_events":
+            "SELECT '[*,100)' AS bucket, count(*) AS cnt FROM events "
+            "WHERE value < 100 "
+            "UNION ALL SELECT '[50,150)', count(*) FROM events "
+            "WHERE value >= 50 AND value < 150 "
+            "UNION ALL SELECT '[100,200]', count(*) FROM events "
+            "WHERE value >= 100 AND value <= 200 "
+            "UNION ALL SELECT '(200,*]', count(*) FROM events "
+            "WHERE value > 200",
         "geo_bbox_events":
             "WITH c AS (SELECT event_id, user_id, "
             "((user_id * 2654435761) % 4294967296) / 4294967296.0 "
@@ -329,6 +340,12 @@ def oracle_sql() -> dict[str, str]:
             "AND ts < date_trunc('hour', TIMESTAMP '2024-01-22 12:34:56') "
             "- INTERVAL 30 MINUTE "
             "GROUP BY event_type",
+        "frange_lineitem":
+            "SELECT l_returnflag, count(*) AS cnt, "
+            "round(sum(l_extendedprice), 2) AS sum_price FROM lineitem "
+            "WHERE l_extendedprice / l_quantity >= 900.0 "
+            "AND l_extendedprice / l_quantity < 1000.0 "
+            "GROUP BY l_returnflag",
         "merge_union_events":
             "SELECT event_id, event_type, round(value, 4) AS value "
             "FROM events WHERE event_type = 'click' "

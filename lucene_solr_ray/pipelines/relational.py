@@ -156,6 +156,77 @@ def range_facet_events(sf_dir: str):
                        "value", start=50, end=350, gap=50)
 
 
+# --- interval facets (IntervalFacets.java:53-101) ---
+
+def _parse_interval(spec: str) -> tuple[float, bool, float, bool]:
+    """Parse one ``facet.interval.set`` spec per the reference syntax
+    contract (``solr/core/.../request/IntervalFacets.java:68-80``):
+    ``[``/``(`` start, comma, end, ``)``/``]``; ``*`` = unbounded (and
+    ``[*`` / ``*]`` are treated as open like the reference does)."""
+    s = spec.strip()
+    if len(s) < 5 or s[0] not in "([" or s[-1] not in ")]":
+        raise ValueError(f"bad interval syntax: {spec!r}")
+    lo_s, _, hi_s = s[1:-1].partition(",")
+    if not _:
+        raise ValueError(f"bad interval syntax (no comma): {spec!r}")
+    lo_s, hi_s = lo_s.strip(), hi_s.strip()
+    if not lo_s or not hi_s:
+        raise ValueError(f"interval ends can't be empty: {spec!r}")
+    lo = -np.inf if lo_s == "*" else float(lo_s)
+    hi = np.inf if hi_s == "*" else float(hi_s)
+    lo_incl = s[0] == "[" and lo_s != "*"
+    hi_incl = s[-1] == "]" and hi_s != "*"
+    if lo > hi:
+        raise ValueError(f"start > end: {spec!r}")
+    return lo, lo_incl, hi, hi_incl
+
+
+def interval_facet(ds, field: str, intervals: list[str]):
+    """``facet.interval`` counts (``IntervalFacets.java:53``: the count of
+    each interval equals the count of the equivalent range query; intervals
+    may overlap, so one row can contribute to several — unlike
+    ``facet.range`` buckets).
+
+    Vectorized: one boolean-mask reduction per (batch, interval) — the
+    interval list is tiny and the values stream; partial count vectors
+    merge through a small groupby. Empty intervals are emitted with
+    count 0. Returns (bucket, cnt) with the original spec string as the
+    bucket label, in the caller's interval order.
+    """
+    parsed = [_parse_interval(s) for s in intervals]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        counts = np.empty(len(parsed), dtype=np.int64)
+        for i, (lo, lo_incl, hi, hi_incl) in enumerate(parsed):
+            m = (v >= lo) if lo_incl else (v > lo)
+            m &= (v <= hi) if hi_incl else (v < hi)
+            counts[i] = int(m.sum())
+        return pa.table({"i": pa.array(np.arange(len(parsed))),
+                         "cnt": pa.array(counts)})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("i").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def label(t: pa.Table) -> pa.Table:
+        idx = t.column("i").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array([intervals[i] for i in idx],
+                               type=pa.string()),
+            "cnt": t.column("cnt").cast(pa.int64()),
+        })
+
+    return merged.map_batches(label, batch_format="pyarrow")
+
+
+def interval_facet_events(sf_dir: str):
+    """facet.interval over events.value: overlapping + unbounded sets."""
+    return interval_facet(
+        read(sf_dir, "events", ["value"]), "value",
+        ["[*,100)", "[50,150)", "[100,200]", "(200,*]"])
+
+
 # --- pivot facets (PivotFacetProcessor.java:53) ---
 
 def pivot_facet(ds, fields: list[str], limits: list[int] | None = None,
@@ -330,6 +401,48 @@ def expression_lineitem(sf_dir: str):
         return round_col(out, "escore", 4)
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- function range query ({!frange}) ---
+
+def frange(ds, expr: str, l: float | None = None, u: float | None = None,
+           incl: bool = True, incu: bool = True):
+    """FunctionRangeQuery over a compiled ValueSource
+    (``solr/core/.../search/FunctionRangeQuery.java:33`` +
+    ``FunctionRangeQParserPlugin.java:40`` ``{!frange l= u= incl= incu=}``
+    semantics): keep rows whose function value lies within the bounds;
+    a missing bound is unbounded on that side. The expression evaluates
+    vectorized per Arrow batch and the filter streams — no materialize."""
+    from ..functions import compile_expr
+
+    fn = compile_expr(expr)
+
+    def flt(t: pa.Table) -> pa.Table:
+        v = fn(t)
+        mask = pa.array(np.ones(len(t), dtype=bool))
+        if l is not None:
+            op = pc.greater_equal if incl else pc.greater
+            mask = pc.and_(mask, op(v, pa.scalar(float(l))))
+        if u is not None:
+            op = pc.less_equal if incu else pc.less
+            mask = pc.and_(mask, op(v, pa.scalar(float(u))))
+        return t.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def frange_lineitem(sf_dir: str):
+    """{!frange l=900 u=1000 incu=false}div(l_extendedprice,l_quantity),
+    rolled up per returnflag."""
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_extendedprice", "l_quantity"])
+    ds = frange(ds, "div(l_extendedprice,l_quantity)",
+                l=900.0, u=1000.0, incl=True, incu=False)
+    out = (ds.groupby("l_returnflag")
+           .aggregate(Count(alias_name="cnt"),
+                      Sum("l_extendedprice", alias_name="sum_price")))
+    return out.map_batches(lambda t: round_col(t, "sum_price", 2),
+                           batch_format="pyarrow")
 
 
 # --- range filter (PointRangeQuery / TrieField range) ---
