@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_nearest_events": __import__(
             "lucene_solr_ray.pipelines.geo",
             fromlist=["geo_nearest_events"]).geo_nearest_events,
+        "heatmap_facet_events": __import__(
+            "lucene_solr_ray.pipelines.geo",
+            fromlist=["heatmap_facet_events"]).heatmap_facet_events,
         # graph traversal streams (GatherNodesStream / ShortestPathStream)
         "gather_parts_of_customer": __import__(
             "lucene_solr_ray.pipelines.graph",
@@ -233,6 +236,18 @@ def oracle_sql() -> dict[str, str]:
             "(lon-2.0)*(lon-2.0) AS d2 FROM c) "
             "SELECT event_id, ROUND(d2, 6) AS d2 FROM d "
             "ORDER BY d2, event_id LIMIT 20",
+        "heatmap_facet_events":
+            "WITH pts AS (SELECT "
+            "((user_id * 2654435761) % 4294967296) / 4294967296.0 "
+            "* 180 - 90 AS lat, "
+            "(((user_id + 12345) * 2654435761) % 4294967296) / 4294967296.0 "
+            "* 360 - 180 AS lon FROM events) "
+            "SELECT LEAST(CAST(floor((lat - 10.0) / 5.0) AS BIGINT), 8) "
+            "AS grow, "
+            "LEAST(CAST(floor((lon - (-30.0)) / 5.0) AS BIGINT), 14) "
+            "AS gcol, count(*) AS cnt FROM pts "
+            "WHERE lat >= 10.0 AND lat <= 55.0 "
+            "AND lon >= -30.0 AND lon <= 45.0 GROUP BY 1, 2",
         "gather_parts_of_customer":
             "SELECT DISTINCT l_partkey AS node FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 7 "

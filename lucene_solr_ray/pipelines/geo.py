@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -163,6 +164,69 @@ def geo_bbox_events(sf_dir: str):
         return round_col(t, "lon", 6)
 
     return out.map_batches(shape, batch_format="pyarrow")
+
+
+def heatmap_facet(ds: rd.Dataset, lat_col: str, lon_col: str,
+                  min_lat: float, max_lat: float,
+                  min_lon: float, max_lon: float,
+                  rows: int, columns: int) -> rd.Dataset:
+    """``facet.heatmap`` 2D grid-cell counts over a bounding box
+    (``solr/core/.../handler/component/SpatialHeatmapFacets.java:77``,
+    response fields gridLevel/columns/rows/counts_ints2D at :173-175).
+    The reference derives (rows, columns) from the RPT prefix-tree
+    gridLevel; here the grid shape is the direct parameter — the same
+    uniform quad grid one RPT level denotes. Cell (grow, gcol) covers
+    ``[min+i*step, min+(i+1)*step)`` with points on the max edge clamped
+    into the last cell (every in-box point lands in exactly one cell).
+
+    Each batch reduces to one fixed ``rows*columns`` count vector
+    (np.bincount over the flattened cell index — the heatmap is tiny and
+    the points stream); a small groupby merges partials. Returns sparse
+    non-empty cells (grow, gcol, cnt); the reference's dense y-flipped
+    ``asInts2D`` layout (:215) is a driver-side reshape of the same data.
+    """
+    dlat = (max_lat - min_lat) / rows
+    dlon = (max_lon - min_lon) / columns
+    n = rows * columns
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False)
+        m = ((lat >= min_lat) & (lat <= max_lat)
+             & (lon >= min_lon) & (lon <= max_lon))
+        lat, lon = lat[m], lon[m]
+        gy = np.minimum(np.floor((lat - min_lat) / dlat).astype(np.int64),
+                        rows - 1)
+        gx = np.minimum(np.floor((lon - min_lon) / dlon).astype(np.int64),
+                        columns - 1)
+        counts = np.bincount(gy * columns + gx, minlength=n)
+        return pa.table({"i": pa.array(np.arange(n, dtype=np.int64)),
+                         "cnt": pa.array(counts.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("i").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def label(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("cnt"), pa.scalar(0)))
+        idx = t.column("i").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "grow": pa.array(idx // columns, type=pa.int64()),
+            "gcol": pa.array(idx % columns, type=pa.int64()),
+            "cnt": t.column("cnt").cast(pa.int64()),
+        })
+
+    return merged.map_batches(label, batch_format="pyarrow")
+
+
+def heatmap_facet_events(sf_dir: str):
+    """facet.heatmap over the synthetic event coordinates: 9x15 grid on
+    lat [10,55] x lon [-30,45] (5-degree cells, exact literals so the
+    SQL oracle reproduces the cell arithmetic bit-for-bit)."""
+    return heatmap_facet(_events_with_coords(sf_dir), "lat", "lon",
+                         10.0, 55.0, -30.0, 45.0, rows=9, columns=15)
 
 
 def geo_nearest_events(sf_dir: str, k: int = 20):

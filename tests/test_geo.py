@@ -92,3 +92,36 @@ def test_synth_coords_in_range():
     # deterministic
     lat2, lon2 = synth_coords(ids)
     assert (lat == lat2).all() and (lon == lon2).all()
+
+
+def test_heatmap_facet_partition_and_clamp(points):
+    """Every in-box point lands in exactly one cell; max-edge clamps."""
+    from lucene_solr_ray.pipelines.geo import heatmap_facet
+
+    ds, ids, lat, lon = points
+    out = heatmap_facet(ds, "lat", "lon", -60.0, 60.0, -120.0, 120.0,
+                        rows=6, columns=8).to_pandas()
+    inbox = (lat >= -60) & (lat <= 60) & (lon >= -120) & (lon <= 120)
+    assert out["cnt"].sum() == int(inbox.sum())
+    # brute-force recount per cell
+    gy = np.minimum(np.floor((lat[inbox] + 60.0) / 20.0).astype(int), 5)
+    gx = np.minimum(np.floor((lon[inbox] + 120.0) / 30.0).astype(int), 7)
+    want = {}
+    for y, x in zip(gy, gx):
+        want[(y, x)] = want.get((y, x), 0) + 1
+    got = {(r.grow, r.gcol): r.cnt for r in out.itertuples()}
+    assert got == want
+    assert out["grow"].between(0, 5).all()
+    assert out["gcol"].between(0, 7).all()
+
+
+def test_heatmap_edge_point_clamped(ray_session):
+    """A point exactly on the max edge counts in the last cell."""
+    from lucene_solr_ray.pipelines.geo import heatmap_facet
+
+    t = pa.table({"lat": [10.0, 55.0], "lon": [-30.0, 45.0]})
+    out = heatmap_facet(rd.from_arrow(t), "lat", "lon",
+                        10.0, 55.0, -30.0, 45.0, rows=9,
+                        columns=15).to_pandas()
+    got = {(r.grow, r.gcol): r.cnt for r in out.itertuples()}
+    assert got == {(0, 0): 1, (8, 14): 1}
