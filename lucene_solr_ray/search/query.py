@@ -132,6 +132,23 @@ class SpanNotQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True, eq=False)
+class ComplexPhraseQuery(Query):
+    """ComplexPhraseQueryParser phrase placeholder
+    (``lucene/queryparser/src/java/org/apache/lucene/queryparser/
+    complexPhrase/ComplexPhraseQueryParser.java:210``): a quoted phrase
+    whose body is itself query syntax — wildcards, fuzzy, ranges, OR
+    groups and negation at phrase positions. ``clauses`` is the ORDERED
+    sequence of (negated, query) phrase elements; the tree rewrites to
+    the span algebra against a term dictionary at search time
+    (``rewrite_complex_phrase``, the :252-345 rewrite contract)."""
+
+    clauses: tuple = ()  # ordered (neg: bool, Query) pairs
+    slop: int = 0
+    in_order: bool = True
+    boost: float = 1.0
+
+
 @dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     """ConstantScoreQuery (``search/ConstantScoreQuery.java``): every
@@ -588,6 +605,152 @@ def parse_span(text: str, analyzer=None) -> Query:
     return q
 
 
+_CPX_NO_MATCH = "\x00__no_terms__"  # the reference's impossible dummy term
+
+
+def _parse_complex_phrase_body(body: str, slop: int, analyzer,
+                               in_order: bool = True) -> Query:
+    """Phrase body -> ComplexPhraseQuery: an ordered scan of phrase
+    elements (``ComplexPhraseQuery.parsePhraseElements``,
+    ComplexPhraseQueryParser.java:234). Elements are whitespace-split
+    chunks; ``-``/NOT marks a negative position; ``( ... )`` is an OR
+    group whose members may each be term-like (wildcard/fuzzy/range)."""
+    clauses: list[tuple[bool, Query]] = []
+    i, n = 0, len(body)
+    neg = False
+    while i < n:
+        c = body[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "+-":
+            neg = c == "-"
+            i += 1
+            continue
+        if c == "(":
+            j = body.find(")", i + 1)
+            if j == -1:
+                j = n
+            inner = body[i + 1:j]
+            i = j + 1
+            g_should: list[Query] = []
+            g_not: list[Query] = []
+            for chunk in inner.split():
+                if chunk in ("OR", "AND"):
+                    continue
+                if chunk.startswith("-"):
+                    g_not.append(_parse_term_like(chunk[1:], analyzer))
+                else:
+                    g_should.append(_parse_term_like(chunk, analyzer))
+            clauses.append((neg, BooleanQuery(should=g_should,
+                                              must_not=g_not,
+                                              min_should_match=1)))
+            neg = False
+            continue
+        if c == "[":
+            j = body.find("]", i + 1)
+            if j != -1:
+                clauses.append((neg, _parse_term_like(body[i:j + 1],
+                                                      analyzer)))
+                neg = False
+                i = j + 1
+                continue
+        j = i
+        while j < n and not body[j].isspace():
+            j += 1
+        chunk = body[i:j]
+        i = j
+        if chunk.upper() == "NOT":
+            neg = True
+            continue
+        if chunk.upper() in ("AND", "OR"):
+            continue
+        clauses.append((neg, _parse_term_like(chunk, analyzer)))
+        neg = False
+    return ComplexPhraseQuery(clauses=tuple(clauses), slop=slop,
+                              in_order=in_order)
+
+
+def parse_complex_phrase(text: str, analyzer=None) -> Query:
+    """ComplexPhraseQueryParser.parse: classic syntax, but every quoted
+    phrase may embed wildcards / fuzzy / ranges / OR groups / negation
+    (ComplexPhraseQueryParser.java:65; ``inOrder`` defaults true, :70)."""
+    if analyzer is None:
+        from ..analysis import get_analyzer
+
+        analyzer = get_analyzer("standard")
+    return parse_query(text, analyzer, complex_phrases=True)
+
+
+def rewrite_complex_phrase(q: ComplexPhraseQuery, sorted_terms) -> Query:
+    """ComplexPhraseQuery.rewrite (ComplexPhraseQueryParser.java:252-345)
+    against a sorted term sequence:
+
+    - a single plain-term phrase returns the TermQuery unchanged (:257);
+    - each element rewrites to spans: term -> SpanTerm; multi-term ->
+      SpanOr of its expansions, or the impossible dummy term when the
+      expansion is empty (:296-299, 'must match nothing'); OR group ->
+      SpanOr of positives, wrapped in SpanNot when the group carries
+      negated members (addComplexPhraseClause, :347-392);
+    - no negative elements -> SpanNear(all, slop, inOrder) (:315);
+    - with negatives -> SpanNot(include=SpanNear(positives,
+      slop+numNegatives), exclude=SpanNear(all, slop)) (:317-345).
+    """
+    def leaf_to_span(qc: Query):
+        if isinstance(qc, TermQuery):
+            return SpanTermQuery(qc.term)
+        if isinstance(qc, MatchNoDocs):
+            return None
+        if isinstance(qc, MultiTermQuery):
+            terms = expand_multi_term(qc, sorted_terms)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return SpanTermQuery(terms[0])
+            return SpanOrQuery(tuple(SpanTermQuery(t) for t in terms))
+        if isinstance(qc, PhraseQuery):
+            # an analyzed chunk that split into several tokens ("a.b")
+            return SpanNearQuery(tuple(SpanTermQuery(t) for t in qc.terms),
+                                 slop=0, in_order=True)
+        if isinstance(qc, BooleanQuery):
+            ors = [s for c in (qc.must + qc.should)
+                   if (s := leaf_to_span(c)) is not None]
+            if not ors:
+                return None
+            soq = ors[0] if len(ors) == 1 else SpanOrQuery(tuple(ors))
+            nots = [s for c in qc.must_not
+                    if (s := leaf_to_span(c)) is not None]
+            if nots:
+                snqs = nots[0] if len(nots) == 1 else \
+                    SpanOrQuery(tuple(nots))
+                return SpanNotQuery(include=soq, exclude=snqs)
+            return soq
+        raise TypeError(
+            f"unsupported query type in complex phrase: {type(qc)}")
+
+    if len(q.clauses) == 1 and not q.clauses[0][0] \
+            and isinstance(q.clauses[0][1], TermQuery):
+        return q.clauses[0][1]
+
+    all_spans = tuple(leaf_to_span(qc) or SpanTermQuery(_CPX_NO_MATCH)
+                      for _, qc in q.clauses)
+    num_neg = sum(1 for neg, _ in q.clauses if neg)
+    if num_neg == 0:
+        if len(all_spans) == 1:
+            return all_spans[0]
+        return SpanNearQuery(all_spans, slop=q.slop, in_order=q.in_order,
+                             boost=q.boost)
+    positives = tuple(s for (neg, _), s in zip(q.clauses, all_spans)
+                      if not neg)
+    if len(positives) == 1:
+        include = positives[0]
+    else:
+        include = SpanNearQuery(positives, slop=q.slop + num_neg,
+                                in_order=q.in_order)
+    exclude = SpanNearQuery(all_spans, slop=q.slop, in_order=q.in_order)
+    return SpanNotQuery(include=include, exclude=exclude, boost=q.boost)
+
+
 def _parse_term_like(chunk: str, analyzer) -> Query:
     """Classify a non-phrase chunk: range, fuzzy, wildcard/prefix, or an
     analyzed term. Handles ``field:term`` prefixes (single text field —
@@ -639,12 +802,16 @@ def _parse_term_like_body(chunk: str, analyzer) -> Query:
     return _analyze_chunk(chunk, analyzer)
 
 
-def parse_query(text: str, analyzer=None) -> Query:
+def parse_query(text: str, analyzer=None,
+                complex_phrases: bool = False) -> Query:
     """Parse the classic-syntax subset into an AST.
 
     Supported: bare terms (implicit OR), AND / OR / NOT connectives,
     +required / -prohibited prefixes, "quoted phrases". Field prefixes and
     the wildcard/fuzzy/range syntax are not part of the parity surface.
+    With ``complex_phrases=True`` (ComplexPhraseQueryParser surface),
+    quoted phrases parse their bodies as query syntax instead of plain
+    analyzed text.
     """
     if analyzer is None:
         from ..analysis import get_analyzer
@@ -666,14 +833,17 @@ def parse_query(text: str, analyzer=None) -> Query:
     def flush(chunk: str, is_phrase: bool, slop: int = 0):
         nonlocal pending_op, pending_bool
         if is_phrase:
-            terms, positions = analyzer.analyze(chunk)
-            if not terms:
-                q: Query = MatchNoDocs()
+            if complex_phrases:
+                q: Query = _parse_complex_phrase_body(chunk, slop, analyzer)
             else:
-                base = positions[0]
-                q = PhraseQuery(tuple(terms),
-                                tuple(p - base for p in positions),
-                                slop=slop)
+                terms, positions = analyzer.analyze(chunk)
+                if not terms:
+                    q = MatchNoDocs()
+                else:
+                    base = positions[0]
+                    q = PhraseQuery(tuple(terms),
+                                    tuple(p - base for p in positions),
+                                    slop=slop)
         else:
             upper = chunk.upper()
             if upper == "AND":

@@ -129,6 +129,15 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery)):
         return span_terms(q)
+    from .query import ComplexPhraseQuery
+
+    if isinstance(q, ComplexPhraseQuery):
+        # plain-term phrase elements only: multi-term expansions are
+        # per-shard (rewrite time), their stats resolve shard-locally
+        out = set()
+        for _, c in q.clauses:
+            out |= collect_terms(c)
+        return out
     return set()
 
 
@@ -567,6 +576,13 @@ class ShardSearcher:
                                  dtype=np.float32)
         if isinstance(q, DisMaxQuery):
             return self._score_dismax(q, df_map)
+        from .query import ComplexPhraseQuery, rewrite_complex_phrase
+
+        if isinstance(q, ComplexPhraseQuery):
+            # ComplexPhraseQuery.rewrite against THIS shard's term dict
+            # (the reference rewrites per IndexReader the same way)
+            return self._score_clause(
+                rewrite_complex_phrase(q, self._terms.seq()), df_map)
         raise TypeError(f"unsupported query node: {type(q)}")
 
     def _span_candidates(self, q) -> np.ndarray:
@@ -635,8 +651,14 @@ class ShardSearcher:
         docs, f = docs[keep], freqs[keep]
         sum_idf = np.float32(0.0)
         for t in sorted(span_terms(q)):
+            df = df_map.get(t)
+            if df is None:
+                # term came from a rewrite-time expansion (complex
+                # phrase): resolve its stats shard-locally
+                p = self._postings(t)
+                df = len(p[0]) if p is not None else 0
             sum_idf = np.float32(
-                sum_idf + bm25.idf(df_map.get(t, 0), self.doc_count))
+                sum_idf + bm25.idf(df, self.doc_count))
         w = bm25.weight_value(sum_idf, q.boost)
         scores = bm25.score_freqs(f, self.norms[docs - self.base],
                                   self.cache, w)
@@ -942,6 +964,14 @@ class IndexSearcher:
         from ..analysis import get_analyzer
 
         return parse_query(text, get_analyzer(self.analyzer_name))
+
+    def parse_complex(self, text: str) -> Query:
+        """ComplexPhraseQueryParser surface: phrases may embed
+        wildcards / fuzzy / ranges / OR groups / negation."""
+        from ..analysis import get_analyzer
+        from .query import parse_complex_phrase
+
+        return parse_complex_phrase(text, get_analyzer(self.analyzer_name))
 
     _docmap_cache: np.ndarray | None = None
     _docvalue_cache: dict | None = None
