@@ -65,6 +65,12 @@ def main(argv=None) -> int:
     s.add_argument("--highlight", default=None, metavar="SOURCE_PARQUET",
                    help="attach snippets, fetching hit texts from the "
                         "source parquet (stored-fields phase)")
+    s.add_argument("--similarity", default="bm25",
+                   choices=("bm25", "classic"),
+                   help="scoring model (IndexSearcher.setSimilarity)")
+    s.add_argument("--complex-phrase", action="store_true",
+                   help="parse with the ComplexPhraseQueryParser surface "
+                        "(wildcards/fuzzy/groups inside quoted phrases)")
 
     g = sub.add_parser("get", help="real-time get stored fields by key/id")
     g.add_argument("index_dir")
@@ -162,7 +168,8 @@ def main(argv=None) -> int:
     elif args.cmd == "search":
         from .search.searcher import IndexSearcher
 
-        searcher = IndexSearcher(args.index_dir)
+        searcher = IndexSearcher(args.index_dir,
+                                 similarity=args.similarity)
         sort = None
         if args.sort:
             field, _, direction = args.sort.partition(":")
@@ -188,7 +195,9 @@ def main(argv=None) -> int:
                     return parse_date_math(x)
                 return x
             filter_range = {field: (_bound(lo), _bound(hi))}
-        hits = searcher.search(args.query, k=args.k, sort=sort,
+        query = searcher.parse_complex(args.query) if args.complex_phrase \
+            else args.query
+        hits = searcher.search(query, k=args.k, sort=sort,
                                filter_range=filter_range)
         rows = searcher.resolve_hits(hits)
         if args.highlight:

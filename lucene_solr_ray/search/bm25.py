@@ -59,3 +59,74 @@ def weight_value(idf_value: np.float32, boost: float = 1.0,
                  k1: np.float32 = K1) -> np.float32:
     """weight = idf * boost; weightValue = weight * (k1 + 1)."""
     return np.float32(np.float32(idf_value) * np.float32(boost) * (k1 + np.float32(1.0)))
+
+
+# --- pluggable similarity strategies (Similarity SPI) ------------------
+
+class BM25Sim:
+    """The default scorer, wrapping the module kernels (BM25Similarity)."""
+
+    name = "bm25"
+
+    def __init__(self, avgdl: np.float32):
+        self.cache = norm_cache(avgdl)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return idf(doc_freq, doc_count)
+
+    def weight(self, idf_sum: np.float32, boost: float = 1.0) -> np.float32:
+        return weight_value(idf_sum, boost)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              w: np.float32) -> np.ndarray:
+        return score_freqs(freqs, norm_bytes, self.cache, w)
+
+
+class ClassicSim:
+    """ClassicSimilarity / TFIDFSimilarity (``lucene/core/src/java/org/
+    apache/lucene/search/similarities/ClassicSimilarity.java``):
+
+    - tf        = (float) sqrt(freq)                               (:120-122)
+    - idf       = (float)(log((docCount+1)/(docFreq+1)) + 1)       (:138-140)
+    - value     = queryWeight * idf = boost * idf^2 with the 7.0
+      queryNorm fixed at 1 (TFIDFSimilarity.java:755-763)
+    - norm      = decodeNormValue(norm_byte) = byte315ToFloat — the
+      stored byte IS floatToByte315(1/sqrt(numTerms)), shared with the
+      BM25 writer in this snapshot, so Classic decoding is bit-exact
+      with a reference Classic index (ClassicSimilarity.java:95-98,109)
+    - score     = tf(freq) * value * norm (TFIDFSimScorer.score,
+      TFIDFSimilarity.java:712-716)
+    """
+
+    name = "classic"
+
+    def __init__(self, avgdl: np.float32 = np.float32(1.0)):
+        from ..util.smallfloat import byte315_to_float
+
+        self._norm_table = byte315_to_float(
+            np.arange(256, dtype=np.uint8)).astype(np.float32)
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return np.float32(
+            math.log((doc_count + 1) / float(doc_freq + 1)) + 1.0)
+
+    def weight(self, idf_sum: np.float32, boost: float = 1.0) -> np.float32:
+        i = np.float32(idf_sum)
+        return np.float32(np.float32(boost) * i * i)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              w: np.float32) -> np.ndarray:
+        f = np.sqrt(freqs.astype(np.float32)).astype(np.float32)
+        norm = self._norm_table[norm_bytes.astype(np.int64)]
+        return (np.float32(w) * f * norm).astype(np.float32)
+
+
+SIMILARITIES = {"bm25": BM25Sim, "classic": ClassicSim}
+
+
+def make_similarity(name: str, avgdl: np.float32):
+    try:
+        return SIMILARITIES[name](avgdl)
+    except KeyError:
+        raise ValueError(f"unknown similarity {name!r}; "
+                         f"one of {sorted(SIMILARITIES)}") from None

@@ -240,7 +240,8 @@ class _TermSeq:
 class ShardSearcher:
     """Search over one shard; all postings/norms held in memory."""
 
-    def __init__(self, index_dir: str, shard_id: int, manifest: dict | None = None):
+    def __init__(self, index_dir: str, shard_id: int,
+                 manifest: dict | None = None, similarity: str = "bm25"):
         index_path = Path(index_dir)
         if manifest is None:
             manifest = json.loads((index_path / "manifest.json").read_text())
@@ -253,6 +254,9 @@ class ShardSearcher:
         self.doc_count = stats["doc_count"]
         self.avgdl = np.float32(stats["avgdl"])
         self.cache = bm25.norm_cache(self.avgdl)
+        # query-time pluggable scoring (Similarity SPI: IndexSearcher.
+        # setSimilarity); the MaxScore pruning path stays BM25-only
+        self.sim = bm25.make_similarity(similarity, self.avgdl)
 
         terms_file = index_path / "shards" / f"shard={shard_id:05d}" / "terms.parquet"
         if terms_file.exists():
@@ -431,9 +435,9 @@ class ShardSearcher:
         if p is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         docs, freqs, _ = p
-        w = bm25.weight_value(
-            bm25.idf(df_map.get(q.term, 0), self.doc_count), q.boost)
-        scores = bm25.score_freqs(freqs, self.norms[docs - self.base], self.cache, w)
+        w = self.sim.weight(
+            self.sim.idf(df_map.get(q.term, 0), self.doc_count), q.boost)
+        scores = self.sim.score(freqs, self.norms[docs - self.base], w)
         return self._live(docs, scores)
 
     def _score_phrase(self, q: PhraseQuery, df_map: dict[str, int]):
@@ -489,20 +493,16 @@ class ShardSearcher:
         keep = phrase_freqs > 0
         docs = docs[keep]
         pf = phrase_freqs[keep]
-        sum_idf = np.float32(0.0)
-        for t in q.terms:
-            sum_idf = np.float32(
-                sum_idf + bm25.idf(df_map.get(t, 0), self.doc_count))
-        w = bm25.weight_value(sum_idf, q.boost)
-        scores = bm25.score_freqs(pf, self.norms[docs - self.base], self.cache, w)
+        w = self._phrase_weight(q, df_map)
+        scores = self.sim.score(pf, self.norms[docs - self.base], w)
         return self._live(docs, scores)
 
     def _phrase_weight(self, q: PhraseQuery, df_map: dict[str, int]):
         sum_idf = np.float32(0.0)
         for t in q.terms:
             sum_idf = np.float32(
-                sum_idf + bm25.idf(df_map.get(t, 0), self.doc_count))
-        return bm25.weight_value(sum_idf, q.boost)
+                sum_idf + self.sim.idf(df_map.get(t, 0), self.doc_count))
+        return self.sim.weight(sum_idf, q.boost)
 
     def _finish_sloppy_phrase(self, q: PhraseQuery, df_map: dict[str, int],
                               docs: np.ndarray, idxs: list, plists: list):
@@ -531,8 +531,7 @@ class ShardSearcher:
             return empty
         docs = docs[keep]
         w = self._phrase_weight(q, df_map)
-        scores = bm25.score_freqs(pf[keep], self.norms[docs - self.base],
-                                  self.cache, w)
+        scores = self.sim.score(pf[keep], self.norms[docs - self.base], w)
         return self._live(docs, scores)
 
     def _score_multi_term(self, q: MultiTermQuery):
@@ -658,10 +657,9 @@ class ShardSearcher:
                 p = self._postings(t)
                 df = len(p[0]) if p is not None else 0
             sum_idf = np.float32(
-                sum_idf + bm25.idf(df, self.doc_count))
-        w = bm25.weight_value(sum_idf, q.boost)
-        scores = bm25.score_freqs(f, self.norms[docs - self.base],
-                                  self.cache, w)
+                sum_idf + self.sim.idf(df, self.doc_count))
+        w = self.sim.weight(sum_idf, q.boost)
+        scores = self.sim.score(f, self.norms[docs - self.base], w)
         return self._live(docs, scores)
 
     def _score_span_first(self, q, df_map: dict[str, int]):
@@ -677,10 +675,9 @@ class ShardSearcher:
             np.zeros(len(docs), dtype=np.int64)
         keep = f > 0
         docs, f = docs[keep], f[keep]
-        w = bm25.weight_value(
-            bm25.idf(df_map.get(q.term, 0), self.doc_count), q.boost)
-        scores = bm25.score_freqs(f, self.norms[docs - self.base],
-                                  self.cache, w)
+        w = self.sim.weight(
+            self.sim.idf(df_map.get(q.term, 0), self.doc_count), q.boost)
+        scores = self.sim.score(f, self.norms[docs - self.base], w)
         return self._live(docs, scores)
 
     def _score_dismax(self, q, df_map: dict[str, int]):
@@ -893,7 +890,7 @@ class ShardSearcher:
         the hit set with inclusive docvalue ranges (IntPoint /
         PointRangeQuery analog) BEFORE ranking."""
         if (use_maxscore and sort is None and not filter_range
-                and after is None
+                and after is None and self.sim.name == "bm25"
                 and self._is_pure_term_disjunction(query)):
             docs, scores = self._score_disjunction_maxscore(query, df_map, k)
         else:
@@ -950,13 +947,16 @@ class ShardSearcher:
 class IndexSearcher:
     """Single-process searcher over all shards (tests / small indexes)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, similarity: str = "bm25"):
         self.index_dir = str(index_dir)
         self.manifest = json.loads(
             (Path(index_dir) / "manifest.json").read_text())
         shard_ids = [s["shard_id"] for s in self.manifest["shards"]]
+        self.similarity = similarity
         self.shards = [
-            ShardSearcher(self.index_dir, sid, self.manifest) for sid in sorted(shard_ids)
+            ShardSearcher(self.index_dir, sid, self.manifest,
+                          similarity=similarity)
+            for sid in sorted(shard_ids)
         ]
         self.analyzer_name = self.manifest["params"]["analyzer"]
 
