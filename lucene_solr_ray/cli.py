@@ -112,6 +112,22 @@ def main(argv=None) -> int:
     c = sub.add_parser("check", help="validate index invariants")
     c.add_argument("index_dir")
 
+    bk = sub.add_parser("backup", help="snapshot the current revision "
+                        "(ReplicationHandler backup)")
+    bk.add_argument("index_dir")
+    bk.add_argument("snapshot_dir")
+
+    rs = sub.add_parser("restore", help="restore a snapshot as a live "
+                        "index (ReplicationHandler restore)")
+    rs.add_argument("snapshot_dir")
+    rs.add_argument("index_dir")
+
+    fi = sub.add_parser("fetchindex", help="incremental replica sync "
+                        "from a master index (IndexFetcher)")
+    fi.add_argument("master_dir")
+    fi.add_argument("replica_dir")
+    fi.add_argument("--verify-checksums", action="store_true")
+
     rc = sub.add_parser("recover",
                         help="replay the unapplied update-log tail")
     rc.add_argument("index_dir")
@@ -248,6 +264,20 @@ def main(argv=None) -> int:
         from .index.check import check_index
 
         print(json.dumps(check_index(args.index_dir)))
+    elif args.cmd == "backup":
+        from .index.replicator import snapshot
+
+        print(json.dumps(snapshot(args.index_dir, args.snapshot_dir)))
+    elif args.cmd == "restore":
+        from .index.replicator import restore
+
+        print(json.dumps(restore(args.snapshot_dir, args.index_dir)))
+    elif args.cmd == "fetchindex":
+        from .index.replicator import replicate
+
+        print(json.dumps(replicate(
+            args.master_dir, args.replica_dir,
+            verify_checksums=args.verify_checksums)))
     elif args.cmd == "recover":
         from .index.tlog import recover_from_log
 
