@@ -130,3 +130,76 @@ def make_similarity(name: str, avgdl: np.float32):
     except KeyError:
         raise ValueError(f"unknown similarity {name!r}; "
                          f"one of {sorted(SIMILARITIES)}") from None
+
+
+class SweetSpotSim(ClassicSim):
+    """SweetSpotSimilarity (``lucene/misc/src/java/org/apache/lucene/
+    misc/SweetSpotSimilarity.java``): ClassicSimilarity with a
+    plateaued length norm and baseline/hyperbolic tf.
+
+    - computeLengthNorm(L) = 1/sqrt(steepness * (|L-min| + |L-max| -
+      (max-min)) + 1) — flat 1.0 across [min, max] (:120-151)
+    - baselineTf(f) = 0 if f==0; base if f <= tf_min; else
+      sqrt(f + base^2 - tf_min) (:177-185)
+    - hyperbolicTf(f) = min + (max-min)/2 * (tanh-like in base^x)
+      (:200-216), selected with ``tf_fn='hyperbolic'``
+
+    Norm derivation: the index stores byte315(1/sqrt(L)); the decoded
+    length NORM_TABLE[byte] is already SmallFloat-quantized, so the
+    sweet-spot norm here is byte315-roundtripped computeLengthNorm of
+    the QUANTIZED length — identical to a reference SweetSpot index
+    wherever the byte round-trips the true length (e.g. powers of two),
+    and one quantization step apart otherwise."""
+
+    name = "sweetspot"
+
+    def __init__(self, avgdl: np.float32 = np.float32(1.0), *,
+                 ln_min: int = 1, ln_max: int = 1, steepness: float = 0.5,
+                 tf_min: float = 0.0, tf_base: float = 0.0,
+                 tf_fn: str = "baseline", hyper_min: float = 0.0,
+                 hyper_max: float = 2.0, hyper_base: float = 1.3,
+                 hyper_xoffset: float = 10.0):
+        from ..util.smallfloat import (NORM_TABLE, byte315_to_float,
+                                       float_to_byte315)
+
+        lengths = NORM_TABLE  # decoded doc length per norm byte
+        raw = np.float32(1.0) / np.sqrt(
+            (np.float32(steepness)
+             * (np.abs(lengths - np.float32(ln_min))
+                + np.abs(lengths - np.float32(ln_max))
+                - np.float32(ln_max - ln_min))
+             + np.float32(1.0)).astype(np.float32)).astype(np.float32)
+        # what a reference SweetSpot index would STORE and decode
+        self._norm_table = byte315_to_float(
+            float_to_byte315(raw)).astype(np.float32)
+        self._tf_fn = tf_fn
+        self._tf_min = np.float32(tf_min)
+        self._tf_base = np.float32(tf_base)
+        self._hyper = (np.float32(hyper_min), np.float32(hyper_max),
+                       np.float64(hyper_base), np.float64(hyper_xoffset))
+
+    def _tf(self, freqs: np.ndarray) -> np.ndarray:
+        f = freqs.astype(np.float32)
+        if self._tf_fn == "hyperbolic":
+            mn, mx, base, xoff = self._hyper
+            x = f.astype(np.float64) - xoff
+            bx = np.power(base, x)
+            bnx = np.power(base, -x)
+            out = (mn + ((mx - mn) / np.float32(2.0)
+                         * ((bx - bnx) / (bx + bnx) + 1.0)).astype(
+                np.float32)).astype(np.float32)
+        else:
+            out = np.where(
+                f <= self._tf_min, self._tf_base,
+                np.sqrt(f + self._tf_base * self._tf_base
+                        - self._tf_min).astype(np.float32))
+        return np.where(f == np.float32(0.0), np.float32(0.0),
+                        out).astype(np.float32)
+
+    def score(self, freqs: np.ndarray, norm_bytes: np.ndarray,
+              w: np.float32) -> np.ndarray:
+        norm = self._norm_table[norm_bytes.astype(np.int64)]
+        return (np.float32(w) * self._tf(freqs) * norm).astype(np.float32)
+
+
+SIMILARITIES["sweetspot"] = SweetSpotSim

@@ -255,8 +255,11 @@ class ShardSearcher:
         self.avgdl = np.float32(stats["avgdl"])
         self.cache = bm25.norm_cache(self.avgdl)
         # query-time pluggable scoring (Similarity SPI: IndexSearcher.
-        # setSimilarity); the MaxScore pruning path stays BM25-only
-        self.sim = bm25.make_similarity(similarity, self.avgdl)
+        # setSimilarity); the MaxScore pruning path stays BM25-only.
+        # A callable acts as a factory (avgdl -> sim) for similarities
+        # with custom parameters (e.g. SweetSpotSim settings).
+        self.sim = similarity(self.avgdl) if callable(similarity) \
+            else bm25.make_similarity(similarity, self.avgdl)
 
         terms_file = index_path / "shards" / f"shard={shard_id:05d}" / "terms.parquet"
         if terms_file.exists():

@@ -88,3 +88,63 @@ def test_classic_idf_weight_values():
     i = sim.idf(3, 100)
     assert float(sim.weight(i, 2.0)) == pytest.approx(2.0 * float(i) ** 2,
                                                       rel=1e-6)
+
+
+def test_sweetspot_tf_and_lengthnorm_vectors():
+    """Published function shapes (SweetSpotSimilarity.java:136-216)."""
+    sim = bm25.SweetSpotSim(np.float32(1.0), ln_min=3, ln_max=5,
+                            steepness=0.5)
+    # plateau: every norm byte whose QUANTIZED decoded length lands in
+    # [min, max] scores norm 1.0 (and L=4 round-trips exactly)
+    from lucene_solr_ray.util.smallfloat import NORM_TABLE, encode_norm
+    for b in range(1, 256):
+        if 3.0 <= float(NORM_TABLE[b]) <= 5.0:
+            assert sim._norm_table[b] == np.float32(1.0), b
+    assert float(NORM_TABLE[int(encode_norm(4))]) == 4.0
+    assert sim._norm_table[int(encode_norm(4))] == np.float32(1.0)
+    # outside the plateau the norm drops
+    b1, b8 = int(encode_norm(1)), int(encode_norm(16))
+    assert sim._norm_table[b1] < 1.0 and sim._norm_table[b8] < 1.0
+    # baselineTf: degrades to sqrt with min=base=0; plateau with base
+    s0 = bm25.SweetSpotSim(np.float32(1.0))
+    assert s0._tf(np.array([4.0]))[0] == np.float32(2.0)
+    sb = bm25.SweetSpotSim(np.float32(1.0), tf_min=6.0, tf_base=1.5)
+    assert sb._tf(np.array([0.0]))[0] == 0.0
+    assert sb._tf(np.array([3.0]))[0] == np.float32(1.5)  # f <= min
+    assert float(sb._tf(np.array([9.0]))[0]) == pytest.approx(
+        math.sqrt(9.0 + 1.5 * 1.5 - 6.0), rel=1e-6)
+    # hyperbolicTf: min at 0-, midpoint at xoffset, max far right
+    sh = bm25.SweetSpotSim(np.float32(1.0), tf_fn="hyperbolic",
+                           hyper_min=0.0, hyper_max=2.0,
+                           hyper_base=1.3, hyper_xoffset=10.0)
+    assert float(sh._tf(np.array([10.0]))[0]) == pytest.approx(1.0, 1e-6)
+    assert float(sh._tf(np.array([200.0]))[0]) == pytest.approx(2.0, 1e-6)
+
+
+def test_sweetspot_searches(idx):
+    """End-to-end: custom-parameter factory flows into the searcher."""
+    s = IndexSearcher(idx, similarity=lambda avgdl: bm25.SweetSpotSim(
+        avgdl, ln_min=5, ln_max=20, steepness=0.5))
+    hits = s.search("ray OR data", k=10)
+    assert hits
+    # recompute one term's scores
+    from lucene_solr_ray.search.query import TermQuery
+    doc_count = s.manifest["stats"]["doc_count"]
+    got = dict(s.search(TermQuery("ray"), k=100_000))
+    sim = bm25.SweetSpotSim(np.float32(1.0), ln_min=5, ln_max=20,
+                            steepness=0.5)
+    df = s.global_df(TermQuery("ray"))["ray"]
+    w = sim.weight(sim.idf(df, doc_count), 1.0)
+    want = {}
+    for sh in s.shards:
+        p = sh._postings("ray")
+        if p is None:
+            continue
+        docs, freqs, _ = p
+        sc = sim.score(freqs, sh.norms[docs - sh.base], w)
+        d_live, s_live = sh._live(docs, sc)
+        want.update({int(d): np.float32(v)
+                     for d, v in zip(d_live, s_live)})
+    assert got.keys() == want.keys()
+    for d in got:
+        assert np.float32(got[d]) == want[d]
