@@ -68,9 +68,12 @@ def main(argv=None) -> int:
     s.add_argument("--similarity", default="bm25",
                    choices=("bm25", "classic"),
                    help="scoring model (IndexSearcher.setSimilarity)")
-    s.add_argument("--complex-phrase", action="store_true",
-                   help="parse with the ComplexPhraseQueryParser surface "
-                        "(wildcards/fuzzy/groups inside quoted phrases)")
+    s.add_argument("--syntax", default="classic",
+                   choices=("classic", "complexphrase", "surround"),
+                   help="query language: classic parser, "
+                        "ComplexPhraseQueryParser (wildcards/fuzzy/"
+                        "groups inside quoted phrases), or the surround "
+                        "span language (AND/OR/NOT/nW/nN)")
 
     g = sub.add_parser("get", help="real-time get stored fields by key/id")
     g.add_argument("index_dir")
@@ -211,8 +214,16 @@ def main(argv=None) -> int:
                     return parse_date_math(x)
                 return x
             filter_range = {field: (_bound(lo), _bound(hi))}
-        query = searcher.parse_complex(args.query) if args.complex_phrase \
-            else args.query
+        if args.syntax == "complexphrase":
+            query = searcher.parse_complex(args.query)
+        elif args.syntax == "surround":
+            from .analysis import get_analyzer
+            from .search.surround import parse_surround
+
+            query = parse_surround(args.query,
+                                   get_analyzer(searcher.analyzer_name))
+        else:
+            query = args.query
         hits = searcher.search(query, k=args.k, sort=sort,
                                filter_range=filter_range)
         rows = searcher.resolve_hits(hits)

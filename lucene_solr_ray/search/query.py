@@ -490,6 +490,10 @@ def span_terms(q: Query) -> set[str]:
         return out
     if isinstance(q, SpanNotQuery):
         return span_terms(q.include) | span_terms(q.exclude)
+    if isinstance(q, MultiTermQuery):
+        # unrewritten expansion leaf (surround/complex-phrase): stats
+        # resolve shard-locally after rewrite
+        return set()
     raise TypeError(f"not a span query: {type(q)}")
 
 
@@ -680,6 +684,55 @@ def parse_complex_phrase(text: str, analyzer=None) -> Query:
 
         analyzer = get_analyzer("standard")
     return parse_query(text, analyzer, complex_phrases=True)
+
+
+def span_has_multiterm(q: Query) -> bool:
+    """True when a span tree contains unrewritten MultiTermQuery leaves
+    (surround truncations, SpanMultiTermQueryWrapper analog)."""
+    if isinstance(q, MultiTermQuery):
+        return True
+    if isinstance(q, (SpanNearQuery, SpanOrQuery)):
+        return any(span_has_multiterm(c) for c in q.clauses)
+    if isinstance(q, SpanNotQuery):
+        return span_has_multiterm(q.include) or \
+            span_has_multiterm(q.exclude)
+    if isinstance(q, SpanFirstQuery) and q.query is not None:
+        return span_has_multiterm(q.query)
+    return False
+
+
+def rewrite_span_multiterms(q: Query, sorted_terms) -> Query:
+    """SpanMultiTermQueryWrapper.rewrite (``lucene/core/.../spans/
+    SpanMultiTermQueryWrapper.java:105`` SpanRewriteMethod): replace each
+    MultiTermQuery leaf inside a span tree with the SpanOr of its
+    term-dictionary expansions (single term -> SpanTerm; empty ->
+    the impossible dummy term, so the enclosing near can never match)."""
+    if isinstance(q, MultiTermQuery):
+        terms = expand_multi_term(q, sorted_terms)
+        if not terms:
+            return SpanTermQuery(_CPX_NO_MATCH)
+        if len(terms) == 1:
+            return SpanTermQuery(terms[0])
+        return SpanOrQuery(tuple(SpanTermQuery(t) for t in terms))
+    if isinstance(q, SpanNearQuery):
+        return SpanNearQuery(
+            tuple(rewrite_span_multiterms(c, sorted_terms)
+                  for c in q.clauses),
+            slop=q.slop, in_order=q.in_order, boost=q.boost)
+    if isinstance(q, SpanOrQuery):
+        return SpanOrQuery(
+            tuple(rewrite_span_multiterms(c, sorted_terms)
+                  for c in q.clauses), boost=q.boost)
+    if isinstance(q, SpanNotQuery):
+        return SpanNotQuery(
+            include=rewrite_span_multiterms(q.include, sorted_terms),
+            exclude=rewrite_span_multiterms(q.exclude, sorted_terms),
+            pre=q.pre, post=q.post, boost=q.boost)
+    if isinstance(q, SpanFirstQuery) and q.query is not None:
+        return SpanFirstQuery(
+            term=q.term, end=q.end, boost=q.boost,
+            query=rewrite_span_multiterms(q.query, sorted_terms))
+    return q
 
 
 def rewrite_complex_phrase(q: ComplexPhraseQuery, sorted_terms) -> Query:

@@ -618,8 +618,13 @@ class ShardSearcher:
         freq = sum of 1/(1+width) per match (computeSlopFactor), weight =
         summed idf of the query's term contexts
         (SpanWeight.buildSimWeight)."""
-        from .query import span_freq, span_terms
+        from .query import (rewrite_span_multiterms, span_freq,
+                            span_has_multiterm, span_terms)
 
+        if span_has_multiterm(q):
+            # SpanMultiTermQueryWrapper rewrite against THIS shard's
+            # term dictionary (surround truncations)
+            q = rewrite_span_multiterms(q, self._terms.seq())
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         docs = self._span_candidates(q)
         if len(docs) == 0:
