@@ -164,6 +164,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": dedup.decontaminate_docs,
         # Gopher-style within-doc repetition quality signals
         "repetition_stats_docs": textstats.repetition_stats,
+        # training-data curation: deterministic domain-mix re-weighting
+        # and context-window sequence packing
+        "domain_mix_docs": __import__(
+            "lucene_solr_ray.pipelines.curation",
+            fromlist=["domain_mix_docs"]).domain_mix_docs,
+        "pack_sequences_docs": __import__(
+            "lucene_solr_ray.pipelines.curation",
+            fromlist=["pack_sequences_docs"]).pack_sequences_docs,
         # index-driven NaiveBayes classification (lucene/classification)
         "nb_classify_docs": __import__(
             "lucene_solr_ray.search.classify",
@@ -355,6 +363,12 @@ def oracle_sql() -> dict[str, str]:
             "AND ts < date_trunc('hour', TIMESTAMP '2024-01-22 12:34:56') "
             "- INTERVAL 30 MINUTE "
             "GROUP BY event_type",
+        "domain_mix_docs":
+            "SELECT lang, count(*) AS cnt FROM documents "
+            "WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < "
+            "CASE lang WHEN 'en' THEN 1.0 WHEN 'fr' THEN 0.5 "
+            "WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.25 WHEN 'de' THEN 0.25 "
+            "ELSE 1.0 END GROUP BY lang",
         "frange_lineitem":
             "SELECT l_returnflag, count(*) AS cnt, "
             "round(sum(l_extendedprice), 2) AS sum_price FROM lineitem "

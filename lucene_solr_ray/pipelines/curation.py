@@ -1,0 +1,125 @@
+"""Training-data curation stages beyond the reference surface:
+deterministic domain-mix sampling and context-window sequence packing.
+
+These are the two knobs every large-scale LLM data pipeline turns after
+dedup/quality (see e.g. the data pipelines described in the Gopher and
+LLaMA papers): re-weighting the domain mixture, and packing variable-
+length documents into fixed token-budget training sequences.
+
+Both stages are single-pass ``map_batches`` transforms — no shuffle, no
+driver-side state — so they stream at any scale and compose with the
+other document stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .util import read
+
+_KNUTH = np.uint64(2654435761)
+_TWO32 = np.float64(4294967296.0)
+
+
+def domain_mix(ds, key_col: str, rates: dict[str, float],
+               id_col: str = "doc_id", default_rate: float = 1.0):
+    """Deterministic weighted down-sampling per domain: keep a row iff
+    ``hash(id) / 2^32 < rate[domain]``.
+
+    The Knuth multiplicative hash on the stable id makes the decision a
+    pure function of the row — re-runs, retries and different
+    partitionings all keep the identical sample (the property Solr's
+    RandomStream gets from its seeded hash, applied per-domain). One
+    vectorized mask per batch; the rate table rides inside the closure
+    (broadcast once with the function object, not per batch).
+    """
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate out of [0,1] for {k!r}: {r}")
+
+    def flt(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        u = ((ids.astype(np.uint64) * _KNUTH) % np.uint64(2 ** 32)
+             ).astype(np.float64) / _TWO32
+        keys = t.column(key_col).to_pylist()
+        rate = np.fromiter((rates.get(k, default_rate) for k in keys),
+                           dtype=np.float64, count=len(keys))
+        return t.filter(pa.array(u < rate))
+
+    return ds.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def domain_mix_docs(sf_dir: str):
+    """Re-weight the documents mixture by language: en kept fully,
+    fr/es halved, zh/de at 25% — counts per lang after sampling."""
+    from ray.data.aggregate import Count
+
+    ds = domain_mix(read(sf_dir, "documents", ["doc_id", "lang"]),
+                    "lang", {"en": 1.0, "fr": 0.5, "es": 0.5,
+                             "zh": 0.25, "de": 0.25})
+    return ds.groupby("lang").aggregate(Count(alias_name="cnt"))
+
+
+def pack_sequences(ds, text_col: str = "text", id_col: str = "doc_id",
+                   budget: int = 512, truncate: bool = True):
+    """Greedy sequential packing of documents into fixed token-budget
+    training sequences (context windows).
+
+    Within each streaming batch, documents are packed first-come: a doc
+    joins the open sequence while the token sum stays <= ``budget``,
+    else a new sequence opens. A doc longer than the budget is truncated
+    to it (``truncate=True``) or kept whole in its own oversized
+    sequence. Sequences never cross batch boundaries — packing is a
+    per-partition operation by design (global packing would serialize
+    the stream for zero training benefit; the only cost is one
+    under-filled sequence per block). ``seq_id`` is the first doc id in
+    the sequence, so ids are deterministic under any partitioning.
+
+    Token counts use the whitespace tokenizer (swap in textstats'
+    BPE-ish counter upstream by providing an ``n_tokens`` column).
+    Output: (seq_id, doc_id, n_tokens, offset) — offset is the token
+    position of the doc inside its sequence.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def pack(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if "n_tokens" in t.column_names:
+            ntok = t.column("n_tokens").to_numpy(zero_copy_only=False)
+            ntok = ntok.astype(np.int64)
+        else:
+            counted = pc.count_substring_regex(
+                t.column(text_col), pattern=r"\S+")
+            ntok = counted.to_numpy(zero_copy_only=False).astype(np.int64)
+        if truncate:
+            ntok = np.minimum(ntok, budget)
+        n = len(ids)
+        seq_id = np.empty(n, dtype=np.int64)
+        offset = np.empty(n, dtype=np.int64)
+        cur_seq = -1
+        cur_sum = budget + 1  # force a new sequence at the first doc
+        for i in range(n):
+            if cur_sum + ntok[i] > budget:
+                cur_seq = ids[i]
+                cur_sum = 0
+            seq_id[i] = cur_seq
+            offset[i] = cur_sum
+            cur_sum += ntok[i]
+        return pa.table({
+            "seq_id": pa.array(seq_id),
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "n_tokens": pa.array(ntok),
+            "offset": pa.array(offset),
+        })
+
+    return ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences_docs(sf_dir: str, budget: int = 256):
+    """Pack the documents table into 256-token training sequences."""
+    return pack_sequences(read(sf_dir, "documents", ["doc_id", "text"]),
+                          budget=budget)

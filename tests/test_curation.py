@@ -1,0 +1,86 @@
+"""Training-data curation: domain-mix sampling + sequence packing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from lucene_solr_ray.pipelines.curation import domain_mix, pack_sequences
+
+
+def _docs_table(n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    langs = rng.choice(["en", "fr", "zh"], size=n)
+    texts = [" ".join(["tok"] * int(k))
+             for k in rng.integers(1, 60, size=n)]
+    return pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                     "lang": langs, "text": texts})
+
+
+def test_domain_mix_deterministic_and_partition_invariant(ray_session):
+    t = _docs_table()
+    rates = {"en": 1.0, "fr": 0.4, "zh": 0.1}
+    kept1 = set(domain_mix(rd.from_arrow(t), "lang", rates)
+                .to_pandas()["doc_id"])
+    kept2 = set(domain_mix(rd.from_arrow(t).repartition(13), "lang",
+                           rates).to_pandas()["doc_id"])
+    assert kept1 == kept2
+    # en kept fully; zh heavily cut
+    langs = t.column("lang").to_pylist()
+    en = {i for i in range(len(langs)) if langs[i] == "en"}
+    assert en <= kept1
+    zh = [i for i in range(len(langs)) if langs[i] == "zh"]
+    zh_kept = [i for i in zh if i in kept1]
+    assert len(zh_kept) < 0.3 * len(zh)
+
+
+def test_domain_mix_rate_validation(ray_session):
+    with pytest.raises(ValueError):
+        domain_mix(rd.from_arrow(_docs_table(10)), "lang", {"en": 1.5})
+
+
+def test_pack_sequences_invariants(ray_session):
+    t = _docs_table(300)
+    budget = 128
+    out = pack_sequences(rd.from_arrow(t).repartition(5),
+                         budget=budget).to_pandas()
+    # every doc exactly once
+    assert sorted(out["doc_id"]) == list(range(300))
+    # per-sequence budget respected, offsets contiguous
+    for seq_id, grp in out.groupby("seq_id"):
+        assert grp["n_tokens"].sum() <= budget
+        grp = grp.sort_values("offset")
+        want_off = 0
+        for _, row in grp.iterrows():
+            assert row["offset"] == want_off
+            want_off += row["n_tokens"]
+    # seq_id is the first doc id of its sequence
+    firsts = out.loc[out.groupby("seq_id")["offset"].idxmin()]
+    assert (firsts["seq_id"] == firsts["doc_id"]).all()
+
+
+def test_pack_sequences_truncation_and_oversize(ray_session):
+    t = pa.table({"doc_id": np.arange(3, dtype=np.int64),
+                  "text": ["a " * 500, "b b b", "c"]})
+    out = pack_sequences(rd.from_arrow(t), budget=100).to_pandas()
+    big = out[out.doc_id == 0].iloc[0]
+    assert big["n_tokens"] == 100  # truncated to budget
+    out2 = pack_sequences(rd.from_arrow(t), budget=100,
+                          truncate=False).to_pandas()
+    big2 = out2[out2.doc_id == 0].iloc[0]
+    assert big2["n_tokens"] == 500  # kept whole in its own sequence
+    assert (out2[out2.seq_id == big2["seq_id"]]["doc_id"] == [0]).all()
+
+
+def test_pack_sequences_precomputed_token_column(ray_session):
+    t = pa.table({"doc_id": np.arange(4, dtype=np.int64),
+                  "text": ["x", "x", "x", "x"],
+                  "n_tokens": pa.array([50, 60, 50, 10])})
+    out = pack_sequences(rd.from_arrow(t), budget=100).to_pandas()
+    assert out["n_tokens"].tolist() == [50, 60, 50, 10]
+    # 50 -> seq A; 60 doesn't fit (50+60>100) -> seq B; 50+60>100 ->
+    # wait: greedy: [50], [60 ... +50 ... 110 > 100 -> no], so [60],
+    # [50, 10]
+    seqs = out.groupby("seq_id")["doc_id"].apply(list).tolist()
+    assert sorted(map(tuple, seqs)) == [(0,), (1,), (2, 3)]
