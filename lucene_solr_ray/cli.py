@@ -69,11 +69,13 @@ def main(argv=None) -> int:
                    choices=("bm25", "classic"),
                    help="scoring model (IndexSearcher.setSimilarity)")
     s.add_argument("--syntax", default="classic",
-                   choices=("classic", "complexphrase", "surround"),
+                   choices=("classic", "complexphrase", "surround",
+                            "xml"),
                    help="query language: classic parser, "
                         "ComplexPhraseQueryParser (wildcards/fuzzy/"
-                        "groups inside quoted phrases), or the surround "
-                        "span language (AND/OR/NOT/nW/nN)")
+                        "groups inside quoted phrases), the surround "
+                        "span language (AND/OR/NOT/nW/nN), or the XML "
+                        "CoreParser element set")
 
     g = sub.add_parser("get", help="real-time get stored fields by key/id")
     g.add_argument("index_dir")
@@ -222,6 +224,12 @@ def main(argv=None) -> int:
 
             query = parse_surround(args.query,
                                    get_analyzer(searcher.analyzer_name))
+        elif args.syntax == "xml":
+            from .analysis import get_analyzer
+            from .search.xmlparser import parse_xml_query
+
+            query = parse_xml_query(args.query,
+                                    get_analyzer(searcher.analyzer_name))
         else:
             query = args.query
         hits = searcher.search(query, k=args.k, sort=sort,

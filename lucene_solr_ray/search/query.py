@@ -57,6 +57,14 @@ class MatchNoDocs(Query):
     """A clause that analyzed away entirely (e.g. a pure-stopword term)."""
 
 
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    """MatchAllDocsQuery (``search/MatchAllDocsQuery.java``): every live
+    doc matches with score = boost."""
+
+    boost: float = 1.0
+
+
 @dataclass
 class DisMaxQuery(Query):
     """DisjunctionMaxQuery (``lucene/core/src/java/org/apache/lucene/

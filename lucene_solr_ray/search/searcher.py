@@ -252,6 +252,7 @@ class ShardSearcher:
         self.docs_per_shard = params["docs_per_shard"]
         self.base = shard_id * self.docs_per_shard
         self.doc_count = stats["doc_count"]
+        self.num_docs_total = stats["num_docs"]
         self.avgdl = np.float32(stats["avgdl"])
         self.cache = bm25.norm_cache(self.avgdl)
         # query-time pluggable scoring (Similarity SPI: IndexSearcher.
@@ -561,6 +562,15 @@ class ShardSearcher:
             return self._score_boolean(q, df_map)
         if isinstance(q, MatchNoDocs):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        from .query import MatchAllDocsQuery
+
+        if isinstance(q, MatchAllDocsQuery):
+            # norms is padded to docs_per_shard; clamp to real docs
+            n = min(len(self.norms),
+                    max(0, self.num_docs_total - self.base))
+            docs = self.base + np.arange(n, dtype=np.int64)
+            return self._live(docs, np.full(len(docs), np.float32(q.boost),
+                                            dtype=np.float32))
         from .query import (ConstantScoreQuery, DisMaxQuery, SpanFirstQuery,
                             SpanNearQuery, SpanNotQuery, SpanOrQuery,
                             SpanTermQuery)
