@@ -27,9 +27,11 @@ from .searcher import ShardSearcher, collect_terms
 
 @ray.remote
 class SearchActor:
-    def __init__(self, index_dir: str, shard_ids: list[int], manifest: dict):
+    def __init__(self, index_dir: str, shard_ids: list[int], manifest: dict,
+                 similarity="bm25"):
         self.searchers = [
-            ShardSearcher(index_dir, sid, manifest) for sid in shard_ids
+            ShardSearcher(index_dir, sid, manifest, similarity=similarity)
+            for sid in shard_ids
         ]
 
     def local_df(self, terms: list[str]) -> dict[str, int]:
@@ -473,7 +475,8 @@ class SearchActor:
 class DistributedSearcher:
     """Driver-side coordinator over a SearchActor pool."""
 
-    def __init__(self, index_dir: str, num_actors: int = 4):
+    def __init__(self, index_dir: str, num_actors: int = 4,
+                 similarity="bm25"):
         self.index_dir = str(index_dir)
         self.manifest = json.loads(
             (Path(index_dir) / "manifest.json").read_text())
@@ -483,8 +486,11 @@ class DistributedSearcher:
         assignment: list[list[int]] = [[] for _ in range(num_actors)]
         for i, sid in enumerate(shard_ids):
             assignment[i % num_actors].append(sid)
+        # similarity ships to the actors (a name string, or a cloudpickled
+        # factory callable for parameterized similarities)
         self.actors = [
-            SearchActor.remote(self.index_dir, sids, self.manifest)
+            SearchActor.remote(self.index_dir, sids, self.manifest,
+                               similarity)
             for sids in assignment if sids
         ]
 

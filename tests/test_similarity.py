@@ -148,3 +148,15 @@ def test_sweetspot_searches(idx):
     assert got.keys() == want.keys()
     for d in got:
         assert np.float32(got[d]) == want[d]
+
+
+def test_distributed_classic_matches_inprocess(idx, ray_session):
+    """Similarity flows into the actor pool: distributed == in-process."""
+    from lucene_solr_ray.search.actors import DistributedSearcher
+
+    qs = ["ray OR data OR index", "ray AND data", '"ray data"']
+    local = IndexSearcher(idx, similarity="classic")
+    dist = DistributedSearcher(idx, num_actors=2, similarity="classic")
+    got = dist.search_batch(qs, k=15)
+    for q, hits in zip(qs, got):
+        assert hits == local.search(q, k=15), q
