@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_facet_events": relational.range_facet_events,
         "pivot_facet_orders": relational.pivot_facet_orders,
         "interval_facet_events": relational.interval_facet_events,
+        "stat_sorted_facet_orders": relational.stat_sorted_facet_orders,
         "stats_events": relational.stats_events,
         "rollup_lineitem": relational.rollup_lineitem,
         "analytics_lineitem": analytics.analytics_lineitem,
@@ -216,6 +217,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'after', count(*) FROM events WHERE value >= 350 "
             "UNION ALL SELECT 'between', count(*) FROM events "
             "WHERE value >= 50 AND value < 350",
+        "stat_sorted_facet_orders":
+            "SELECT o_orderpriority, count(*) AS cnt, "
+            "round(sum(o_totalprice), 2) AS sum_price FROM orders "
+            "GROUP BY o_orderpriority "
+            "ORDER BY sum(o_totalprice) DESC, o_orderpriority LIMIT 3",
         "interval_facet_events":
             "SELECT '[*,100)' AS bucket, count(*) AS cnt FROM events "
             "WHERE value < 100 "

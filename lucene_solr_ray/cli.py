@@ -117,6 +117,10 @@ def main(argv=None) -> int:
     c = sub.add_parser("check", help="validate index invariants")
     c.add_argument("index_dir")
 
+    sg = sub.add_parser("segments", help="per-shard index statistics "
+                        "(Luke / segments info analog)")
+    sg.add_argument("index_dir")
+
     bk = sub.add_parser("backup", help="snapshot the current revision "
                         "(ReplicationHandler backup)")
     bk.add_argument("index_dir")
@@ -283,6 +287,22 @@ def main(argv=None) -> int:
         from .index.check import check_index
 
         print(json.dumps(check_index(args.index_dir)))
+    elif args.cmd == "segments":
+        import json as _json
+        from pathlib import Path
+
+        from .index.replicator import revision_info
+
+        manifest = _json.loads(
+            (Path(args.index_dir) / "manifest.json").read_text())
+        rev = revision_info(args.index_dir, checksums=False)
+        print(json.dumps({
+            "version": manifest["version"],
+            "stats": manifest["stats"],
+            "files": len(rev["files"]),
+            "bytes": sum(m["size"] for m in rev["files"].values()),
+            "shards": manifest["shards"],
+        }))
     elif args.cmd == "backup":
         from .index.replicator import snapshot
 

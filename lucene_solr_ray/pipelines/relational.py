@@ -80,6 +80,24 @@ def nested_facet_source_lang(sf_dir: str, top_sources: int = 2,
     })
 
 
+def stat_sorted_facet_orders(sf_dir: str, limit: int = 3):
+    """JSON facet buckets sorted by a NESTED aggregate instead of count
+    (``solr/core/.../search/facet/FacetField.java`` ``sort:"x desc"``):
+    top order-priorities by sum(o_totalprice). One distributed groupby
+    computes count + sum per bucket; the tiny bucket table sorts on the
+    driver (bucket cardinality, not row count)."""
+    ds = read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    out = (ds.groupby("o_orderpriority")
+           .aggregate(Count(alias_name="cnt"),
+                      Sum("o_totalprice", alias_name="sum_price")))
+    df = out.to_pandas()
+    df = (df.sort_values(["sum_price", "o_orderpriority"],
+                         ascending=[False, True])
+          .head(limit).reset_index(drop=True))
+    return round_col(pa.Table.from_pandas(df, preserve_index=False),
+                     "sum_price", 2)
+
+
 # --- range facets (RangeFacetProcessor.java:45; RangeFacetRequest) ---
 
 def range_facet(ds, field: str, start: float, end: float, gap: float,
