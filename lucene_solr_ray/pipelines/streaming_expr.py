@@ -270,6 +270,90 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
             [r[rk] for r in right.select_columns([rk]).take_all()])
         fn = semi_join if name == "intersect" else anti_join
         return fn(left, keys, on=lk)
+    if name == "random":
+        # RandomStream.java: a pseudo-random sample of `rows` docs.
+        # Deterministic re-expression: the `rows` smallest Knuth hashes
+        # of the `on` key column — per-batch partial top-k, tiny driver
+        # merge (never a global sort or full materialize).
+        table = e.args[0]
+        cols = None
+        if "fl" in e.params:
+            cols = [c.strip() for c in e.params["fl"].split(",")]
+        src = read(sf_dir, table, cols)
+        on = e.params.get("on") or src.schema().names[0]
+        rows = int(e.params.get("rows", 10))
+
+        def partial(t: pa.Table) -> pa.Table:
+            ids = t.column(on).to_numpy(zero_copy_only=False)
+            h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(2 ** 32)
+            keep = np.argsort(h, kind="stable")[:rows]
+            return t.take(pa.array(np.sort(keep)))
+
+        parts = src.map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+        ids = parts[on].to_numpy()
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(2 ** 32)
+        parts = parts.iloc[np.argsort(h, kind="stable")[:rows]]
+        return rd.from_arrow(pa.Table.from_pandas(
+            parts.reset_index(drop=True), preserve_index=False))
+    if name == "stats":
+        # StatsStream.java: bucket-free metrics, one partial+final
+        # aggregation pass; avg derives from sum/count
+        from ray.data.aggregate import Count, Max, Min, Sum
+
+        src = evaluate(e.args[0], sf_dir) if isinstance(e.args[0], Expr) \
+            else read(sf_dir, e.args[0])
+        metrics = []
+        for a in e.args[1:]:
+            if isinstance(a, Expr):
+                metrics.append((a.name, a.args[0] if a.args else "*"))
+            else:
+                m = _METRIC.fullmatch(a)
+                if not m:
+                    raise ValueError(f"stats: bad metric {a!r}")
+                metrics.append((m.group(1), m.group(2)))
+        aggs, needs = [], set()
+        for op, fld in metrics:
+            if op == "count":
+                needs.add("count")
+            elif op == "avg":
+                needs.add("count")
+                needs.add(("sum", fld))
+            else:
+                needs.add((op, fld))
+        if "count" in needs:
+            aggs.append(Count(alias_name="count(*)"))
+        for n2 in needs:
+            if n2 == "count":
+                continue
+            op, fld = n2
+            cls = {"sum": Sum, "min": Min, "max": Max}[op]
+            aggs.append(cls(fld, alias_name=f"{op}({fld})"))
+        row = src.aggregate(*aggs)
+        out = {}
+        for op, fld in metrics:
+            name2 = f"{op}({fld})"
+            if op == "count":
+                out[name2] = [int(row["count(*)"])]
+            elif op == "avg":
+                out[name2] = [float(row[f"sum({fld})"])
+                              / max(int(row["count(*)"]), 1)]
+            else:
+                out[name2] = [row[name2]]
+        return rd.from_arrow(pa.table(out))
+    if name == "update":
+        # UpdateStream.java: sink the inner stream, emit the batch count
+        from .export import update_stream_to_parquet
+
+        dest = e.params.get("destinationCollection") or e.args[0]
+        inner = [a for a in e.args if isinstance(a, Expr)][0]
+        update_stream_to_parquet(evaluate(inner, sf_dir), str(dest))
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(str(dest), format="parquet").count_rows()
+        return rd.from_arrow(pa.table({"batchIndexed": [int(n)]}))
     if name == "merge":
         parts = [evaluate(a, sf_dir) for a in e.args]
         out = parts[0]

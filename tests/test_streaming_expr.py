@@ -185,3 +185,45 @@ def test_facet_stream_function(ray_session):
         assert got.loc[r["l_returnflag"], "count(*)"] == r["c"]
         assert abs(got.loc[r["l_returnflag"], "sum(l_quantity)"]
                    - r["s"]) < 1e-6
+
+
+def test_random_stream_function(ray_session):
+    out1 = evaluate('random(events, rows="25", on="event_id")',
+                    SF).to_pandas()
+    out2 = evaluate('random(events, rows="25", on="event_id")',
+                    SF).to_pandas()
+    assert len(out1) == 25
+    # deterministic (RandomStream with a fixed seed analog)
+    assert sorted(out1["event_id"]) == sorted(out2["event_id"])
+    # genuinely scattered, not a head() slice
+    assert sorted(out1["event_id"]) != sorted(out1["event_id"])[:25] or \
+        max(out1["event_id"]) > 100
+
+
+def test_stats_stream_function(ray_session):
+    import duckdb
+
+    out = evaluate(
+        'stats(events, count(*), sum(value), avg(value), max(value))',
+        SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = con.execute("SELECT count(*) c, sum(value) s, avg(value) a, "
+                       "max(value) m FROM events").fetchone()
+    assert out["count(*)"][0] == want[0]
+    assert abs(out["sum(value)"][0] - want[1]) < 1e-6
+    assert abs(out["avg(value)"][0] - want[2]) < 1e-9
+    assert out["max(value)"][0] == want[3]
+
+
+def test_update_stream_function(ray_session, tmp_path):
+    import pyarrow.dataset as pads
+
+    dest = tmp_path / "sink"
+    out = evaluate(
+        f'update("{dest}", search(events, fl="event_id,value"))',
+        SF).to_pandas()
+    assert out["batchIndexed"][0] == 1000
+    written = pads.dataset(str(dest), format="parquet")
+    assert written.count_rows() == 1000
+    assert set(written.schema.names) == {"event_id", "value"}
