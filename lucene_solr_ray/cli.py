@@ -121,6 +121,10 @@ def main(argv=None) -> int:
                         "(Luke / segments info analog)")
     sg.add_argument("index_dir")
 
+    xp = sub.add_parser("expunge", help="physically remove tombstoned "
+                        "docs' postings/norms (forceMergeDeletes)")
+    xp.add_argument("index_dir")
+
     bk = sub.add_parser("backup", help="snapshot the current revision "
                         "(ReplicationHandler backup)")
     bk.add_argument("index_dir")
@@ -287,6 +291,10 @@ def main(argv=None) -> int:
         from .index.check import check_index
 
         print(json.dumps(check_index(args.index_dir)))
+    elif args.cmd == "expunge":
+        from .index.update import expunge_deletes
+
+        print(json.dumps(expunge_deletes(args.index_dir)))
     elif args.cmd == "segments":
         import json as _json
         from pathlib import Path

@@ -138,9 +138,17 @@ def check_index(index_dir: str, parallel: bool | None = None) -> dict:
         columns=["doc_id", "doc_len"])
     doc_ids = np.sort(norms.column("doc_id").to_numpy(zero_copy_only=False))
     stats = manifest["stats"]
-    assert len(doc_ids) == stats["num_docs"], "docmap row count != num_docs"
-    np.testing.assert_array_equal(doc_ids, np.arange(len(doc_ids)),
-                                  err_msg="doc_ids not a dense 0..N-1 range")
+    from .update import read_expunged
+
+    expunged = np.asarray(sorted(read_expunged(str(index_path))),
+                          dtype=np.int64)
+    assert len(doc_ids) + len(expunged) == stats["num_docs"], \
+        "docmap rows + expunged != num_docs"
+    want_ids = np.setdiff1d(np.arange(stats["num_docs"], dtype=np.int64),
+                            expunged, assume_unique=True)
+    np.testing.assert_array_equal(
+        doc_ids, want_ids,
+        err_msg="doc_ids != dense 0..N-1 range minus expunged set")
     doc_len = norms.column("doc_len").to_numpy(zero_copy_only=False)
     assert int(doc_len.sum()) == stats["sum_total_term_freq"], \
         "sum(doc_len) != sumTotalTermFreq"

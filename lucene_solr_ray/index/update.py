@@ -387,6 +387,176 @@ def delete_documents(index_dir: str, doc_ids=None, keys=None,
     return {"deleted_now": sorted(newly), "total_deleted": len(all_dels)}
 
 
+EXPUNGED_NAME = "_EXPUNGED.json"
+
+
+def read_expunged(index_dir: str) -> set[int]:
+    """Doc ids whose postings/norms rows were physically removed."""
+    f = Path(index_dir) / EXPUNGED_NAME
+    if not f.exists():
+        return set()
+    return set(json.loads(f.read_text())["doc_ids"])
+
+
+def _expunge_shard(index_dir: str, shard_id: int, docs_per_shard: int,
+                   del_arr: np.ndarray) -> dict | None:
+    """Rewrite one shard segment without the tombstoned docs (atomic via
+    the merge machinery's aside-rename; crash-safe the same way).
+    Returns the new manifest row, or None when the shard was untouched."""
+    from .build import SegmentWriter, _manifest_row_table  # noqa: F401
+
+    shard_dir = Path(index_dir) / "shards" / f"shard={shard_id:05d}"
+    aside = shard_dir.parent / f".merging-shard={shard_id:05d}"
+    if aside.exists():  # recover a crashed rewrite: aside is pristine
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        os.rename(aside, shard_dir)
+    terms_file = shard_dir / "terms.parquet"
+    if not terms_file.exists():
+        return None
+    base = shard_id * docs_per_shard
+    lo, hi = base, base + docs_per_shard
+    local_dels = del_arr[(del_arr >= lo) & (del_arr < hi)]
+    if len(local_dels) == 0:
+        return None
+    old = _decode_segment_to_postings(terms_file, base)
+    if old is None:
+        return None
+    docs = old.column("doc_id").to_numpy(zero_copy_only=False)
+    keep = ~np.isin(docs, local_dels)
+    if keep.all():
+        return None
+    filtered = old.filter(pa.array(keep))
+    norms_part = Path(index_dir) / "norms" / f"doc_shard={shard_id}"
+    norm_arr = np.zeros(docs_per_shard, dtype=np.uint8)
+    if norms_part.exists():
+        nt = pq.read_table(norms_part, columns=["doc_id", "norm_byte"])
+        ids = nt.column("doc_id").to_numpy(zero_copy_only=False)
+        norm_arr[ids - base] = nt.column("norm_byte").to_numpy(
+            zero_copy_only=False)
+    f_docs = filtered.column("doc_id").to_numpy(zero_copy_only=False)
+    filtered = filtered.append_column(
+        "doc_shard", pa.array(np.full(filtered.num_rows, shard_id,
+                                      dtype=np.int32), type=pa.int32()))
+    filtered = filtered.append_column(
+        "norm_byte", pa.array(norm_arr[f_docs - base], type=pa.uint8()))
+    os.rename(shard_dir, aside)
+    try:
+        writer = SegmentWriter(index_dir, docs_per_shard)
+        if filtered.num_rows:
+            out = writer(filtered)
+            row = {k: int(out.column(k)[0].as_py())
+                   for k in out.column_names}
+        else:
+            # every posting belonged to deleted docs: the shard is empty
+            row = {"shard_id": shard_id, "doc_lo": lo, "doc_hi": hi,
+                   "term_count": 0, "posting_count": 0, "doc_count": 0}
+    except BaseException:
+        if aside.exists() and not shard_dir.exists():
+            os.rename(aside, shard_dir)
+        raise
+    shutil.rmtree(aside, ignore_errors=True)
+    return row
+
+
+def _expunge_norms_partition(index_dir: str, doc_shard: int,
+                             del_arr: np.ndarray) -> int:
+    """Drop tombstoned rows from one norms/docvalue partition with the
+    atomic two-rename the atomic-update path uses. Returns rows removed."""
+    part = Path(index_dir) / "norms" / f"doc_shard={doc_shard}"
+    if not part.exists():
+        return 0
+    t = pq.read_table(part)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    keep = ~np.isin(ids, del_arr)
+    removed = int((~keep).sum())
+    if removed == 0:
+        return 0
+    staging = part.parent / f".staging-expunge-{doc_shard}"
+    asideN = part.parent / f".dvold-expunge-{doc_shard}"
+    shutil.rmtree(staging, ignore_errors=True)
+    staging.mkdir(parents=True)
+    pq.write_table(t.filter(pa.array(keep)), staging / "run-00000.parquet")
+    shutil.rmtree(asideN, ignore_errors=True)
+    os.rename(part, asideN)
+    os.rename(staging, part)
+    shutil.rmtree(asideN, ignore_errors=True)
+    return removed
+
+
+def expunge_deletes(index_dir: str) -> dict:
+    """IndexWriter.forceMergeDeletes analog (``IndexWriter.java:1742``):
+    physically remove tombstoned docs' postings and norms/docvalue rows,
+    reclaiming space and shrinking the collection statistics the way a
+    reference merge does.
+
+    Doc ids are NOT renumbered — they are the stable shard layout — so
+    the tombstone mask in ``_DELETES.json`` stays authoritative for
+    liveness (e.g. MatchAllDocs) while the heavy per-doc data is gone;
+    ``_EXPUNGED.json`` records which ids are physically absent so
+    ``check_index`` can keep asserting exact docmap coverage. Stats
+    (doc_count, sumTotalTermFreq, avgdl) are recomputed from the
+    surviving norms rows — scores shift exactly like after a reference
+    merge. Per-shard rewrites fan out as Ray tasks, each atomic via the
+    merge aside-rename, so a crash mid-expunge recovers per shard.
+    """
+    index_path = Path(index_dir)
+    manifest = read_manifest(index_dir)
+    dels = read_deletes(index_dir)
+    already = read_expunged(index_dir)
+    todo = sorted(dels - already)
+    if not todo:
+        return {"expunged_now": 0, "total_expunged": len(already)}
+    del_arr = np.asarray(todo, dtype=np.int64)
+    docs_per_shard = int(manifest["params"]["docs_per_shard"])
+    shard_ids = sorted(s["shard_id"] for s in manifest["shards"])
+
+    seg_task = ray.remote(_expunge_shard)
+    norm_task = ray.remote(_expunge_norms_partition)
+    seg_rows = ray.get([
+        seg_task.remote(str(index_path), sid, docs_per_shard, del_arr)
+        for sid in shard_ids])
+    removed = ray.get([
+        norm_task.remote(str(index_path), sid, del_arr)
+        for sid in shard_ids])
+
+    shards = {s["shard_id"]: s for s in manifest["shards"]}
+    for row in seg_rows:
+        if row is not None:
+            shards[row["shard_id"]] = {k: int(v) for k, v in row.items()}
+
+    # recompute collection stats from the surviving norms rows
+    import pyarrow.dataset as pads
+
+    nt = pads.dataset(str(index_path / "norms"), format="parquet",
+                      partitioning="hive").to_table(columns=["doc_len"])
+    doc_len = nt.column("doc_len").to_numpy(zero_copy_only=False)
+    stats = manifest["stats"]
+    new_stats = {
+        "num_docs": stats["num_docs"],  # maxDoc: layout, never shrinks
+        "doc_count": int((doc_len > 0).sum()),
+        "sum_total_term_freq": int(doc_len.sum()),
+    }
+    new_stats["avgdl"] = float(bm25.avg_field_length(
+        new_stats["sum_total_term_freq"], max(new_stats["doc_count"], 1)))
+
+    all_expunged = sorted(already | set(todo))
+    etmp = index_path / (EXPUNGED_NAME + ".tmp")
+    etmp.write_text(json.dumps({"doc_ids": all_expunged}))
+    os.replace(etmp, index_path / EXPUNGED_NAME)
+
+    new_manifest = {**manifest,
+                    "version": manifest["version"] + 1,
+                    "created_unix": time.time(),
+                    "stats": new_stats,
+                    "expunged_count": len(all_expunged),
+                    "shards": [shards[k] for k in sorted(shards)]}
+    mtmp = index_path / (MANIFEST_NAME + ".tmp")
+    mtmp.write_text(json.dumps(new_manifest, indent=1))
+    os.replace(mtmp, index_path / MANIFEST_NAME)
+    return {"expunged_now": len(todo), "removed_rows": int(sum(removed)),
+            "total_expunged": len(all_expunged)}
+
+
 @ray.remote
 def _block_keys(block: pa.Table) -> list:
     return list(zip(block.column("conv_id").to_pylist(),

@@ -1,0 +1,105 @@
+"""expunge_deletes: forceMergeDeletes analog (IndexWriter.java:1742).
+
+Tombstones stay (liveness mask, no doc renumber); postings + norms rows
+physically go; stats shrink like a reference merge."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.data.transcripts import generate_transcripts
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.index.check import check_index
+from lucene_solr_ray.index.update import (
+    delete_documents,
+    expunge_deletes,
+    read_expunged,
+    realtime_get,
+)
+from lucene_solr_ray.search.query import MatchAllDocsQuery, TermQuery
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture()
+def idx(ray_session, tmp_path):
+    src = tmp_path / "src.parquet"
+    pq.write_table(generate_transcripts(150, seed=11), src)
+    out = tmp_path / "idx"
+    build_index(str(src), str(out), num_shards=3)
+    return str(out)
+
+
+def test_expunge_preserves_masked_results(idx):
+    dels = [2, 5, 9, 100, 300]
+    delete_documents(idx, doc_ids=dels)
+    before = {q: IndexSearcher(idx).search(q, k=1000)
+              for q in ["ray", "data OR index"]}
+    r = expunge_deletes(idx)
+    assert r["expunged_now"] == len(dels)
+    assert r["removed_rows"] == len(dels)
+    after_s = IndexSearcher(idx)
+    for q, hits in before.items():
+        got = after_s.search(q, k=1000)
+        # same docs survive; scores shift because collection stats
+        # shrank (reference merge semantics) — doc sets must be equal
+        assert {d for d, _ in got} == {d for d, _ in hits}, q
+        assert not ({d for d, _ in got} & set(dels))
+    assert check_index(idx)["status"] == "ok"
+
+
+def test_expunge_physically_removes_rows(idx):
+    import pyarrow.dataset as pads
+
+    delete_documents(idx, doc_ids=[0, 1, 2, 3])
+    n_before = pads.dataset(str(Path(idx) / "norms"), format="parquet",
+                            partitioning="hive").count_rows()
+    expunge_deletes(idx)
+    n_after = pads.dataset(str(Path(idx) / "norms"), format="parquet",
+                           partitioning="hive").count_rows()
+    assert n_after == n_before - 4
+    assert read_expunged(idx) == {0, 1, 2, 3}
+    # postings for those docs are gone from every shard
+    s = IndexSearcher(idx)
+    for sh in s.shards:
+        for term in list(sh._terms.seq())[:50]:
+            p = sh._postings(term)
+            if p is not None:
+                assert not (set(p[0].tolist()) & {0, 1, 2, 3})
+
+
+def test_expunge_idempotent_and_incremental(idx):
+    delete_documents(idx, doc_ids=[7, 8])
+    r1 = expunge_deletes(idx)
+    assert r1["expunged_now"] == 2
+    r2 = expunge_deletes(idx)  # no-op
+    assert r2["expunged_now"] == 0
+    delete_documents(idx, doc_ids=[20])
+    r3 = expunge_deletes(idx)  # only the new tombstone moves
+    assert r3["expunged_now"] == 1
+    assert read_expunged(idx) == {7, 8, 20}
+    assert check_index(idx)["status"] == "ok"
+
+
+def test_expunged_docs_stay_dead_everywhere(idx):
+    delete_documents(idx, doc_ids=[4, 6])
+    expunge_deletes(idx)
+    s = IndexSearcher(idx)
+    all_docs = {d for d, _ in s.search(MatchAllDocsQuery(), k=10**6)}
+    assert not ({4, 6} & all_docs)
+    got = realtime_get(idx, doc_ids=[4, 6])
+    assert got is None or len(got) == 0
+
+
+def test_expunge_updates_stats(idx):
+    m0 = json.loads((Path(idx) / "manifest.json").read_text())
+    delete_documents(idx, doc_ids=list(range(50)))
+    expunge_deletes(idx)
+    m1 = json.loads((Path(idx) / "manifest.json").read_text())
+    assert m1["stats"]["num_docs"] == m0["stats"]["num_docs"]  # maxDoc
+    assert m1["stats"]["doc_count"] < m0["stats"]["doc_count"]
+    assert m1["stats"]["sum_total_term_freq"] < \
+        m0["stats"]["sum_total_term_freq"]
+    assert m1["expunged_count"] == 50
