@@ -171,12 +171,14 @@ def replicate(master_dir: str, replica_dir: str,
             return True
         if local[rel] != meta["size"]:
             return True
-        if (rel.endswith(".json") or rel.startswith("norms")
+        if (rel.endswith(".json") or rel.startswith(("norms", "shards"))
                 or verify_checksums):
-            # same-size rewritable state: json state files, and norms/
+            # same-size rewritable state: json state files, norms/
             # docvalue partitions (atomic_update swaps whole partitions
-            # by rename, so a same-named same-size file can carry new
-            # content) — content decides
+            # by rename) and shard segments (expunge_deletes rewrites
+            # terms.parquet in place) — a same-named same-size file can
+            # carry new content, so content decides. The crc only runs
+            # when sizes ALREADY match, which a rewrite rarely preserves.
             want = meta.get("crc32")
             if want is None:
                 want = _crc32(src_root / rel)

@@ -128,3 +128,20 @@ def test_replicate_deletes_stale_files(master):
     assert r["deleted"] == 1
     assert not stale.exists()
     assert _results(replica) == _results(idx)
+
+
+def test_replicate_picks_up_expunge(master):
+    """expunge_deletes rewrites shard segments in place — the sync must
+    detect the new content even at equal file sizes (crc path)."""
+    from lucene_solr_ray.index.update import delete_documents, \
+        expunge_deletes
+
+    tmp_path, idx = master
+    replica = tmp_path / "replica"
+    replicate(str(idx), str(replica))
+    delete_documents(str(idx), doc_ids=[1, 2, 3])
+    expunge_deletes(str(idx))
+    r = replicate(str(idx), str(replica))
+    assert r["copied"] > 0
+    assert _results(replica) == _results(idx)
+    assert check_index(str(replica))["status"] == "ok"
