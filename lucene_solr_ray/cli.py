@@ -125,6 +125,15 @@ def main(argv=None) -> int:
                         "docs' postings/norms (forceMergeDeletes)")
     xp.add_argument("index_dir")
 
+    ex = sub.add_parser("expire", help="TTL expiry: tombstone docs whose "
+                        "field predates a cutoff (DocExpiration reaper)")
+    ex.add_argument("index_dir")
+    ex.add_argument("--before", required=True,
+                    help="cutoff: ISO timestamp or date-math "
+                         "(NOW-7DAYS/DAY)")
+    ex.add_argument("--field", default="ts")
+    ex.add_argument("--expunge", action="store_true")
+
     bk = sub.add_parser("backup", help="snapshot the current revision "
                         "(ReplicationHandler backup)")
     bk.add_argument("index_dir")
@@ -295,6 +304,16 @@ def main(argv=None) -> int:
         from .index.update import expunge_deletes
 
         print(json.dumps(expunge_deletes(args.index_dir)))
+    elif args.cmd == "expire":
+        from .functions.datemath import parse_date_math
+        from .index.update import expire_documents
+
+        before = args.before
+        if "NOW" in before.upper():
+            before = parse_date_math(before)
+        print(json.dumps(expire_documents(
+            args.index_dir, before, field=args.field,
+            expunge=args.expunge)))
     elif args.cmd == "segments":
         import json as _json
         from pathlib import Path

@@ -31,8 +31,14 @@ def _check_shard(index_dir: str, sh: dict, docs_per_shard: int) -> dict:
     index_path = Path(index_dir)
     sid = sh["shard_id"]
     base = sid * docs_per_shard
-    t = pq.read_table(index_path / "shards" / f"shard={sid:05d}"
-                      / "terms.parquet")
+    terms_file = (index_path / "shards" / f"shard={sid:05d}"
+                  / "terms.parquet")
+    if not terms_file.exists():
+        # a shard whose every doc was expunged has no segment at all
+        assert sh["term_count"] == 0 and sh["posting_count"] == 0, \
+            f"shard {sid}: segment missing but manifest row non-empty"
+        return {"postings": 0, "terms": 0, "sum_ttf": 0}
+    t = pq.read_table(terms_file)
     terms = t.column("term").to_pylist()
     assert terms == sorted(terms), f"shard {sid}: terms not sorted"
     assert len(set(terms)) == len(terms), f"shard {sid}: duplicate terms"

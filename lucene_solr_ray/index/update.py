@@ -387,6 +387,40 @@ def delete_documents(index_dir: str, doc_ids=None, keys=None,
     return {"deleted_now": sorted(newly), "total_deleted": len(all_dels)}
 
 
+def expire_documents(index_dir: str, expire_before, field: str = "ts",
+                     expunge: bool = False) -> dict:
+    """TTL document expiration (``solr/core/src/java/org/apache/solr/
+    update/processor/DocExpirationUpdateProcessorFactory.java:103`` —
+    the periodic ``deleteByQuery {field}:[* TO NOW]`` its reaper thread
+    issues): tombstone every doc whose ``field`` docvalue is strictly
+    before ``expire_before``.
+
+    The scan pushes the predicate into the norms/docvalue parquet read
+    (only doc_id + the field leave storage, row groups prune); deletion
+    reuses the tombstone path, so expiry is NRT-visible on the next
+    manifest reopen. ``expunge=True`` chains forceMergeDeletes to
+    reclaim the space immediately."""
+    import pyarrow.dataset as pads
+
+    index_path = Path(index_dir)
+    _recover_norms_partitions(index_path)
+    cutoff = pa.scalar(np.datetime64(expire_before, "us")) \
+        if not isinstance(expire_before, (int, float)) else \
+        pa.scalar(expire_before)
+    t = pads.dataset(str(index_path / "norms"), format="parquet",
+                     partitioning="hive").to_table(
+        columns=["doc_id"], filter=pads.field(field) < cutoff)
+    ids = t.column("doc_id").to_pylist()
+    out = {"expired_now": 0, "total_deleted": None}
+    if ids:
+        out = delete_documents(index_dir, doc_ids=ids)
+        out = {"expired_now": len(out["deleted_now"]),
+               "total_deleted": out["total_deleted"]}
+    if expunge:
+        out["expunge"] = expunge_deletes(index_dir)
+    return out
+
+
 EXPUNGED_NAME = "_EXPUNGED.json"
 
 

@@ -103,3 +103,56 @@ def test_expunge_updates_stats(idx):
     assert m1["stats"]["sum_total_term_freq"] < \
         m0["stats"]["sum_total_term_freq"]
     assert m1["expunged_count"] == 50
+
+
+def test_expire_documents_ttl(idx):
+    """DocExpiration reaper: docs with ts before the cutoff die."""
+    import pyarrow.dataset as pads
+
+    from lucene_solr_ray.index.update import expire_documents
+
+    nt = pads.dataset(str(Path(idx) / "norms"), format="parquet",
+                      partitioning="hive").to_table(
+        columns=["doc_id", "ts"]).to_pandas().sort_values("ts")
+    cutoff = nt["ts"].iloc[len(nt) // 3]  # expire the oldest third
+    want_dead = set(nt[nt["ts"] < cutoff]["doc_id"])
+    assert want_dead
+
+    r = expire_documents(idx, cutoff, expunge=True)
+    assert r["expired_now"] == len(want_dead)
+    assert r["expunge"]["expunged_now"] == len(want_dead)
+    s = IndexSearcher(idx)
+    alive = {d for d, _ in s.search(MatchAllDocsQuery(), k=10**6)}
+    assert not (alive & want_dead)
+    assert check_index(idx)["status"] == "ok"
+    # idempotent: nothing else expires at the same cutoff
+    r2 = expire_documents(idx, cutoff)
+    assert r2["expired_now"] == 0
+
+
+def test_expunge_crash_recovery_aside(idx):
+    """A crash that left the pristine segment set aside recovers: the
+    aside copy is authoritative, the rewrite redoes idempotently."""
+    import os
+    import shutil
+
+    delete_documents(idx, doc_ids=[10, 11])
+    shard_dir = Path(idx) / "shards" / "shard=00000"
+    aside = shard_dir.parent / ".merging-shard=00000"
+    shutil.copytree(shard_dir, aside)  # simulate crash-after-set-aside
+    (shard_dir / "terms.parquet").write_bytes(b"torn")  # partial write
+    r = expunge_deletes(idx)
+    assert r["expunged_now"] == 2
+    assert not aside.exists()
+    assert check_index(idx)["status"] == "ok"
+
+
+def test_expire_everything_leaves_valid_empty_index(idx):
+    from lucene_solr_ray.index.update import expire_documents
+
+    r = expire_documents(idx, "2100-01-01T00:00:00", expunge=True)
+    assert r["expired_now"] > 0
+    assert check_index(idx)["status"] == "ok"
+    s = IndexSearcher(idx)
+    assert s.search("ray", k=5) == []
+    assert s.search(MatchAllDocsQuery(), k=10**6) == []
