@@ -511,6 +511,12 @@ class DistributedSearcher:
         for p in partials:
             for t, d in p.items():
                 global_df[t] = global_df.get(t, 0) + d
+        from .query import CommonTermsQuery, rewrite_common_terms
+
+        max_doc = self.manifest["stats"]["num_docs"]
+        parsed = [rewrite_common_terms(q, global_df, max_doc)
+                  if isinstance(q, CommonTermsQuery) else q
+                  for q in parsed]
         df_maps = [
             {t: global_df.get(t, 0) for t in collect_terms(q)} for q in parsed
         ]

@@ -158,6 +158,70 @@ class ComplexPhraseQuery(Query):
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """CommonTermsQuery (``lucene/queries/src/java/org/apache/lucene/
+    queries/CommonTermsQuery.java:72-131``): terms split by document
+    frequency at rewrite time — low-frequency terms carry the query
+    (required sub-boolean), high-frequency ('common') terms become an
+    optional scoring-only sub-boolean, so stopword-adjacent terms never
+    drive the match set. ``max_term_frequency``: absolute df when >= 1,
+    else a fraction of maxDoc (buildQuery df threshold). Rewrite needs
+    GLOBAL stats, so it happens on the driver (rewrite_common_terms)
+    before scoring; high/low freq boosts are fixed at 1 here."""
+
+    terms: tuple[str, ...] = ()
+    max_term_frequency: float = 0.01
+    high_freq_occur: str = "SHOULD"  # MUST or SHOULD (never MUST_NOT)
+    low_freq_occur: str = "SHOULD"
+    low_freq_msm: int = 0
+    high_freq_msm: int = 0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if "MUST_NOT" in (self.high_freq_occur, self.low_freq_occur):
+            raise ValueError("occur must be MUST or SHOULD, not MUST_NOT")
+
+
+def rewrite_common_terms(q: CommonTermsQuery, df_map: dict[str, int],
+                         max_doc: int) -> Query:
+    """CommonTermsQuery.buildQuery (CommonTermsQuery.java:183-247):
+    threshold split, then low-freq sub-boolean added MUST and high-freq
+    sub-boolean added SHOULD; with no low-freq terms the high-freq group
+    is promoted to a conjunction ('to prevent slow queries')."""
+    import math as _math
+
+    thresh_abs = q.max_term_frequency if q.max_term_frequency >= 1 else \
+        _math.ceil(q.max_term_frequency * float(max_doc))
+    low, high = [], []
+    for t in q.terms:
+        df = df_map.get(t, 0)
+        (high if df > thresh_abs else low).append(TermQuery(t))
+    low_occur, high_occur = q.low_freq_occur, q.high_freq_occur
+    low_msm = q.low_freq_msm if (low_occur == "SHOULD" and low) else 0
+    high_msm = q.high_freq_msm if (high_occur == "SHOULD" and high) else 0
+    if not low and high_msm == 0 and high_occur != "MUST":
+        high_occur = "MUST"
+
+    def group(queries, occur, msm):
+        if occur == "MUST":
+            return BooleanQuery(must=queries)
+        return BooleanQuery(should=queries, min_should_match=msm)
+
+    outer = BooleanQuery()
+    if low:
+        outer.must.append(group(low, low_occur, low_msm))
+    if high:
+        hq = group(high, high_occur, high_msm)
+        if low:
+            outer.should.append(hq)
+        else:
+            outer.must.append(hq)
+    if not low and not high:
+        return MatchNoDocs()
+    return outer
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery(Query):
     """ConstantScoreQuery (``search/ConstantScoreQuery.java``): every
     matching doc of the wrapped query scores exactly ``boost`` (the

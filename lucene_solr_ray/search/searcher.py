@@ -129,6 +129,10 @@ def collect_terms(q: Query) -> set[str]:
     if isinstance(q, (SpanTermQuery, SpanNearQuery, SpanOrQuery,
                       SpanNotQuery)):
         return span_terms(q)
+    from .query import CommonTermsQuery
+
+    if isinstance(q, CommonTermsQuery):
+        return set(q.terms)
     from .query import ComplexPhraseQuery
 
     if isinstance(q, ComplexPhraseQuery):
@@ -1153,6 +1157,12 @@ class IndexSearcher:
         if isinstance(query, str):
             query = self.parse(query)
         df_map = self.global_df(query)
+        from .query import CommonTermsQuery, rewrite_common_terms
+
+        if isinstance(query, CommonTermsQuery):
+            # df split needs GLOBAL stats, so rewrite on the driver
+            query = rewrite_common_terms(
+                query, df_map, self.manifest["stats"]["num_docs"])
         hits = []
         for sh in self.shards:
             hits.extend(sh.search(query, df_map, k, sort=sort,
