@@ -135,3 +135,29 @@ def test_engine_matches_bruteforce(cp_index, qs):
         if span_spans(rq, pos_of):
             want.add(i)
     assert got == want, qs
+
+
+# --- parser totality fuzz ------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=60))
+def test_complex_phrase_parser_total(text):
+    """parse + rewrite against a tiny vocab never crash outside
+    ValueError."""
+    try:
+        q = parse_complex_phrase(text)
+    except ValueError:
+        return
+    from lucene_solr_ray.search.query import ComplexPhraseQuery
+
+    def walk(node):
+        if isinstance(node, ComplexPhraseQuery):
+            try:
+                rewrite_complex_phrase(node, ["alpha", "beta"])
+            except ValueError:
+                pass
+    walk(q)

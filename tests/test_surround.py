@@ -149,3 +149,32 @@ def test_engine_matches_bruteforce(sr_index, qs):
 
     want = {i for i, d in enumerate(docs) if matches(q, d.split())}
     assert got == want, qs
+
+
+# --- parser totality fuzz (the repo's grammar-fuzz pattern) -------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=50))
+def test_surround_parser_total(text):
+    """Any input either parses or raises ValueError — never crashes."""
+    try:
+        parse_surround(text)
+    except ValueError:
+        pass
+
+
+_TOK = st.sampled_from(["aa", "bb", "cc*", "a?c", "3w", "n", "AND", "OR",
+                        "NOT", "(", ")", ",", "99w", "100w", "w"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_TOK, max_size=10))
+def test_surround_tokens_total(toks):
+    try:
+        parse_surround(" ".join(toks))
+    except ValueError:
+        pass

@@ -132,3 +132,18 @@ def test_filter_clause_doesnt_score(xidx):
     data_only = dict(s.search(TermQuery("data"), k=10**6))
     for d, sc in filtered.items():
         assert sc == pytest.approx(data_only[d], rel=1e-6)
+
+
+# --- parser totality fuzz ------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=80))
+def test_xml_parser_total(text):
+    try:
+        parse_xml_query(text)
+    except XMLParserError:
+        pass
