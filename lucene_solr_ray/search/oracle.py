@@ -145,9 +145,36 @@ class OracleIndex:
                 out[doc_id] = np.float32(q.boost)
         return out
 
+    def _score_synonym(self, q) -> dict[int, np.float32]:
+        """SynonymQuery (SynonymQuery.java:228-249): max df, summed freq,
+        one BM25 pseudo-term."""
+        freqs: dict[int, int] = {}
+        max_df = 0
+        for t in q.terms:
+            plist = self.postings.get(t)
+            if not plist:
+                continue
+            max_df = max(max_df, len(plist))
+            for doc_id, f, _ in plist:
+                freqs[doc_id] = freqs.get(doc_id, 0) + f
+        if not freqs:
+            return {}
+        w = bm25.weight_value(bm25.idf(max_df, self.doc_count), q.boost)
+        cache = self._norm_cache()
+        out: dict[int, np.float32] = {}
+        for doc_id, freq in freqs.items():
+            f = np.float32(freq)
+            norm = cache[self.norms[doc_id]]
+            out[doc_id] = np.float32(np.float32(w) * f / (f + norm))
+        return out
+
     def _score_clause(self, q: Query) -> dict[int, np.float32]:
         if isinstance(q, TermQuery):
             return self._score_term(q)
+        from .query import SynonymQuery
+
+        if isinstance(q, SynonymQuery):
+            return self._score_synonym(q)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q)
         if isinstance(q, MultiTermQuery):

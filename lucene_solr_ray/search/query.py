@@ -58,6 +58,19 @@ class MatchNoDocs(Query):
 
 
 @dataclass(frozen=True)
+class SynonymQuery(Query):
+    """SynonymQuery (``lucene/core/src/java/org/apache/lucene/search/
+    SynonymQuery.java:122-249``): terms stacked at one position score as
+    ONE pseudo-term — docFreq = max over the synonyms (:141-147), per-doc
+    freq = SUM of the synonyms' freqs (:241-246). This is what the
+    classic parser emits for posIncrement-0 token stacks
+    (QueryBuilder.analyzeBoolean -> newSynonymQuery)."""
+
+    terms: tuple[str, ...] = ()
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class MatchAllDocsQuery(Query):
     """MatchAllDocsQuery (``search/MatchAllDocsQuery.java``): every live
     doc matches with score = boost."""
@@ -285,10 +298,11 @@ def _analyze_chunk(chunk: str, analyzer, boost: float = 1.0) -> Query:
     Classic parser behavior (QueryParserBase.newFieldQuery →
     QueryBuilder.createFieldQuery): multiple tokens at DISTINCT positions
     become a phrase; multiple tokens at the SAME position (synonym /
-    phonetic injection, posIncrement 0) become a SynonymQuery — modeled
-    as a SHOULD-of-terms with min_should_match=1. Mixed streams (several
-    positions, some with stacked tokens) approximate MultiPhraseQuery as
-    a MUST-of-per-position-synonyms (position constraint relaxed)."""
+    phonetic injection, posIncrement 0) become a SynonymQuery with the
+    reference's blended stats (max df, summed freq). Mixed streams
+    (several positions, some with stacked tokens) approximate
+    MultiPhraseQuery as a MUST of per-position terms/SynonymQueries
+    (position constraint relaxed)."""
     terms, positions = analyzer.analyze(chunk)
     if not terms:
         return MatchNoDocs()
@@ -298,18 +312,15 @@ def _analyze_chunk(chunk: str, analyzer, boost: float = 1.0) -> Query:
     for t, p in zip(terms, positions):
         by_pos.setdefault(p, []).append(t)
     if len(by_pos) == 1:  # synonym stack at one position
-        return BooleanQuery(
-            should=[TermQuery(t, boost) for t in terms],
-            min_should_match=1)
+        return SynonymQuery(tuple(terms), boost)
     if all(len(v) == 1 for v in by_pos.values()):
         base = positions[0]
         return PhraseQuery(tuple(terms), tuple(p - base for p in positions),
                            boost)
     return BooleanQuery(must=[
-        vs[0] if len(vs) == 1 else BooleanQuery(should=vs,
-                                                min_should_match=1)
-        for vs in ([TermQuery(t, boost) for t in by_pos[p]]
-                   for p in sorted(by_pos))])
+        TermQuery(by_pos[p][0], boost) if len(by_pos[p]) == 1
+        else SynonymQuery(tuple(by_pos[p]), boost)
+        for p in sorted(by_pos)])
 
 
 def levenshtein_within(a: str, b: str, k: int) -> bool:

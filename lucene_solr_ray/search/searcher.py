@@ -101,10 +101,13 @@ def _merge_sort_key(hit, sort):
 
 
 def collect_terms(q: Query) -> set[str]:
-    from .query import ConstantScoreQuery, DisMaxQuery, SpanFirstQuery
+    from .query import (ConstantScoreQuery, DisMaxQuery, SpanFirstQuery,
+                        SynonymQuery)
 
     if isinstance(q, TermQuery):
         return {q.term}
+    if isinstance(q, SynonymQuery):
+        return set(q.terms)
     if isinstance(q, SpanFirstQuery):
         from .query import span_terms
 
@@ -542,6 +545,26 @@ class ShardSearcher:
         scores = self.sim.score(pf[keep], self.norms[docs - self.base], w)
         return self._live(docs, scores)
 
+    def _score_synonym(self, q, df_map: dict[str, int]):
+        """SynonymQuery scorer (SynonymQuery.java:228-249): one pseudo-
+        term — weight from max df over the synonyms, per-doc freq = sum
+        of the synonyms' freqs."""
+        plists = [p for p in (self._postings(t) for t in q.terms)
+                  if p is not None]
+        if not plists:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float32))
+        all_docs = plists[0][0] if len(plists) == 1 else \
+            np.unique(np.concatenate([d for d, _, _ in plists]))
+        freq = np.zeros(len(all_docs), dtype=np.int64)
+        for d_i, f_i, _ in plists:
+            idx = np.searchsorted(all_docs, d_i)
+            freq[idx] += f_i
+        max_df = max(df_map.get(t, 0) for t in q.terms)
+        w = self.sim.weight(self.sim.idf(max_df, self.doc_count), q.boost)
+        scores = self.sim.score(freq, self.norms[all_docs - self.base], w)
+        return self._live(all_docs, scores)
+
     def _score_multi_term(self, q: MultiTermQuery):
         """CONSTANT_SCORE_REWRITE over the shard's term dictionary: union
         of matching terms' postings, every doc scored with the boost."""
@@ -558,6 +581,10 @@ class ShardSearcher:
     def _score_clause(self, q: Query, df_map: dict[str, int]):
         if isinstance(q, TermQuery):
             return self._score_term(q, df_map)
+        from .query import SynonymQuery
+
+        if isinstance(q, SynonymQuery):
+            return self._score_synonym(q, df_map)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q, df_map)
         if isinstance(q, MultiTermQuery):
