@@ -168,13 +168,60 @@ class OracleIndex:
             out[doc_id] = np.float32(np.float32(w) * f / (f + norm))
         return out
 
+    def _score_multi_phrase(self, q) -> dict[int, np.float32]:
+        """MultiPhraseQuery: per-slot union of alternative positions,
+        exact/sloppy alignment, weight sums idf over all terms in slot
+        order (mirrors ShardSearcher._score_multi_phrase)."""
+        from .query import sloppy_phrase_freq
+
+        slot_maps = []
+        for alts in q.slots:
+            per_doc: dict[int, list] = {}
+            for t in alts:
+                for d, _, pos in self.postings.get(t, ()):
+                    per_doc.setdefault(d, []).append(np.asarray(pos))
+            if not per_doc:
+                return {}
+            slot_maps.append({d: np.unique(np.concatenate(ps))
+                              for d, ps in per_doc.items()})
+        cands = set(slot_maps[0])
+        for m in slot_maps[1:]:
+            cands &= set(m)
+        rel = list(q.positions)
+        sum_idf = np.float32(0.0)
+        for alts in q.slots:
+            for t in alts:
+                sum_idf = np.float32(
+                    sum_idf + bm25.idf(self.doc_freq(t), self.doc_count))
+        w = bm25.weight_value(sum_idf, q.boost)
+        cache = self._norm_cache()
+        out: dict[int, np.float32] = {}
+        for d in cands:
+            pls = [m[d].astype(np.int64) for m in slot_maps]
+            if q.slop == 0:
+                starts = pls[0] - rel[0]
+                for k in range(1, len(pls)):
+                    starts = starts[np.isin(starts + rel[k], pls[k])]
+                    if len(starts) == 0:
+                        break
+                pf = float(len(starts))
+            else:
+                pf = sloppy_phrase_freq(pls, rel, q.slop)
+            if pf > 0:
+                f = np.float32(pf)
+                norm = cache[self.norms[d]]
+                out[d] = np.float32(np.float32(w) * f / (f + norm))
+        return out
+
     def _score_clause(self, q: Query) -> dict[int, np.float32]:
         if isinstance(q, TermQuery):
             return self._score_term(q)
-        from .query import SynonymQuery
+        from .query import MultiPhraseQuery, SynonymQuery
 
         if isinstance(q, SynonymQuery):
             return self._score_synonym(q)
+        if isinstance(q, MultiPhraseQuery):
+            return self._score_multi_phrase(q)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q)
         if isinstance(q, MultiTermQuery):

@@ -36,6 +36,21 @@ class PhraseQuery(Query):
     slop: int = 0  # 0 = exact (ExactPhraseScorer); >0 = SloppyPhraseScorer
 
 
+@dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """MultiPhraseQuery (``lucene/core/src/java/org/apache/lucene/search/
+    MultiPhraseQuery.java:47``): a phrase where each position admits
+    SEVERAL terms (synonym stacks inside a phrase). Matching unions the
+    alternatives' position lists per slot (UnionPostingsEnum), then runs
+    the ordinary exact/sloppy phrase alignment; the weight sums idf over
+    ALL terms (same SimWeight construction as PhraseQuery)."""
+
+    slots: tuple[tuple[str, ...], ...] = ()
+    positions: tuple[int, ...] = ()  # relative position per slot
+    slop: int = 0
+    boost: float = 1.0
+
+
 @dataclass
 class BooleanQuery(Query):
     """must/should/must_not + minimum-should-match
@@ -317,10 +332,12 @@ def _analyze_chunk(chunk: str, analyzer, boost: float = 1.0) -> Query:
         base = positions[0]
         return PhraseQuery(tuple(terms), tuple(p - base for p in positions),
                            boost)
-    return BooleanQuery(must=[
-        TermQuery(by_pos[p][0], boost) if len(by_pos[p]) == 1
-        else SynonymQuery(tuple(by_pos[p]), boost)
-        for p in sorted(by_pos)])
+    # mixed stream: several positions, some stacked -> MultiPhraseQuery
+    # (QueryBuilder.analyzeMultiPhrase)
+    base = min(by_pos)
+    slots = tuple(tuple(by_pos[p]) for p in sorted(by_pos))
+    rel = tuple(p - base for p in sorted(by_pos))
+    return MultiPhraseQuery(slots=slots, positions=rel, boost=boost)
 
 
 def levenshtein_within(a: str, b: str, k: int) -> bool:

@@ -108,6 +108,10 @@ def collect_terms(q: Query) -> set[str]:
         return {q.term}
     if isinstance(q, SynonymQuery):
         return set(q.terms)
+    from .query import MultiPhraseQuery
+
+    if isinstance(q, MultiPhraseQuery):
+        return {t for alts in q.slots for t in alts}
     if isinstance(q, SpanFirstQuery):
         from .query import span_terms
 
@@ -545,6 +549,75 @@ class ShardSearcher:
         scores = self.sim.score(pf[keep], self.norms[docs - self.base], w)
         return self._live(docs, scores)
 
+    def _score_multi_phrase(self, q, df_map: dict[str, int]):
+        """MultiPhraseQuery scorer (MultiPhraseQuery.java:47 /
+        UnionPostingsEnum): per slot, union the alternatives' decoded
+        positions; candidates = docs where EVERY slot has some
+        alternative; freq = exact alignment count (slop=0) or
+        sloppy_phrase_freq; weight sums idf over all terms in slot
+        order (same float32 accumulation as the oracle)."""
+        from .query import sloppy_phrase_freq
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        cands = None
+        slot_entries = []
+        for alts in q.slots:
+            entries = []
+            docs_union = []
+            for t in alts:
+                p = self._postings(t)
+                if p is None:
+                    continue
+                d_i, f_i, row_i = p
+                flat, offs = segment.decode_positions(
+                    self._pos_enc[row_i], f_i)
+                entries.append((d_i, flat, offs))
+                docs_union.append(d_i)
+            if not entries:
+                return empty
+            u = docs_union[0] if len(docs_union) == 1 else \
+                np.unique(np.concatenate(docs_union))
+            cands = u if cands is None else \
+                np.intersect1d(cands, u, assume_unique=True)
+            if len(cands) == 0:
+                return empty
+            slot_entries.append(entries)
+        rel = list(q.positions)
+        pf = np.zeros(len(cands), dtype=np.float64)
+        for j, d in enumerate(cands):
+            pls = []
+            for entries in slot_entries:
+                pos = []
+                for d_i, flat, offs in entries:
+                    i = int(np.searchsorted(d_i, d))
+                    if i < len(d_i) and d_i[i] == d:
+                        pos.append(flat[offs[i]:offs[i + 1]])
+                merged = pos[0] if len(pos) == 1 else \
+                    np.unique(np.concatenate(pos))
+                pls.append(np.asarray(merged, dtype=np.int64))
+            if q.slop == 0:
+                starts = pls[0] - rel[0]
+                for k in range(1, len(pls)):
+                    starts = starts[np.isin(starts + rel[k], pls[k])]
+                    if len(starts) == 0:
+                        break
+                pf[j] = float(len(starts))
+            else:
+                pf[j] = sloppy_phrase_freq(pls, rel, q.slop)
+        keep = pf > 0
+        if not keep.any():
+            return empty
+        docs, f = cands[keep], pf[keep]
+        sum_idf = np.float32(0.0)
+        for alts in q.slots:
+            for t in alts:
+                sum_idf = np.float32(
+                    sum_idf + self.sim.idf(df_map.get(t, 0),
+                                           self.doc_count))
+        w = self.sim.weight(sum_idf, q.boost)
+        scores = self.sim.score(f, self.norms[docs - self.base], w)
+        return self._live(docs, scores)
+
     def _score_synonym(self, q, df_map: dict[str, int]):
         """SynonymQuery scorer (SynonymQuery.java:228-249): one pseudo-
         term — weight from max df over the synonyms, per-doc freq = sum
@@ -581,10 +654,12 @@ class ShardSearcher:
     def _score_clause(self, q: Query, df_map: dict[str, int]):
         if isinstance(q, TermQuery):
             return self._score_term(q, df_map)
-        from .query import SynonymQuery
+        from .query import MultiPhraseQuery, SynonymQuery
 
         if isinstance(q, SynonymQuery):
             return self._score_synonym(q, df_map)
+        if isinstance(q, MultiPhraseQuery):
+            return self._score_multi_phrase(q, df_map)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q, df_map)
         if isinstance(q, MultiTermQuery):
