@@ -185,6 +185,19 @@ class ComplexPhraseQuery(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True, eq=False)
+class BoostingQuery(Query):
+    """BoostingQuery (``lucene/queries/src/java/org/apache/lucene/
+    queries/BoostingQuery.java:44``): matches exactly the ``match``
+    query's docs; any of them ALSO matching ``context`` have their score
+    multiplied by ``negative_boost`` (<1 demotes; the context query
+    never selects or scores by itself, :106-130)."""
+
+    match: Query = None
+    context: Query = None
+    negative_boost: float = 0.5
+
+
 @dataclass(frozen=True)
 class CommonTermsQuery(Query):
     """CommonTermsQuery (``lucene/queries/src/java/org/apache/lucene/

@@ -112,6 +112,10 @@ def collect_terms(q: Query) -> set[str]:
 
     if isinstance(q, MultiPhraseQuery):
         return {t for alts in q.slots for t in alts}
+    from .query import BoostingQuery
+
+    if isinstance(q, BoostingQuery):
+        return collect_terms(q.match) | collect_terms(q.context)
     if isinstance(q, SpanFirstQuery):
         from .query import span_terms
 
@@ -654,12 +658,25 @@ class ShardSearcher:
     def _score_clause(self, q: Query, df_map: dict[str, int]):
         if isinstance(q, TermQuery):
             return self._score_term(q, df_map)
-        from .query import MultiPhraseQuery, SynonymQuery
+        from .query import BoostingQuery, MultiPhraseQuery, SynonymQuery
 
         if isinstance(q, SynonymQuery):
             return self._score_synonym(q, df_map)
         if isinstance(q, MultiPhraseQuery):
             return self._score_multi_phrase(q, df_map)
+        if isinstance(q, BoostingQuery):
+            # BoostingQuery.java:106-130: match set unchanged, context
+            # matches get score *= negative_boost
+            docs, scores = self._score_clause(q.match, df_map)
+            if len(docs):
+                ctx_docs, _ = self._score_clause(q.context, df_map)
+                demote = np.isin(docs, ctx_docs, assume_unique=True)
+                scores = np.where(
+                    demote,
+                    (scores.astype(np.float32)
+                     * np.float32(q.negative_boost)).astype(np.float32),
+                    scores).astype(np.float32)
+            return docs, scores
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q, df_map)
         if isinstance(q, MultiTermQuery):

@@ -82,3 +82,26 @@ def test_synonym_distributed_parity(syn_pair, ray_session):
     q = SynonymQuery(("ray", "data", "index"))
     dist = DistributedSearcher(s.index_dir, num_actors=2)
     assert dist.search_batch([q], k=40)[0] == s.search(q, k=40)
+
+
+def test_boosting_query_demotes_context_matches(syn_pair, ray_session):
+    """BoostingQuery.java:106-130: same doc set as match; context
+    matches score *= negative_boost."""
+    from lucene_solr_ray.search.query import BoostingQuery
+
+    s, _ = syn_pair
+    plain = dict(s.search(TermQuery("ray"), k=100_000))
+    ctx = set(d for d, _ in s.search(TermQuery("data"), k=100_000))
+    bq = BoostingQuery(match=TermQuery("ray"), context=TermQuery("data"),
+                       negative_boost=0.25)
+    got = dict(s.search(bq, k=100_000))
+    assert got.keys() == plain.keys()
+    for d, sc in got.items():
+        want = plain[d] * np.float32(0.25) if d in ctx else plain[d]
+        assert np.float32(sc) == np.float32(want), d
+    assert any(d in ctx for d in got)  # the demotion path was exercised
+
+    from lucene_solr_ray.search.actors import DistributedSearcher
+
+    dist = DistributedSearcher(s.index_dir, num_actors=2)
+    assert dist.search_batch([bq], k=30)[0] == s.search(bq, k=30)
