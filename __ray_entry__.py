@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_docs": __import__(
             "lucene_solr_ray.pipelines.curation",
             fromlist=["pack_sequences_docs"]).pack_sequences_docs,
+        "c4_clean_docs": __import__(
+            "lucene_solr_ray.pipelines.curation",
+            fromlist=["c4_clean_docs"]).c4_clean_docs,
         # index-driven NaiveBayes classification (lucene/classification)
         "nb_classify_docs": __import__(
             "lucene_solr_ray.search.classify",
@@ -369,6 +372,19 @@ def oracle_sql() -> dict[str, str]:
             "AND ts < date_trunc('hour', TIMESTAMP '2024-01-22 12:34:56') "
             "- INTERVAL 30 MINUTE "
             "GROUP BY event_type",
+        "c4_clean_docs":
+            "WITH q AS (SELECT doc_id, count(*) AS n_tokens, "
+            "sum(CASE WHEN term IN " + _STOPWORDS_SQL + " THEN 1 ELSE 0 "
+            "END)::BIGINT AS n_stop FROM (" + _TOKS + ") "
+            "WHERE term <> '' GROUP BY doc_id), "
+            "k AS (SELECT d.doc_id, d.text, d.source FROM documents d "
+            "JOIN q USING (doc_id) WHERE d.lang = 'en' "
+            "AND q.n_tokens BETWEEN 20 AND 10000 "
+            "AND q.n_stop * 1.0 / q.n_tokens >= 0.05), "
+            "dd AS (SELECT min(doc_id) AS doc_id FROM k "
+            "GROUP BY md5(text)) "
+            "SELECT k.source, count(*) AS cnt FROM k "
+            "JOIN dd USING (doc_id) GROUP BY k.source",
         "domain_mix_docs":
             "SELECT lang, count(*) AS cnt FROM documents "
             "WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < "

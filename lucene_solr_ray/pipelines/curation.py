@@ -123,3 +123,61 @@ def pack_sequences_docs(sf_dir: str, budget: int = 256):
     """Pack the documents table into 256-token training sequences."""
     return pack_sequences(read(sf_dir, "documents", ["doc_id", "text"]),
                           budget=budget)
+
+
+def c4_clean_docs(sf_dir: str, min_tokens: int = 20,
+                  max_tokens: int = 10_000,
+                  min_stop_ratio: float = 0.05):
+    """Composed C4-style cleaning over the documents table (the filter
+    stack of Raffel et al.'s C4 pipeline, re-expressed on this engine's
+    kernels): keep docs that are (1) English per the lang column,
+    (2) within a token-count band, (3) language-like (stopword ratio
+    above a floor), then (4) exact-dedup on text keeping the lowest
+    doc_id. Result: surviving-doc count per source.
+
+    Shape: one streaming map_batches computes all three quality masks
+    (the textstats vectorized explode), the dedup is a partial-min +
+    bucketed groupby on the md5 signature — a single all-to-all on the
+    (tiny) (sig, doc_id, source) projection, never on the text."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .textstats import ENGLISH_STOP_WORDS, _explode_terms
+    from .util import bucketed_group_agg
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    stop = pd.Index(sorted(ENGLISH_STOP_WORDS))
+
+    def quality_filter(t: pa.Table) -> pa.Table:
+        n = len(t)
+        doc_idx, terms = _explode_terms(t)
+        n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        is_stop = pd.Series(terms).isin(stop).to_numpy()
+        n_stop = np.bincount(doc_idx[is_stop], minlength=n).astype(np.int64)
+        ratio = n_stop / np.maximum(n_tokens, 1)
+        mask = ((np.asarray(t.column("lang").to_pylist()) == "en")
+                & (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+                & (ratio >= min_stop_ratio))
+        kept = t.filter(pa.array(mask))
+        sigs = [hashlib.md5(x.encode("utf-8")).hexdigest()
+                for x in kept.column("text").to_pylist()]
+        return pa.table({
+            "sig": pa.array(sigs, type=pa.string()),
+            "doc_id": kept.column("doc_id"),
+            "source": kept.column("source"),
+        })
+
+    sigged = ds.map_batches(quality_filter, batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        return g.drop_duplicates("sig", keep="first")[
+            ["sig", "doc_id", "source"]]
+
+    survivors = bucketed_group_agg(sigged, ["sig"], keep_first,
+                                   pre=keep_first)
+    from ray.data.aggregate import Count
+
+    return survivors.groupby("source").aggregate(Count(alias_name="cnt"))

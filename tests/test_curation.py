@@ -84,3 +84,20 @@ def test_pack_sequences_precomputed_token_column(ray_session):
     # [50, 10]
     seqs = out.groupby("seq_id")["doc_id"].apply(list).tolist()
     assert sorted(map(tuple, seqs)) == [(0,), (1,), (2, 3)]
+
+
+def test_c4_clean_filters_are_load_bearing(ray_session):
+    """Each stage of the composed clean drops something at sf0.001."""
+    import duckdb
+
+    from lucene_solr_ray.pipelines.curation import c4_clean_docs
+
+    sf = "/root/testdata/sf0.001"
+    kept = c4_clean_docs(sf).to_pandas()["cnt"].sum()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf}/documents.parquet'")
+    total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    en = con.execute(
+        "SELECT count(*) FROM documents WHERE lang='en'").fetchone()[0]
+    assert 0 < kept < en < total
