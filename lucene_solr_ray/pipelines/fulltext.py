@@ -79,6 +79,40 @@ def bm25_topk_docs(sf_dir: str, k: int = 10) -> pa.Table:
     })
 
 
+def query_language_topk_docs(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k over the documents index through the three non-classic
+    query languages (surround / complex-phrase / XML), rows-only:
+    each language's semantics are engine-vs-oracle verified in pytest
+    (tests/test_surround.py, test_complex_phrase.py, test_xmlparser.py);
+    this surfaces them on the driver contract."""
+    from ..search.surround import parse_surround
+    from ..search.xmlparser import parse_xml_query
+
+    idx = docs_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    queries = [
+        ("surround", "hash w join", parse_surround("hash w join")),
+        ("surround", "or(table, sc*) and merge",
+         parse_surround("or(table, sc*) and merge")),
+        ("complexphrase", '"ha* join"',
+         searcher.parse_complex('"ha* join"')),
+        ("xml", "SpanNear(table,scan)", parse_xml_query(
+            "<SpanNear slop='2' inOrder='true'><SpanTerm>table</SpanTerm>"
+            "<SpanTerm>scan</SpanTerm></SpanNear>")),
+    ]
+    rows = []
+    for lang, label, q in queries:
+        for rank, (doc_id, score) in enumerate(searcher.search(q, k=k)):
+            rows.append((lang, label, rank, doc_id, float(score)))
+    return pa.table({
+        "syntax": pa.array([r[0] for r in rows]),
+        "query": pa.array([r[1] for r in rows]),
+        "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+        "doc_id": pa.array([r[3] for r in rows], type=pa.int64()),
+        "score": pa.array([r[4] for r in rows], type=pa.float64()),
+    })
+
+
 def transcripts_flagship(size: str = "tiny", k: int = 10) -> pd.DataFrame:
     """The flagship pipeline: synthesize transcripts, build the sharded
     index, serve a query batch from the actor pool, return ranked hits."""
