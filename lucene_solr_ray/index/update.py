@@ -506,7 +506,10 @@ def _expunge_norms_partition(index_dir: str, doc_shard: int,
     if removed == 0:
         return 0
     staging = part.parent / f".staging-expunge-{doc_shard}"
-    asideN = part.parent / f".dvold-expunge-{doc_shard}"
+    # aside follows the .dvold-<partition-name> convention so
+    # recover_norms_partitions restores THIS partition after a crash
+    # between the two renames
+    asideN = part.parent / f".dvold-doc_shard={doc_shard}"
     shutil.rmtree(staging, ignore_errors=True)
     staging.mkdir(parents=True)
     pq.write_table(t.filter(pa.array(keep)), staging / "run-00000.parquet")

@@ -156,3 +156,20 @@ def test_expire_everything_leaves_valid_empty_index(idx):
     s = IndexSearcher(idx)
     assert s.search("ray", k=5) == []
     assert s.search(MatchAllDocsQuery(), k=10**6) == []
+
+
+def test_norms_swap_crash_recovers(idx):
+    """Crash between the two norms renames: the .dvold aside restores
+    the partition on the next open (recover_norms_partitions)."""
+    import os
+    import shutil
+
+    from lucene_solr_ray.index.segment import recover_norms_partitions
+
+    part = Path(idx) / "norms" / "doc_shard=1"
+    aside = part.parent / ".dvold-doc_shard=1"
+    # simulate: part renamed aside, staging rename never happened
+    os.rename(part, aside)
+    recover_norms_partitions(Path(idx))
+    assert part.exists() and not aside.exists()
+    assert check_index(idx)["status"] == "ok"
