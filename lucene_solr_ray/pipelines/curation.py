@@ -1,14 +1,16 @@
 """Training-data curation stages beyond the reference surface:
-deterministic domain-mix sampling and context-window sequence packing.
+deterministic domain-mix sampling, context-window sequence packing, and
+a composed C4-style cleaning pipeline.
 
-These are the two knobs every large-scale LLM data pipeline turns after
-dedup/quality (see e.g. the data pipelines described in the Gopher and
-LLaMA papers): re-weighting the domain mixture, and packing variable-
-length documents into fixed token-budget training sequences.
+These are the knobs every large-scale LLM data pipeline turns after
+dedup/quality (the pipelines described in the C4, Gopher and LLaMA
+papers): re-weighting the domain mixture, packing variable-length
+documents into fixed token-budget training sequences, and the
+filter-then-dedup cleaning stack.
 
-Both stages are single-pass ``map_batches`` transforms — no shuffle, no
-driver-side state — so they stream at any scale and compose with the
-other document stages.
+Sampling and packing are single-pass ``map_batches`` transforms — no
+shuffle, no driver-side state; the cleaning pipeline's only all-to-all
+is the dedup groupby over a thin (sig, doc_id, source) projection.
 """
 
 from __future__ import annotations

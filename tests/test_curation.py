@@ -79,8 +79,7 @@ def test_pack_sequences_precomputed_token_column(ray_session):
                   "n_tokens": pa.array([50, 60, 50, 10])})
     out = pack_sequences(rd.from_arrow(t), budget=100).to_pandas()
     assert out["n_tokens"].tolist() == [50, 60, 50, 10]
-    # 50 -> seq A; 60 doesn't fit (50+60>100) -> seq B; 50+60>100 ->
-    # wait: greedy: [50], [60 ... +50 ... 110 > 100 -> no], so [60],
+    # greedy fill: [50] (60 would overflow), [60] (50 would overflow),
     # [50, 10]
     seqs = out.groupby("seq_id")["doc_id"].apply(list).tolist()
     assert sorted(map(tuple, seqs)) == [(0,), (1,), (2, 3)]
