@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # export / sinks (§2.2)
         "export_sorted_orders": export.export_sorted_orders,
         # streaming-expression language (§2.11 extension surface)
+        "sql_handler_orders": __import__(
+            "lucene_solr_ray.pipelines.sqlhandler",
+            fromlist=["sql_handler_orders"]).sql_handler_orders,
         "stream_expr_join_rollup": __import__(
             "lucene_solr_ray.pipelines.streaming_expr",
             fromlist=["stream_expr_join_rollup"]).stream_expr_join_rollup,
@@ -373,6 +376,10 @@ def oracle_sql() -> dict[str, str]:
             "AND ts < date_trunc('hour', TIMESTAMP '2024-01-22 12:34:56') "
             "- INTERVAL 30 MINUTE "
             "GROUP BY event_type",
+        "sql_handler_orders":
+            # the oracle runs the IDENTICAL SQL the engine executes
+            __import__("lucene_solr_ray.pipelines.sqlhandler",
+                       fromlist=["SQL_HANDLER_QUERY"]).SQL_HANDLER_QUERY,
         "c4_clean_docs":
             "WITH q AS (SELECT doc_id, count(*) AS n_tokens, "
             "sum(CASE WHEN term IN " + _STOPWORDS_SQL + " THEN 1 ELSE 0 "

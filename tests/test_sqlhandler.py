@@ -1,0 +1,95 @@
+"""Parallel SQL interface (SQLHandler.java analog): the engine executes
+SQL itself; DuckDB runs the identical string as the oracle."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from lucene_solr_ray.pipelines.sqlhandler import (
+    SQLParseError,
+    parse_sql,
+    sql_query,
+)
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("orders", "lineitem", "events", "customer", "documents")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("sql", [
+    "SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000",
+    "SELECT o_orderstatus, count(*) AS cnt FROM orders "
+    "GROUP BY o_orderstatus",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, "
+    "sum(o_custkey) AS s FROM orders "
+    "GROUP BY o_orderstatus, o_orderpriority",
+    "SELECT count(*) AS cnt, min(o_custkey) AS mn, max(o_custkey) AS mx "
+    "FROM orders WHERE o_orderstatus = 'F'",
+    "SELECT event_type, count(*) AS cnt FROM events "
+    "WHERE value >= 100 AND value < 300 GROUP BY event_type",
+    "SELECT o_orderkey AS k FROM orders WHERE o_custkey <> 7 "
+    "AND o_totalprice <= 60000",
+    "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang "
+    "ORDER BY cnt DESC, lang LIMIT 3",
+])
+def test_sql_matches_duckdb(ray_session, con, sql):
+    got = _norm(sql_query(sql, SF).to_pandas())
+    want = _norm(con.sql(sql).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_sql_avg_matches_duckdb(ray_session, con):
+    sql = ("SELECT o_orderstatus, avg(o_totalprice) AS a FROM orders "
+           "GROUP BY o_orderstatus")
+    got = _norm(sql_query(sql, SF).to_pandas())
+    want = _norm(con.sql(sql).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-12)
+
+
+def test_sql_order_limit(ray_session, con):
+    sql = ("SELECT o_orderkey, o_totalprice FROM orders "
+           "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5")
+    got = sql_query(sql, SF).to_pandas()
+    want = con.sql(sql).df()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+
+
+def test_sql_rejects_bad_shapes():
+    for bad in [
+        "DELETE FROM orders",
+        "SELECT * FRM orders",
+        "SELECT x FROM nosuchtable",
+        "SELECT o_orderkey, count(*) FROM orders",       # missing GROUP BY
+        "SELECT sum(*) FROM orders",
+        "SELECT o_orderkey FROM orders WHERE o_custkey LIKE 'x%'",
+    ]:
+        with pytest.raises(SQLParseError):
+            plan = parse_sql(bad)
+            sql_query(bad, SF)
+
+
+def test_parse_shapes():
+    p = parse_sql("SELECT a, count(*) AS c FROM orders WHERE b >= 3 "
+                  "GROUP BY a ORDER BY c DESC LIMIT 7")
+    assert p["table"] == "orders"
+    assert p["items"][0] == ("col", None, "a", "a")
+    assert p["items"][1] == ("agg", "count", "*", "c")
+    assert p["where"] == [("b", ">=", 3)]
+    assert p["group"] == ["a"]
+    assert p["order"] == [("c", True)]
+    assert p["limit"] == 7
