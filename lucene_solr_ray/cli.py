@@ -125,6 +125,12 @@ def main(argv=None) -> int:
                         "docs' postings/norms (forceMergeDeletes)")
     xp.add_argument("index_dir")
 
+    sq = sub.add_parser("sql", help="Parallel SQL interface (SQLHandler): "
+                        "run a SQL subset on the engine's operators")
+    sq.add_argument("sf_dir", help="directory with the parquet tables")
+    sq.add_argument("query")
+    sq.add_argument("--limit-print", type=int, default=20)
+
     ex = sub.add_parser("expire", help="TTL expiry: tombstone docs whose "
                         "field predates a cutoff (DocExpiration reaper)")
     ex.add_argument("index_dir")
@@ -304,6 +310,11 @@ def main(argv=None) -> int:
         from .index.update import expunge_deletes
 
         print(json.dumps(expunge_deletes(args.index_dir)))
+    elif args.cmd == "sql":
+        from .pipelines.sqlhandler import sql_query
+
+        df = sql_query(args.query, args.sf_dir).to_pandas()
+        print(df.head(args.limit_print).to_json(orient="records"))
     elif args.cmd == "expire":
         from .functions.datemath import parse_date_math
         from .index.update import expire_documents
