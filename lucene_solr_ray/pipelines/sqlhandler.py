@@ -39,6 +39,7 @@ _SELECT_RE = re.compile(
     r"^\s*select\s+(?P<sel>.+?)\s+from\s+(?P<tbl>\w+)"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"(?:\s+group\s+by\s+(?P<group>.+?))?"
+    r"(?:\s+having\s+(?P<having>.+?))?"
     r"(?:\s+order\s+by\s+(?P<order>.+?))?"
     r"(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
@@ -123,6 +124,17 @@ def parse_sql(sql: str) -> dict:
                           _parse_literal(cm.group("val"))))
     group = [c.strip() for c in m.group("group").split(",")] \
         if m.group("group") else []
+    having = []
+    if m.group("having"):
+        for part in re.split(r"\s+and\s+", m.group("having"),
+                             flags=re.IGNORECASE):
+            cm = _COND_RE.match(part.strip())
+            if not cm:
+                raise SQLParseError(f"bad HAVING condition: {part!r}")
+            having.append((cm.group("col"), cm.group("op"),
+                           _parse_literal(cm.group("val"))))
+    if having and not group:
+        raise SQLParseError("HAVING requires GROUP BY")
     order = []
     if m.group("order"):
         for part in m.group("order").split(","):
@@ -133,7 +145,8 @@ def parse_sql(sql: str) -> dict:
             order.append((bits[0], desc))
     limit = int(m.group("limit")) if m.group("limit") else None
     return {"table": tbl, "items": items, "where": conds,
-            "group": group, "order": order, "limit": limit}
+            "group": group, "having": having, "order": order,
+            "limit": limit}
 
 
 _OPS = {"=": pc.equal, "!=": pc.not_equal, "<>": pc.not_equal,
@@ -229,6 +242,17 @@ def sql_query(sql: str, sf_dir: str):
             return pa.table(cols)
 
         ds = grouped.map_batches(shape, batch_format="pyarrow")
+        if plan["having"]:
+            hconds = plan["having"]
+
+            def hav(t: pa.Table) -> pa.Table:
+                mask = None
+                for col, op, val in hconds:
+                    m2 = _OPS[op](t.column(col), pa.scalar(val))
+                    mask = m2 if mask is None else pc.and_(mask, m2)
+                return t.filter(pc.fill_null(mask, False))
+
+            ds = ds.map_batches(hav, batch_format="pyarrow")
     elif plains:
         renames = {c: name for _, _, c, name in plains}
 

@@ -93,3 +93,19 @@ def test_parse_shapes():
     assert p["group"] == ["a"]
     assert p["order"] == [("c", True)]
     assert p["limit"] == 7
+
+
+def test_sql_having(ray_session, con):
+    sql = ("SELECT o_orderpriority, count(*) AS cnt FROM orders "
+           "GROUP BY o_orderpriority HAVING cnt >= 250 "
+           "ORDER BY cnt DESC, o_orderpriority")
+    got = _norm(sql_query(sql, SF).to_pandas())
+    want = _norm(con.sql(sql).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    assert len(got) > 0
+
+
+def test_sql_having_requires_group():
+    with pytest.raises(SQLParseError):
+        parse_sql("SELECT count(*) AS c FROM orders HAVING c > 1")
