@@ -125,6 +125,12 @@ def main(argv=None) -> int:
                         "docs' postings/norms (forceMergeDeletes)")
     xp.add_argument("index_dir")
 
+    xpl = sub.add_parser("explain", help="score explanation for one doc "
+                         "(debugQuery / IndexSearcher.explain)")
+    xpl.add_argument("index_dir")
+    xpl.add_argument("query")
+    xpl.add_argument("doc_id", type=int)
+
     sq = sub.add_parser("sql", help="Parallel SQL interface (SQLHandler): "
                         "run a SQL subset on the engine's operators")
     sq.add_argument("sf_dir", help="directory with the parquet tables")
@@ -310,6 +316,11 @@ def main(argv=None) -> int:
         from .index.update import expunge_deletes
 
         print(json.dumps(expunge_deletes(args.index_dir)))
+    elif args.cmd == "explain":
+        from .search.searcher import IndexSearcher
+
+        s = IndexSearcher(args.index_dir)
+        print(json.dumps(s.explain(args.query, args.doc_id)))
     elif args.cmd == "sql":
         from .pipelines.sqlhandler import sql_query
 

@@ -337,6 +337,73 @@ class ShardSearcher:
             vals = nt.column("norm_byte").to_numpy(zero_copy_only=False)
             self.norms[ids - self.base] = vals
 
+    def explain(self, q: Query, doc_id: int,
+                df_map: dict[str, int]) -> dict | None:
+        """Score explanation tree (Explanation.java / Solr debugQuery):
+        {value, description, details}. None when the doc doesn't match.
+        Leaf terms break the BM25 product into boost/idf/tf components
+        (BM25Similarity.explainScore); composite nodes explain as the
+        sum/max structure their scorer uses. Non-decomposable scorers
+        (phrases, spans, rewrites) report their computed value with a
+        one-line description."""
+        docs, scores = self._score_clause(q, df_map)
+        i = int(np.searchsorted(docs, doc_id))
+        if i >= len(docs) or docs[i] != doc_id:
+            return None
+        value = float(scores[i])
+        from .query import (BoostingQuery, ConstantScoreQuery,
+                            DisMaxQuery, SynonymQuery)
+
+        if isinstance(q, TermQuery):
+            df = df_map.get(q.term, 0)
+            idf_v = float(self.sim.idf(df, self.doc_count))
+            p = self._postings(q.term)
+            j = int(np.searchsorted(p[0], doc_id))
+            freq = int(p[1][j])
+            norm_byte = int(self.norms[doc_id - self.base])
+            return {
+                "value": value,
+                "description": f"weight(text:{q.term} in {doc_id}) "
+                               f"[{type(self.sim).__name__}], product of:",
+                "details": [
+                    {"value": float(q.boost), "description": "boost"},
+                    {"value": idf_v,
+                     "description": f"idf(docFreq={df}, "
+                                    f"docCount={self.doc_count})"},
+                    {"value": value / (float(q.boost) * idf_v)
+                     if q.boost and idf_v else 0.0,
+                     "description": f"tf(freq={freq}), norm_byte="
+                                    f"{norm_byte}"},
+                ],
+            }
+        if isinstance(q, SynonymQuery):
+            return {"value": value,
+                    "description": f"SynonymQuery({','.join(q.terms)}): "
+                                   "blended max-df, summed freq",
+                    "details": []}
+        if isinstance(q, BooleanQuery):
+            details = []
+            for c in q.must + q.should:
+                sub = self.explain(c, doc_id, df_map)
+                if sub is not None:
+                    details.append(sub)
+            return {"value": value, "description": "sum of:",
+                    "details": details}
+        if isinstance(q, DisMaxQuery):
+            details = [s for c in q.clauses
+                       if (s := self.explain(c, doc_id, df_map))]
+            return {"value": value,
+                    "description": f"max plus {q.tie_breaker} times "
+                                   "others of:",
+                    "details": details}
+        if isinstance(q, ConstantScoreQuery):
+            return {"value": value,
+                    "description": f"ConstantScore({q.boost})",
+                    "details": []}
+        return {"value": value,
+                "description": f"{type(q).__name__} score",
+                "details": []}
+
     def docvalues_local(self, field: str, docs: np.ndarray) -> np.ndarray:
         """Shard-local doc-value lookup for the given doc_ids."""
         if not hasattr(self, "_dv_cols"):
@@ -1291,6 +1358,25 @@ class IndexSearcher:
             return [(d, s) for d, s, _ in hits[:k]]
         hits.sort(key=lambda h: (-float(h[1]), h[0]))
         return hits[:k]
+
+    def explain(self, query: Query | str, doc_id: int) -> dict | None:
+        """Explanation tree for one document's score (IndexSearcher.
+        explain / Solr debugQuery): routed to the shard owning the doc
+        (doc-range sharding makes it derivable), scored with the same
+        GLOBAL stats the search path uses, so the explained value equals
+        the served score bit-for-bit. None if the doc doesn't match."""
+        if isinstance(query, str):
+            query = self.parse(query)
+        df_map = self.global_df(query)
+        from .query import CommonTermsQuery, rewrite_common_terms
+
+        if isinstance(query, CommonTermsQuery):
+            query = rewrite_common_terms(
+                query, df_map, self.manifest["stats"]["num_docs"])
+        sid = int(doc_id) // self.shards[0].docs_per_shard
+        if sid >= len(self.shards):
+            return None
+        return self.shards[sid].explain(query, int(doc_id), df_map)
 
     def search_after(self, query: Query | str, k: int = 10, cursor=None):
         """cursorMark-style page fetch: returns (hits, next_cursor);

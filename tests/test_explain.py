@@ -1,0 +1,58 @@
+"""Score explanations (Explanation.java / Solr debugQuery):
+explained value == served score, components multiply/sum correctly."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.data.transcripts import transcripts_path
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.search.query import TermQuery
+from lucene_solr_ray.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def xs(ray_session, tmp_path_factory):
+    src = transcripts_path("tiny")
+    out = tmp_path_factory.mktemp("explain") / "idx"
+    build_index(src, str(out), num_shards=3)
+    return IndexSearcher(str(out))
+
+
+def test_explained_value_equals_served_score(xs):
+    for q in ["ray", "ray AND data", "ray OR data OR index",
+              '"ray data"', "ray data -error"]:
+        hits = xs.search(q, k=5)
+        assert hits, q
+        for doc_id, score in hits:
+            ex = xs.explain(q, doc_id)
+            assert ex is not None, (q, doc_id)
+            assert np.float32(ex["value"]) == np.float32(score), (q, doc_id)
+
+
+def test_term_explanation_components_multiply(xs):
+    hits = xs.search(TermQuery("ray"), k=3)
+    for doc_id, score in hits:
+        ex = xs.explain(TermQuery("ray"), doc_id)
+        assert "weight(text:ray" in ex["description"]
+        boost, idf, tf = (d["value"] for d in ex["details"])
+        assert float(score) == pytest.approx(boost * idf * tf, rel=1e-5)
+        assert "idf(docFreq=" in ex["details"][1]["description"]
+
+
+def test_boolean_explanation_sums_clauses(xs):
+    q = "ray AND data"
+    doc_id, score = xs.search(q, k=1)[0]
+    ex = xs.explain(q, doc_id)
+    assert ex["description"] == "sum of:"
+    assert len(ex["details"]) == 2
+    assert float(score) == pytest.approx(
+        sum(d["value"] for d in ex["details"]), rel=1e-5)
+
+
+def test_nonmatching_doc_returns_none(xs):
+    hits = {d for d, _ in xs.search("zzznotindexed", k=10)}
+    assert not hits
+    assert xs.explain("zzznotindexed", 0) is None
+    # a real doc that doesn't match this query
+    d0, _ = xs.search("ray", k=1)[0]
+    assert xs.explain("zzznotindexed", d0) is None
