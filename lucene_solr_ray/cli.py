@@ -100,8 +100,11 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("spellcheck", help="did-you-mean suggestions")
     sp.add_argument("index_dir")
-    sp.add_argument("term")
+    sp.add_argument("term", help="a term, or a whole query with --collate")
     sp.add_argument("-k", type=int, default=5)
+    sp.add_argument("--collate", action="store_true",
+                    help="treat the input as a full query and return a "
+                         "verified collation (SpellCheckCollator)")
 
     f = sub.add_parser("facet", help="field facet over a query's hits")
     f.add_argument("index_dir")
@@ -297,7 +300,10 @@ def main(argv=None) -> int:
         from .search.searcher import IndexSearcher
 
         s = IndexSearcher(args.index_dir)
-        print(json.dumps(s.spellcheck(args.term, k=args.k)))
+        if args.collate:
+            print(json.dumps(s.spellcheck_collate(args.term)))
+        else:
+            print(json.dumps(s.spellcheck(args.term, k=args.k)))
     elif args.cmd == "facet":
         from .search.searcher import IndexSearcher
 

@@ -56,3 +56,22 @@ def test_nonmatching_doc_returns_none(xs):
     # a real doc that doesn't match this query
     d0, _ = xs.search("ray", k=1)[0]
     assert xs.explain("zzznotindexed", d0) is None
+
+
+def test_spellcheck_collation(xs):
+    """SpellCheckCollator.java:69: misspelled words replaced by verified
+    suggestions; the collation is re-run and must have hits."""
+    out = xs.spellcheck_collate("rqy AND data")
+    assert out is not None
+    assert out["collation"] == "ray AND data"
+    assert out["hits"] == len(xs.search("ray AND data", k=10**6))
+    # two misspellings at once
+    out2 = xs.spellcheck_collate("rqy dtaa")
+    assert out2 is not None and out2["hits"] > 0
+    # every collated word is now a real index term
+    for tok in out2["collation"].split():
+        assert xs.global_df(TermQuery(tok)).get(tok, 0) > 0
+    # correctly-spelled query: no collation needed
+    assert xs.spellcheck_collate("ray data") is None
+    # unfixable garbage: None
+    assert xs.spellcheck_collate("qqqqqqzzzzxxxx") is None
