@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_docs": __import__(
             "lucene_solr_ray.pipelines.curation",
             fromlist=["c4_clean_docs"]).c4_clean_docs,
+        "lm_score_docs": __import__(
+            "lucene_solr_ray.pipelines.curation",
+            fromlist=["lm_score_docs"]).lm_score_docs,
         # index-driven NaiveBayes classification (lucene/classification)
         "nb_classify_docs": __import__(
             "lucene_solr_ray.search.classify",

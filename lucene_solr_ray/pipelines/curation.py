@@ -183,3 +183,83 @@ def c4_clean_docs(sf_dir: str, min_tokens: int = 20,
     from ray.data.aggregate import Count
 
     return survivors.groupby("source").aggregate(Count(alias_name="cnt"))
+
+
+def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
+             grams: int = 2):
+    """CCNet-style language-model quality scoring: each document gets
+    the mean log-probability of its tokens under a stupid-backoff
+    bigram LM trained on the corpus itself (the FreeTextSuggester count
+    table — FreeTextSuggester.java:83-131 — reused as the model):
+
+        log p(tok_i | tok_{i-1}) = log(count(bigram) / count(prev))
+        backoff:  log(ALPHA * count(tok) / tot_tokens)
+        OOV:      log(ALPHA / (tot_tokens + 1))
+
+    Train once distributed (per-batch shingle counters -> bucketed sum),
+    broadcast the table with ``ray.put`` (read per actor, never
+    re-shipped per batch), then score as one vectorized pass per batch:
+    tokens explode through the shared Arrow kernel, probabilities come
+    from two hash-map gathers (pandas map), per-doc means via bincount.
+    Output: (doc_id, n_tokens, mean_logp)."""
+    import math
+
+    import pandas as pd
+    import ray
+
+    from ..search.suggest import FreeTextSuggester
+    from .textstats import _explode_terms
+    from .util import round_col
+
+    sugg = FreeTextSuggester.build(ds, text_col, grams=grams,
+                                   analyzer="simple")
+    counts_ref = ray.put(sugg._counts)
+    sep = FreeTextSuggester.NGRAM_SEP
+    alpha = FreeTextSuggester.ALPHA
+    tot = max(sugg.tot_tokens, 1)
+
+    class _Score:
+        def __init__(self):
+            self.counts = ray.get(counts_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = len(t)
+            doc_idx, terms = _explode_terms(t)
+            logp = np.full(len(terms), math.log(alpha / (tot + 1)))
+            term_s = pd.Series(terms)
+            uni = term_s.map(self.counts).to_numpy(dtype=np.float64,
+                                                   na_value=0.0)
+            seen = uni > 0
+            logp[seen] = np.log(alpha * uni[seen] / tot)
+            if len(terms) > 1:
+                prev_same = doc_idx[1:] == doc_idx[:-1]
+                big = pd.Series(
+                    np.char.add(np.char.add(
+                        terms[:-1].astype(str), sep),
+                        terms[1:].astype(str)))
+                bcnt = big.map(self.counts).to_numpy(dtype=np.float64,
+                                                     na_value=0.0)
+                pcnt = pd.Series(terms[:-1]).map(self.counts).to_numpy(
+                    dtype=np.float64, na_value=0.0)
+                ok = prev_same & (bcnt > 0) & (pcnt > 0)
+                tgt = np.zeros(len(terms), dtype=bool)
+                tgt[1:] = ok
+                logp[tgt] = np.log(bcnt[ok] / pcnt[ok])
+            n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+            sums = np.bincount(doc_idx, weights=logp, minlength=n)
+            mean = np.where(n_tokens > 0, sums / np.maximum(n_tokens, 1),
+                            0.0)
+            out = pa.table({
+                "doc_id": t.column(id_col),
+                "n_tokens": pa.array(n_tokens),
+                "mean_logp": pa.array(mean, type=pa.float64()),
+            })
+            return round_col(out, "mean_logp", 6)
+
+    return ds.map_batches(_Score, batch_format="pyarrow", concurrency=2)
+
+
+def lm_score_docs(sf_dir: str):
+    """LM quality scores over the documents table (rows-only: the
+    backoff LM is pytest-oracled on hand-computable corpora)."""
+    return lm_score(read(sf_dir, "documents", ["doc_id", "text"]))

@@ -100,3 +100,44 @@ def test_c4_clean_filters_are_load_bearing(ray_session):
     en = con.execute(
         "SELECT count(*) FROM documents WHERE lang='en'").fetchone()[0]
     assert 0 < kept < en < total
+
+
+def test_lm_score_hand_oracle(ray_session):
+    """Stupid-backoff LM scores on a hand-computable corpus."""
+    import math
+
+    from lucene_solr_ray.pipelines.curation import lm_score
+
+    t = pa.table({"doc_id": np.arange(4, dtype=np.int64),
+                  "text": ["a b", "a b", "a c", "b a"]})
+    out = (lm_score(rd.from_arrow(t)).to_pandas()
+           .set_index("doc_id").sort_index())
+    # counts: a=4 b=3 c=1, 'a b'=2 'a c'=1 'b a'=1; tot unigrams = 8
+    tot = 8.0
+    logp_a_first = math.log(0.4 * 4 / tot)
+    logp_b_first = math.log(0.4 * 3 / tot)
+    want0 = (logp_a_first + math.log(2 / 4)) / 2      # "a b"
+    want2 = (logp_a_first + math.log(1 / 4)) / 2      # "a c"
+    want3 = (logp_b_first + math.log(1 / 3)) / 2      # "b a"
+    assert out.loc[0, "mean_logp"] == pytest.approx(want0, abs=1e-6)
+    assert out.loc[1, "mean_logp"] == pytest.approx(want0, abs=1e-6)
+    assert out.loc[2, "mean_logp"] == pytest.approx(want2, abs=1e-6)
+    assert out.loc[3, "mean_logp"] == pytest.approx(want3, abs=1e-6)
+    assert out["n_tokens"].tolist() == [2, 2, 2, 2]
+
+
+def test_lm_score_ranks_natural_text_higher(ray_session):
+    """Repetitive natural-ish text scores above token soup from the
+    same vocabulary (the CCNet filtering signal)."""
+    from lucene_solr_ray.pipelines.curation import lm_score
+
+    natural = ["the cat sat on the mat"] * 30
+    soup = ["mat the on cat the sat", "sat mat cat on the the"]
+    t = pa.table({
+        "doc_id": np.arange(len(natural) + len(soup), dtype=np.int64),
+        "text": natural + soup})
+    out = (lm_score(rd.from_arrow(t)).to_pandas()
+           .set_index("doc_id").sort_index())
+    nat_score = out.loc[0, "mean_logp"]
+    for d in range(len(natural), len(natural) + len(soup)):
+        assert out.loc[d, "mean_logp"] < nat_score
