@@ -186,7 +186,7 @@ def c4_clean_docs(sf_dir: str, min_tokens: int = 20,
 
 
 def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
-             grams: int = 2):
+             grams: int = 2, prune_below: int = 1):
     """CCNet-style language-model quality scoring: each document gets
     the mean log-probability of its tokens under a stupid-backoff
     bigram LM trained on the corpus itself (the FreeTextSuggester count
@@ -213,7 +213,13 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
 
     sugg = FreeTextSuggester.build(ds, text_col, grams=grams,
                                    analyzer="simple")
-    counts_ref = ray.put(sugg._counts)
+    counts = sugg._counts
+    if prune_below > 1:
+        # 100-TB scale guard: singleton/rare n-grams dominate the table
+        # but contribute only backoff-floor probabilities — prune them
+        # before broadcasting (kenlm-style count cutoff)
+        counts = {k: v for k, v in counts.items() if v >= prune_below}
+    counts_ref = ray.put(counts)
     sep = FreeTextSuggester.NGRAM_SEP
     alpha = FreeTextSuggester.ALPHA
     tot = max(sugg.tot_tokens, 1)
