@@ -135,8 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shortest_path_lineitem": __import__(
             "lucene_solr_ray.pipelines.graph",
             fromlist=["shortest_path_lineitem"]).shortest_path_lineitem,
-        # multimodal plumbing (decode stubbed; shape real)
+        # multimodal plumbing (fake-format path) + REAL netpbm/WAV decode
         "media_features": multimodal.media_features,
+        "media_real_features": multimodal.media_real_features,
         # full-text + sketches (non-SQL-expressible: rows-only here,
         # oracle-diffed in pytest)
         "bm25_topk_docs": fulltext.bm25_topk_docs,
