@@ -387,6 +387,139 @@ def delete_documents(index_dir: str, doc_ids=None, keys=None,
     return {"deleted_now": sorted(newly), "total_deleted": len(all_dels)}
 
 
+def add_indexes(dst_dir: str, src_dir: str) -> dict:
+    """IndexWriter.addIndexes(Directory...) analog
+    (``lucene/core/src/java/org/apache/lucene/index/IndexWriter.java:2680``):
+    concatenate a prebuilt source index onto the destination WITHOUT
+    re-analysis — the parallel-corpus composition step (build partition
+    indexes independently, then fold them together).
+
+    Source doc ids shift by the destination's maxDoc (the reference
+    renumbers against the growing writer the same way); the shifted
+    postings stream through the SAME per-target-shard merge machinery
+    incremental updates use: decode tasks fan out per source shard, and
+    ONE groupby on doc_shard merges into the destination segments (at
+    100-TB scale the decode wave would stage parquet runs instead of
+    returning in-memory tables; the merge shuffle is identical).
+    Norms/docvalue rows append shifted into the hive partitions; stats
+    sum exactly; source tombstone/expunged sets shift and union in.
+    The two layouts may differ in docs_per_shard (the source's layout
+    only drives decoding; placement uses the destination's); the
+    ANALYZER must match — mixed analysis chains would blend
+    incompatible token streams (the reference's compatible-schema
+    requirement)."""
+    import functools
+
+    dst_path, src_path = Path(dst_dir), Path(src_dir)
+    dstm, srcm = read_manifest(dst_dir), read_manifest(src_dir)
+    if dstm["params"]["analyzer"] != srcm["params"]["analyzer"]:
+        raise ValueError(
+            "addIndexes requires matching analyzer: "
+            f"{dstm['params']['analyzer']!r} != "
+            f"{srcm['params']['analyzer']!r}")
+    dps = int(dstm["params"]["docs_per_shard"])
+    src_dps = int(srcm["params"]["docs_per_shard"])
+    base = int(dstm["stats"]["num_docs"])
+
+    @ray.remote
+    def decode_shift(shard_id: int) -> pa.Table | None:
+        terms_file = (src_path / "shards" / f"shard={shard_id:05d}"
+                      / "terms.parquet")
+        if not terms_file.exists():
+            return None
+        src_base = shard_id * src_dps
+        t = _decode_segment_to_postings(terms_file, src_base)
+        if t is None:
+            return None
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False) + base
+        norms_part = src_path / "norms" / f"doc_shard={shard_id}"
+        norm_arr = np.zeros(src_dps, dtype=np.uint8)
+        if norms_part.exists():
+            nt = pq.read_table(norms_part, columns=["doc_id", "norm_byte"])
+            ids = nt.column("doc_id").to_numpy(zero_copy_only=False)
+            norm_arr[ids - src_base] = nt.column("norm_byte").to_numpy(
+                zero_copy_only=False)
+        out = t.drop_columns(["doc_id"])
+        out = out.append_column("doc_id", pa.array(docs, type=pa.int64()))
+        out = out.append_column(
+            "doc_shard", pa.array((docs // dps).astype(np.int32),
+                                  type=pa.int32()))
+        out = out.append_column(
+            "norm_byte", pa.array(norm_arr[docs - base - src_base],
+                                  type=pa.uint8()))
+        return out
+
+    src_shards = sorted(s["shard_id"] for s in srcm["shards"])
+    refs = [decode_shift.remote(sid) for sid in src_shards]
+    tables = [r for r in ray.get(refs) if r is not None]
+    new_rows = []
+    if tables:
+        postings = rd.from_arrow_refs([ray.put(t) for t in tables])
+        writer = functools.partial(_merge_segment_group,
+                                   index_dir=str(dst_path),
+                                   docs_per_shard=dps)
+        new_rows = (postings.groupby("doc_shard")
+                    .map_groups(writer, batch_format="pyarrow").take_all())
+
+    # norms/docvalue rows: shift and append into the hive partitions
+    def shift_norms(t: pa.Table) -> pa.Table:
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False) + base
+        t = t.drop_columns(["doc_id"] + (["doc_shard"]
+                                         if "doc_shard" in t.column_names
+                                         else []))
+        t = t.append_column("doc_id", pa.array(docs, type=pa.int64()))
+        return t.append_column(
+            "doc_shard", pa.array((docs // dps).astype(np.int32),
+                                  type=pa.int32()))
+
+    rd.read_parquet(str(src_path / "norms")).map_batches(
+        shift_norms, batch_format="pyarrow").write_parquet(
+        str(dst_path / "norms"), partition_cols=["doc_shard"])
+
+    # tombstones / expunged shift and union
+    src_dels = {d + base for d in read_deletes(src_dir)}
+    if src_dels:
+        all_dels = sorted(read_deletes(dst_dir) | src_dels)
+        tmp = dst_path / (DELETES_NAME + ".tmp")
+        tmp.write_text(json.dumps({"doc_ids": all_dels}))
+        os.replace(tmp, dst_path / DELETES_NAME)
+    src_exp = {d + base for d in read_expunged(src_dir)}
+    if src_exp:
+        all_exp = sorted(read_expunged(dst_dir) | src_exp)
+        etmp = dst_path / (EXPUNGED_NAME + ".tmp")
+        etmp.write_text(json.dumps({"doc_ids": all_exp}))
+        os.replace(etmp, dst_path / EXPUNGED_NAME)
+
+    d_stats, s_stats = dstm["stats"], srcm["stats"]
+    new_stats = {
+        "num_docs": d_stats["num_docs"] + s_stats["num_docs"],
+        "doc_count": d_stats["doc_count"] + s_stats["doc_count"],
+        "sum_total_term_freq": (d_stats["sum_total_term_freq"]
+                                + s_stats["sum_total_term_freq"]),
+    }
+    new_stats["avgdl"] = float(bm25.avg_field_length(
+        new_stats["sum_total_term_freq"], max(new_stats["doc_count"], 1)))
+
+    shards = {s["shard_id"]: s for s in dstm["shards"]}
+    for r in new_rows:
+        shards[int(r["shard_id"])] = {k: int(v) for k, v in r.items()}
+    cp_d, cp_s = dstm.get("checkpoint"), srcm.get("checkpoint")
+    checkpoint = max((tuple(c) for c in (cp_d, cp_s) if c is not None),
+                     default=None)
+    new_manifest = {**dstm,
+                    "version": dstm["version"] + 1,
+                    "created_unix": time.time(),
+                    "stats": new_stats,
+                    "checkpoint": list(checkpoint) if checkpoint else None,
+                    "shards": [shards[k] for k in sorted(shards)]}
+    mtmp = dst_path / (MANIFEST_NAME + ".tmp")
+    mtmp.write_text(json.dumps(new_manifest, indent=1))
+    os.replace(mtmp, dst_path / MANIFEST_NAME)
+    return {"added_docs": int(s_stats["num_docs"]),
+            "num_docs": int(new_stats["num_docs"]),
+            "version": new_manifest["version"]}
+
+
 def expire_documents(index_dir: str, expire_before, field: str = "ts",
                      expunge: bool = False) -> dict:
     """TTL document expiration (``solr/core/src/java/org/apache/solr/
