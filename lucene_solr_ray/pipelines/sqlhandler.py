@@ -207,8 +207,15 @@ def sql_query(sql: str, sf_dir: str):
                 ray_aggs.append(cls(arg, alias_name=f"__{key[0]}_{arg}"))
             if agg == "avg":
                 post_avg.append((name, arg))
-        grouped = ds.groupby(group or None).aggregate(*ray_aggs) if group \
-            else ds.aggregate(*ray_aggs)
+        if group:
+            grouped = ds.groupby(group).aggregate(*ray_aggs)
+        elif len(ray_aggs) == 1 and need_count:
+            # Ray quirk (2.49): a GLOBAL Count() with no `on` column
+            # returns 0 when it is the only aggregate (it is correct in
+            # groupby and when siblings are present) — use ds.count()
+            grouped = {"__cnt": ds.count()}
+        else:
+            grouped = ds.aggregate(*ray_aggs)
         if not group:  # global aggregate: one dict -> one-row table
             import ray.data as rd
 

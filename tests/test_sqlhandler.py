@@ -109,3 +109,60 @@ def test_sql_having(ray_session, con):
 def test_sql_having_requires_group():
     with pytest.raises(SQLParseError):
         parse_sql("SELECT count(*) AS c FROM orders HAVING c > 1")
+
+
+# --- generative fuzz: random grammar-valid SQL vs DuckDB ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_NUM_COLS = ["o_custkey", "o_totalprice"]
+_STR_COLS = ["o_orderstatus", "o_orderpriority"]
+_OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+@st.composite
+def _sql(draw):
+    group = draw(st.lists(st.sampled_from(_STR_COLS), unique=True,
+                          min_size=0, max_size=2))
+    aggs = ["count(*) AS cnt"]
+    for i, (fn, col) in enumerate(draw(st.lists(
+            st.tuples(st.sampled_from(["sum", "min", "max"]),
+                      st.sampled_from(_NUM_COLS)),
+            min_size=0, max_size=2))):
+        aggs.append(f"{fn}({col}) AS a{i}")
+    if group:
+        sel = ", ".join(group + aggs)
+        tail = " GROUP BY " + ", ".join(group)
+    else:
+        sel = ", ".join(aggs)
+        tail = ""
+    conds = []
+    for col, op in draw(st.lists(
+            st.tuples(st.sampled_from(_NUM_COLS), st.sampled_from(_OPS)),
+            min_size=0, max_size=2)):
+        val = draw(st.integers(0, 300000))
+        conds.append(f"{col} {op} {val}")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    return f"SELECT {sel} FROM orders{where}{tail}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(_sql())
+def test_generated_sql_matches_duckdb(ray_session, gen_con, sql):
+    got = _norm(sql_query(sql, SF).to_pandas())
+    want = _norm(gen_con.sql(sql).df())
+    if len(want) == 0:
+        assert len(got) == 0
+        return
+    # float sum() is order-dependent across partitions — tolerance compare
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=1e-9, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def gen_con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW orders AS SELECT * FROM "
+          f"read_parquet('{SF}/orders.parquet')")
+    return c
