@@ -70,12 +70,20 @@ def main(argv=None) -> int:
                    help="scoring model (IndexSearcher.setSimilarity)")
     s.add_argument("--syntax", default="classic",
                    choices=("classic", "complexphrase", "surround",
-                            "xml"),
+                            "xml", "edismax"),
                    help="query language: classic parser, "
                         "ComplexPhraseQueryParser (wildcards/fuzzy/"
                         "groups inside quoted phrases), the surround "
-                        "span language (AND/OR/NOT/nW/nN), or the XML "
-                        "CoreParser element set")
+                        "span language (AND/OR/NOT/nW/nN), the XML "
+                        "CoreParser element set, or the lenient "
+                        "edismax parser (--mm/--pf/--ps)")
+    s.add_argument("--mm", default=None,
+                   help="edismax minimum-should-match spec, e.g. "
+                        "'50%%' or '2<-25%% 9<-3'")
+    s.add_argument("--pf", type=float, default=0.0,
+                   help="edismax whole-query phrase-boost weight")
+    s.add_argument("--ps", type=int, default=0,
+                   help="edismax phrase-boost slop")
 
     g = sub.add_parser("get", help="real-time get stored fields by key/id")
     g.add_argument("index_dir")
@@ -262,6 +270,14 @@ def main(argv=None) -> int:
 
             query = parse_xml_query(args.query,
                                     get_analyzer(searcher.analyzer_name))
+        elif args.syntax == "edismax":
+            from .analysis import get_analyzer
+            from .search.edismax import parse_edismax
+
+            query = parse_edismax(args.query,
+                                  get_analyzer(searcher.analyzer_name),
+                                  mm=args.mm, pf=args.pf, ps=args.ps,
+                                  lowercase_operators=True)
         else:
             query = args.query
         hits = searcher.search(query, k=args.k, sort=sort,

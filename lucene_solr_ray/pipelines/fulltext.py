@@ -113,6 +113,37 @@ def query_language_topk_docs(sf_dir: str, k: int = 10) -> pa.Table:
     })
 
 
+def edismax_topk_docs(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k over the documents index through the edismax parser
+    (ExtendedDismaxQParser.java semantics: mm spec, phrase boosts,
+    lenient syntax), rows-only: the mm arithmetic and engine==oracle
+    score identity are pytest-verified (tests/test_edismax.py); this
+    surfaces the parser on the driver contract."""
+    from ..search.edismax import parse_edismax
+
+    idx = docs_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    cases = [
+        ("mm=50%", dict(text="hash join merge table", mm="50%")),
+        ("mm-cond", dict(text="hash join merge table scan",
+                         mm="2<-25% 4<-2")),
+        ("pf", dict(text="hash join", pf=2.0, ps=1)),
+        ("lenient", dict(text='hash [join "scan', mm="1")),
+        ("lowerops", dict(text="hash and join", lowercase_operators=True)),
+    ]
+    rows = []
+    for label, params in cases:
+        q = parse_edismax(**params)
+        for rank, (doc_id, score) in enumerate(searcher.search(q, k=k)):
+            rows.append((label, rank, doc_id, float(score)))
+    return pa.table({
+        "case": pa.array([r[0] for r in rows]),
+        "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "score": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+
+
 def transcripts_flagship(size: str = "tiny", k: int = 10) -> pd.DataFrame:
     """The flagship pipeline: synthesize transcripts, build the sharded
     index, serve a query batch from the actor pool, return ranked hits."""
