@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": dedup.minhash_neardup,
         "minhash_dedup_keep": dedup.minhash_dedup_keep,
         "embedding_neardup": knn.embedding_neardup_pairs,
+        "semdedup_embeddings": knn.semdedup,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_neardup": dedup.simhash_neardup,
         "lang_id": textstats.lang_id,

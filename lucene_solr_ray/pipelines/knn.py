@@ -381,3 +381,185 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
                                preserve_index=False)
     return out.set_column(out.column_names.index("sim"), "sim",
                           round_away(out.column("sim"), 6))
+
+
+# --- SemDeDup: k-means semantic deduplication ---------------------------
+
+def _kmeans_centroids(sf_dir: str, n_clusters: int, iters: int,
+                      seed: int) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd): centroids init from the
+    Knuth-hash sample, then each iteration is ONE map_batches pass
+    emitting per-cluster (count, sum) partials — k rows per batch, so
+    the driver-side merge is tiny regardless of corpus size. Empty
+    clusters keep their previous centroid."""
+    cents = _sample_centroids(sf_dir, n_clusters, seed)
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    k, dim = cents.shape
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            m = _embed_matrix(batch)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-12)
+            a = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            return pd.DataFrame({
+                "cluster": np.arange(len(c), dtype=np.int64),
+                "cnt": np.bincount(a, minlength=len(c)).astype(np.int64),
+                "vsum": list(sums),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim))
+        np.add.at(cnt, parts["cluster"].to_numpy(),
+                  parts["cnt"].to_numpy())
+        np.add.at(sums, parts["cluster"].to_numpy(),
+                  np.stack(parts["vsum"].to_numpy()))
+        nz = cnt > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / cnt[nz, None]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True),
+                          1e-12)
+        cents = new
+    return cents
+
+
+def semdedup(sf_dir: str, eps: float = 0.05, n_clusters: int | None = None,
+             iters: int = 3, seed: int = 1234,
+             max_cluster_pairing: int = 4096) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering of normalized embeddings, then
+    within-cluster removal of near-duplicate groups (pairwise cosine
+    >= 1 - eps), KEEPING per duplicate-group the example with the
+    LOWEST cosine similarity to its cluster centroid (the paper's
+    diversity-preserving keep rule; ties break to the lower vec_id).
+
+    Scale shape: k-means is iters+1 streaming passes with k-row
+    partials; the only shuffle is ONE hash partition on cluster id
+    (``bucketed_group_agg``); in-cluster pairwise work is capped by
+    recursive deterministic-hyperplane splits above
+    ``max_cluster_pairing`` (the knn LSH machinery's cap), so a
+    degenerate cluster never goes quadratic. ``n_clusters`` defaults to
+    ~N/512 so expected cluster size stays flat as the corpus grows.
+
+    Returns (vec_id, cluster, cos_centroid, keep) for every vector.
+    """
+    from .util import bucketed_group_agg
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    if n_clusters is None:
+        n = ds.count()
+        n_clusters = int(min(4096, max(8, n // 512)))
+    thresh = 1.0 - eps
+    cents = _kmeans_centroids(sf_dir, n_clusters, iters, seed)
+    cent_ref = ray.put(cents)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        m = _embed_matrix(batch)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        return pd.DataFrame({
+            "vec_id": batch["vec_id"].to_numpy().astype(np.int64),
+            "cluster": a.astype(np.int64),
+            "cos_centroid": sims[np.arange(len(a)), a],
+            "vec": [v.astype(np.float32).tobytes() for v in m],
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    rng = np.random.default_rng(seed + 7)
+    dim = len(cents[0])
+    split_planes = rng.standard_normal((24, dim))
+
+    empty = pd.DataFrame({
+        "vec_id": pd.Series(dtype=np.int64),
+        "cluster": pd.Series(dtype=np.int64),
+        "cos_centroid": pd.Series(dtype=np.float64),
+        "keep": pd.Series(dtype=bool),
+    })
+
+    def _dedup_group(ids: np.ndarray, cos_c: np.ndarray,
+                     m: np.ndarray) -> np.ndarray:
+        """keep mask for one cluster: pairwise-threshold components
+        (exact under the pairing cap), per component keep argmin
+        (cos_centroid, vec_id)."""
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union_pairs(ia: np.ndarray, ib: np.ndarray):
+            sims = np.einsum("ij,ij->i", m[ia], m[ib])
+            for x, y in zip(ia[sims >= thresh], ib[sims >= thresh]):
+                rx, ry = find(int(x)), find(int(y))
+                if rx != ry:
+                    parent[ry] = rx
+
+        def rec(idx: np.ndarray, depth: int):
+            if len(idx) < 2:
+                return
+            if len(idx) <= max_cluster_pairing:
+                ia, ib = np.triu_indices(len(idx), k=1)
+                union_pairs(idx[ia], idx[ib])
+                return
+            if depth >= len(split_planes):
+                order = idx[np.argsort(ids[idx], kind="stable")]
+                union_pairs(order[:-1], order[1:])
+                return
+            s = m[idx] @ split_planes[depth] > 0
+            rec(idx[s], depth + 1)
+            rec(idx[~s], depth + 1)
+
+        rec(np.arange(n), 0)
+        roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64,
+                            count=n)
+        # winner per component: lexicographic min of (cos_centroid, vec_id)
+        order = np.lexsort((ids, cos_c))
+        keep = np.zeros(n, dtype=bool)
+        seen: set[int] = set()
+        for i in order:
+            r = int(roots[i])
+            if r not in seen:
+                seen.add(r)
+                keep[i] = True
+        return keep
+
+    def dedup(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return empty
+        df = part.sort_values(["cluster", "vec_id"])
+        cl = df["cluster"].to_numpy()
+        ids = df["vec_id"].to_numpy()
+        cos_c = df["cos_centroid"].to_numpy()
+        blobs = df["vec"].to_numpy()
+        starts = np.concatenate(([0], np.nonzero(cl[1:] != cl[:-1])[0] + 1,
+                                 [len(df)]))
+        frames = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            gm = np.stack([np.frombuffer(b, dtype=np.float32)
+                           for b in blobs[s:e]]).astype(np.float64)
+            keep = _dedup_group(ids[s:e], cos_c[s:e], gm)
+            frames.append(pd.DataFrame({
+                "vec_id": ids[s:e], "cluster": cl[s:e],
+                "cos_centroid": cos_c[s:e], "keep": keep,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    out = bucketed_group_agg(assigned, ["cluster"], dedup).to_pandas()
+    if out.empty:
+        out = empty
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    return t.set_column(t.column_names.index("cos_centroid"),
+                        "cos_centroid",
+                        round_away(t.column("cos_centroid"), 6))
