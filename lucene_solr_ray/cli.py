@@ -37,6 +37,11 @@ def main(argv=None) -> int:
     b.add_argument("--resume", action="store_true")
     b.add_argument("--unsorted", action="store_true",
                    help="input is not pre-sorted by (conv_id, turn_idx)")
+    b.add_argument("--codec", default="varint",
+                   choices=("varint", "raw32"),
+                   help="postings codec (PostingsFormat SPI analog): "
+                        "LEB128 delta streams (default) or fixed-width "
+                        "uint32 (DirectPostingsFormat idea)")
 
     u = sub.add_parser("update", help="append new documents past checkpoint")
     u.add_argument("index_dir")
@@ -209,7 +214,8 @@ def main(argv=None) -> int:
         manifest = build_index(
             args.source, args.index_dir, num_shards=args.num_shards,
             docs_per_shard=args.docs_per_shard, analyzer=args.analyzer,
-            resume=args.resume, assume_sorted=not args.unsorted)
+            resume=args.resume, assume_sorted=not args.unsorted,
+            postings_codec=args.codec)
         print(json.dumps({"shards": len(manifest["shards"]),
                           "stats": manifest["stats"],
                           "phases": manifest["phases"]}))

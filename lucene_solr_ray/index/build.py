@@ -387,9 +387,11 @@ class SegmentWriter:
     shard granularity.
     """
 
-    def __init__(self, index_dir: str, docs_per_shard: int):
+    def __init__(self, index_dir: str, docs_per_shard: int,
+                 codec: str = "varint"):
         self.index_dir = index_dir
         self.docs_per_shard = docs_per_shard
+        self.codec = codec
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -450,7 +452,8 @@ class SegmentWriter:
         base = shard_id * self.docs_per_shard
         table = segment.encode_shard_postings(
             None, doc_ids, freqs, pos_flat, norm_bytes, base,
-            uniq_terms=uniq_terms, term_offsets=term_offsets)
+            uniq_terms=uniq_terms, term_offsets=term_offsets,
+            codec=self.codec)
 
         tmp = Path(tempfile.mkdtemp(dir=str(shard_dir.parent.parent),
                                     prefix=f".shard{shard_id}-"))
@@ -476,14 +479,16 @@ class SegmentWriter:
 
 
 def _write_segment_group(group: pa.Table, index_dir: str,
-                         docs_per_shard: int) -> pa.Table:
+                         docs_per_shard: int,
+                         codec: str = "varint") -> pa.Table:
     """Module-level map_groups fn (GroupedData requires a __name__)."""
-    return SegmentWriter(index_dir, docs_per_shard)(group)
+    return SegmentWriter(index_dir, docs_per_shard, codec)(group)
 
 
 @ray.remote
 def _encode_shard_task(runs_dir: str, shard_id: int, index_dir: str,
-                       docs_per_shard: int, columns: list[str]) -> list[dict]:
+                       docs_per_shard: int, columns: list[str],
+                       codec: str = "varint") -> list[dict]:
     """Aligned path: one task per shard reads ONLY its doc range from the
     runs (parquet predicate pushdown over the doc-ordered files), explodes
     and encodes it. No all-to-all: doc_ids are range-partitioned, so the
@@ -499,7 +504,7 @@ def _encode_shard_task(runs_dir: str, shard_id: int, index_dir: str,
     if t.num_rows == 0:
         return []
     group = _explode_runs(t)
-    result = SegmentWriter(index_dir, docs_per_shard)(group)
+    result = SegmentWriter(index_dir, docs_per_shard, codec)(group)
     return result.to_pylist()
 
 
@@ -657,7 +662,8 @@ def _fused_tokenize_task(file: str, row_groups: list[int], offset: int,
 
 @ray.remote
 def _encode_shard_dir_task(runs_dir: str, shard_id: int, index_dir: str,
-                           docs_per_shard: int, *wave_a_deps) -> list[dict]:
+                           docs_per_shard: int, codec: str,
+                           *wave_a_deps) -> list[dict]:
     """Wave B: encode one shard from exactly its runs/shard=K files.
 
     ``wave_a_deps`` carries the ObjectRefs of the wave-A tasks covering
@@ -675,13 +681,14 @@ def _encode_shard_dir_task(runs_dir: str, shard_id: int, index_dir: str,
     if t.num_rows == 0:
         return []
     group = _explode_runs(t)
-    result = SegmentWriter(index_dir, docs_per_shard)(group)
+    result = SegmentWriter(index_dir, docs_per_shard, codec)(group)
     return result.to_pylist()
 
 
 def _build_fused(source: str, index_path: Path, docs_per_shard: int | None,
                  num_shards: int | None, analyzer: str, concurrency: int,
-                 resume: bool, keep_runs: bool, phases: dict, _phase) -> dict:
+                 resume: bool, keep_runs: bool, phases: dict, _phase,
+                 codec: str = "varint") -> dict:
     """The scalable two-wave build (documented in the module docstring)."""
     runs_dir = index_path / "runs"
     norms_dir = index_path / "norms"
@@ -701,10 +708,17 @@ def _build_fused(source: str, index_path: Path, docs_per_shard: int | None,
     params_file = index_path / "_BUILD_PARAMS.json"
     plan = {"docs_per_shard": int(docs_per_shard),
             "total_docs": int(total_docs),
+            "postings_codec": codec,
             "tasks": [[str(f), list(map(int, rgs)), int(off), int(nr)]
                       for f, rgs, off, nr in tasks]}
     if resume and params_file.exists():
         prev = json.loads(params_file.read_text())
+        if prev.get("postings_codec", "varint") != codec:
+            # completed shards were encoded with the old codec; mixing
+            # codecs under one manifest would corrupt readers
+            raise ValueError(
+                f"resume with postings_codec={codec!r} over a build "
+                f"started with {prev.get('postings_codec', 'varint')!r}")
         if (prev.get("tasks")
                 and prev.get("docs_per_shard") == plan["docs_per_shard"]):
             # resume with the PERSISTED plan: _task{i}_SUCCESS markers and
@@ -742,7 +756,8 @@ def _build_fused(source: str, index_path: Path, docs_per_shard: int | None,
             covering.setdefault(sid, []).append(a_futures[i])
     b_futures = {
         sid: _encode_shard_dir_task.remote(
-            str(runs_dir), sid, str(index_path), int(docs_per_shard), *deps)
+            str(runs_dir), sid, str(index_path), int(docs_per_shard),
+            codec, *deps)
         for sid, deps in sorted(covering.items())
     }
     partials = ray.get(a_futures)
@@ -799,8 +814,15 @@ def build_index(
     resume: bool = False,
     keep_runs: bool = False,
     shuffle: str = "aligned",
+    postings_codec: str = "varint",
 ) -> dict:
-    """Build a sharded inverted index; returns the manifest dict."""
+    """Build a sharded inverted index; returns the manifest dict.
+
+    ``postings_codec`` selects the posting-stream encoding from the
+    codec SPI (segment.POSTINGS_CODECS — PostingsFormat analog); the
+    choice is recorded in the manifest and every reader dispatches on
+    it."""
+    segment.get_codec(postings_codec)  # validate up front
     t0 = time.time()
     phases: dict[str, float] = {}
     _last = [t0]
@@ -827,11 +849,12 @@ def build_index(
     if isinstance(source, str) and assume_sorted and shuffle == "aligned":
         r = _build_fused(source, index_path, docs_per_shard, num_shards,
                          analyzer, concurrency, resume, keep_runs,
-                         phases, _phase)
+                         phases, _phase, codec=postings_codec)
         manifest = _write_manifest(
             index_path, analyzer, r["docs_per_shard"], r["actual_shards"],
             r["stats"], r["avgdl"], r["manifest_rows"], phases, t0,
-            checkpoint=r["checkpoint"], lineage=r["lineage"])
+            checkpoint=r["checkpoint"], lineage=r["lineage"],
+            postings_codec=postings_codec)
         if not keep_runs:
             shutil.rmtree(index_path / "runs", ignore_errors=True)
         return manifest
@@ -842,8 +865,14 @@ def build_index(
 
     if resume and runs_done.exists() and params_file.exists():
         # tokenized runs already on disk: skip read + assign + tokenize
-        docs_per_shard = json.loads(params_file.read_text())["docs_per_shard"]
-        total_docs = json.loads(params_file.read_text())["total_docs"]
+        prev_params = json.loads(params_file.read_text())
+        if prev_params.get("postings_codec", "varint") != postings_codec:
+            raise ValueError(
+                f"resume with postings_codec={postings_codec!r} over a "
+                f"build started with "
+                f"{prev_params.get('postings_codec', 'varint')!r}")
+        docs_per_shard = prev_params["docs_per_shard"]
+        total_docs = prev_params["total_docs"]
         actual_shards = max(1, -(-total_docs // docs_per_shard))
     else:
         if isinstance(source, str):
@@ -864,7 +893,9 @@ def build_index(
             docs_per_shard = max(1, -(-total_docs // num_shards))
         actual_shards = max(1, -(-total_docs // docs_per_shard))
         params_file.write_text(json.dumps(
-            {"docs_per_shard": int(docs_per_shard), "total_docs": int(total_docs)}))
+            {"docs_per_shard": int(docs_per_shard),
+             "total_docs": int(total_docs),
+             "postings_codec": postings_codec}))
 
         _phase("read_count")
         ds, _ = assign_doc_ids(ds, docs_per_shard, verify_order=assume_sorted)
@@ -918,7 +949,7 @@ def build_index(
         futures = [
             _encode_shard_task.remote(
                 str(runs_dir), sid, str(index_path), int(docs_per_shard),
-                run_cols)
+                run_cols, postings_codec)
             for sid in range(actual_shards)
         ]
         manifest_rows = [r for rows in ray.get(futures) for r in rows]
@@ -930,7 +961,7 @@ def build_index(
 
         writer = functools.partial(
             _write_segment_group, index_dir=str(index_path),
-            docs_per_shard=int(docs_per_shard))
+            docs_per_shard=int(docs_per_shard), codec=postings_codec)
         manifest_rows = (
             postings.groupby("doc_shard")
             .map_groups(writer, batch_format="pyarrow")
@@ -940,7 +971,8 @@ def build_index(
     _phase("term_shuffle_encode")
     shards = manifest_rows
     manifest = _write_manifest(index_path, analyzer, docs_per_shard,
-                               actual_shards, stats, avgdl, shards, phases, t0)
+                               actual_shards, stats, avgdl, shards, phases,
+                               t0, postings_codec=postings_codec)
     if not keep_runs:
         shutil.rmtree(runs_dir, ignore_errors=True)
     return manifest
@@ -949,7 +981,8 @@ def build_index(
 def _write_manifest(index_path: Path, analyzer: str, docs_per_shard: int,
                     actual_shards: int, stats: dict, avgdl: float,
                     manifest_rows: list[dict], phases: dict, t0: float,
-                    checkpoint=None, lineage=None) -> dict:
+                    checkpoint=None, lineage=None,
+                    postings_codec: str = "varint") -> dict:
     shards = sorted(manifest_rows, key=lambda r: r["shard_id"])
     manifest = {
         "version": 1,
@@ -960,6 +993,7 @@ def _write_manifest(index_path: Path, analyzer: str, docs_per_shard: int,
             "docs_per_shard": int(docs_per_shard),
             "num_shards": int(actual_shards),
             "block_size": segment.BLOCK_SIZE,
+            "postings_codec": postings_codec,
             "k1": float(bm25.K1),
             "b": float(bm25.B),
         },

@@ -27,7 +27,8 @@ import pyarrow.parquet as pq
 from . import segment
 
 
-def _check_shard(index_dir: str, sh: dict, docs_per_shard: int) -> dict:
+def _check_shard(index_dir: str, sh: dict, docs_per_shard: int,
+                 codec: str = "varint") -> dict:
     index_path = Path(index_dir)
     sid = sh["shard_id"]
     base = sid * docs_per_shard
@@ -55,8 +56,8 @@ def _check_shard(index_dir: str, sh: dict, docs_per_shard: int) -> dict:
     bmin = t.column("block_min_nt").to_pylist()
     postings_here = 0
     for i in range(len(terms)):
-        docs = segment.decode_doc_ids(doc_enc[i], base)
-        freqs = segment.decode_freqs(freq_enc[i])
+        docs = segment.decode_doc_ids(doc_enc[i], base, codec)
+        freqs = segment.decode_freqs(freq_enc[i], codec)
         assert len(docs) == df[i], f"shard {sid} term {terms[i]}: df != list length"
         assert len(freqs) == df[i]
         assert np.all(np.diff(docs) > 0), \
@@ -66,7 +67,7 @@ def _check_shard(index_dir: str, sh: dict, docs_per_shard: int) -> dict:
         assert int(freqs.sum()) == int(ttf[i]), \
             f"shard {sid} term {terms[i]}: ttf != sum(freqs)"
         assert np.all(freqs > 0)
-        pos_flat, offs = segment.decode_positions(pos_enc[i], freqs)
+        pos_flat, offs = segment.decode_positions(pos_enc[i], freqs, codec)
         assert len(pos_flat) == int(freqs.sum())
         # positions strictly ascending within each doc, all >= 0 — one
         # boundary-masked diff over the flat stream
@@ -91,7 +92,7 @@ def _check_shard(index_dir: str, sh: dict, docs_per_shard: int) -> dict:
         prev = int(last[bi - 1]) if bi > 0 else base
         bdocs, bfreqs = segment.decode_block(
             doc_enc[i], freq_enc[i], doffs, foffs, bi, nblocks,
-            int(df[i]), prev)
+            int(df[i]), prev, codec)
         start = bi * segment.BLOCK_SIZE
         np.testing.assert_array_equal(bdocs, docs[start:])
         np.testing.assert_array_equal(bfreqs, freqs[start:])
@@ -113,6 +114,7 @@ def check_index(index_dir: str, parallel: bool | None = None) -> dict:
     index_path = Path(index_dir)
     manifest = json.loads((index_path / "manifest.json").read_text())
     docs_per_shard = manifest["params"]["docs_per_shard"]
+    codec = manifest["params"].get("postings_codec", "varint")
 
     use_ray = parallel
     if use_ray is None:
@@ -128,10 +130,10 @@ def check_index(index_dir: str, parallel: bool | None = None) -> dict:
 
         task = ray.remote(_check_shard)
         partials = ray.get([
-            task.remote(str(index_dir), sh, docs_per_shard)
+            task.remote(str(index_dir), sh, docs_per_shard, codec)
             for sh in manifest["shards"]])
     else:
-        partials = [_check_shard(str(index_dir), sh, docs_per_shard)
+        partials = [_check_shard(str(index_dir), sh, docs_per_shard, codec)
                     for sh in manifest["shards"]]
 
     total_postings = sum(p["postings"] for p in partials)

@@ -50,6 +50,63 @@ BLOCK_SIZE = 128
 FORMAT_VERSION = 4  # v4: ts carried as a docvalue (date-math range filters)
 
 
+class _VarintCodec:
+    """LEB128 delta streams — the default, the reference's vInt wire
+    format (``DataOutput.writeVInt``)."""
+
+    name = "varint"
+
+    @staticmethod
+    def lengths(vals: np.ndarray) -> np.ndarray:
+        return _varint_lengths(vals)
+
+    @staticmethod
+    def encode(vals: np.ndarray) -> bytes:
+        return varint.encode(vals.astype(np.uint64))
+
+    @staticmethod
+    def decode(buf: bytes) -> np.ndarray:
+        return varint.decode(buf)
+
+
+class _Raw32Codec:
+    """Fixed-width little-endian uint32 — the DirectPostingsFormat idea
+    (``lucene/codecs/.../memory/DirectPostingsFormat.java``: trade bytes
+    for branch-free decode). Any byte offset from the skip data lands on
+    a 4-byte boundary, so block slicing works unchanged."""
+
+    name = "raw32"
+
+    @staticmethod
+    def lengths(vals: np.ndarray) -> np.ndarray:
+        return np.full(len(vals), 4, dtype=np.int64)
+
+    @staticmethod
+    def encode(vals: np.ndarray) -> bytes:
+        return np.ascontiguousarray(vals, dtype="<u4").tobytes()
+
+    @staticmethod
+    def decode(buf: bytes) -> np.ndarray:
+        return np.frombuffer(buf, dtype="<u4").astype(np.int64)
+
+
+#: postings-codec SPI (PostingsFormat analog, ``codecs/PostingsFormat.java``
+#: NamedSPILoader): governs the three VALUE streams (doc deltas, freqs,
+#: position deltas). Skip/block metadata stays varint — it is the term
+#: dictionary's sidecar, not codec-owned payload, exactly like the
+#: reference keeps .tip/.tim format fixed across postings formats.
+POSTINGS_CODECS = {"varint": _VarintCodec, "raw32": _Raw32Codec}
+
+
+def get_codec(name: str):
+    try:
+        return POSTINGS_CODECS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown postings codec {name!r}; "
+            f"known: {sorted(POSTINGS_CODECS)}") from None
+
+
 def _delta_with_resets(values: np.ndarray, starts_mask: np.ndarray,
                        base: np.ndarray | int) -> np.ndarray:
     """values -> deltas, restarting at positions where starts_mask is True.
@@ -100,6 +157,7 @@ def encode_shard_postings(
     shard_base: int,
     uniq_terms: np.ndarray | None = None,   # precomputed: sorted unique terms
     term_offsets: np.ndarray | None = None,  # precomputed: row offsets, len U+1
+    codec: str = "varint",
 ) -> pa.Table:
     """Encode one shard's postings (sorted by term, doc_id) into a term table.
 
@@ -142,17 +200,19 @@ def encode_shard_postings(
     df = np.diff(term_offsets)
     ttf = np.add.reduceat(freqs, term_starts)
 
+    cdc = get_codec(codec)
+
     # --- doc id deltas (first of each term relative to shard_base) ---
     doc_deltas = _delta_with_resets(doc_ids, starts_mask, shard_base)
-    doc_lens = _varint_lengths(doc_deltas)
+    doc_lens = cdc.lengths(doc_deltas)
     doc_byte_offs = np.concatenate(([0], np.cumsum(doc_lens)))
-    doc_enc = varint.encode(doc_deltas.astype(np.uint64))
+    doc_enc = cdc.encode(doc_deltas)
     doc_ids_enc = _slice_encoded(doc_enc, doc_byte_offs, term_offsets)
 
     # --- freqs ---
-    freq_lens = _varint_lengths(freqs)
+    freq_lens = cdc.lengths(freqs)
     freq_byte_offs = np.concatenate(([0], np.cumsum(freq_lens)))
-    freq_enc = varint.encode(freqs.astype(np.uint64))
+    freq_enc = cdc.encode(freqs)
     freqs_enc = _slice_encoded(freq_enc, freq_byte_offs, term_offsets)
 
     # --- positions: delta within each (term, doc) posting ---
@@ -163,9 +223,9 @@ def encode_shard_postings(
         posting_pos_offsets = np.concatenate(([0], np.cumsum(freqs)))
         pos_doc_starts[posting_pos_offsets[:-1]] = True
         pos_deltas = _delta_with_resets(pos_flat, pos_doc_starts, 0)
-        pos_lens = _varint_lengths(pos_deltas)
+        pos_lens = cdc.lengths(pos_deltas)
         pos_byte_offs = np.concatenate(([0], np.cumsum(pos_lens)))
-        pos_enc = varint.encode(pos_deltas.astype(np.uint64))
+        pos_enc = cdc.encode(pos_deltas)
         # per-term ranges in position-value space
         term_pos_offsets = posting_pos_offsets[term_offsets]
         positions_enc = _slice_encoded(pos_enc, pos_byte_offs, term_pos_offsets)
@@ -235,20 +295,22 @@ def encode_shard_postings(
     })
 
 
-def decode_doc_ids(doc_ids_enc: bytes, shard_base: int) -> np.ndarray:
-    deltas = varint.decode(doc_ids_enc)
+def decode_doc_ids(doc_ids_enc: bytes, shard_base: int,
+                   codec: str = "varint") -> np.ndarray:
+    deltas = get_codec(codec).decode(doc_ids_enc)
     if deltas.size:
         deltas[0] += shard_base
     return np.cumsum(deltas)
 
 
-def decode_freqs(freqs_enc: bytes) -> np.ndarray:
-    return varint.decode(freqs_enc)
+def decode_freqs(freqs_enc: bytes, codec: str = "varint") -> np.ndarray:
+    return get_codec(codec).decode(freqs_enc)
 
 
-def decode_positions(positions_enc: bytes, freqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def decode_positions(positions_enc: bytes, freqs: np.ndarray,
+                     codec: str = "varint") -> tuple[np.ndarray, np.ndarray]:
     """Returns (flat absolute positions, per-doc offsets into it)."""
-    deltas = varint.decode(positions_enc)
+    deltas = get_codec(codec).decode(positions_enc)
     offsets = np.concatenate(([0], np.cumsum(freqs)))
     if deltas.size == 0:
         return deltas, offsets
@@ -276,7 +338,8 @@ def decode_skip_last_docs(skip_last_docs: bytes) -> np.ndarray:
 def decode_block(doc_ids_enc: bytes, freqs_enc: bytes,
                  doc_offs: np.ndarray, freq_offs: np.ndarray,
                  block_idx: int, n_blocks: int, df: int,
-                 prev_last_doc: int) -> tuple[np.ndarray, np.ndarray]:
+                 prev_last_doc: int,
+                 codec: str = "varint") -> tuple[np.ndarray, np.ndarray]:
     """Decode ONE 128-doc block of a posting list.
 
     ``prev_last_doc`` is the previous block's last doc_id (or the value the
@@ -288,12 +351,13 @@ def decode_block(doc_ids_enc: bytes, freqs_enc: bytes,
     d_hi = int(doc_offs[block_idx + 1]) if block_idx + 1 < n_blocks else None
     f_lo = int(freq_offs[block_idx])
     f_hi = int(freq_offs[block_idx + 1]) if block_idx + 1 < n_blocks else None
-    deltas = varint.decode(doc_ids_enc[d_lo:d_hi] if d_hi is not None
-                           else doc_ids_enc[d_lo:])
+    cdc = get_codec(codec)
+    deltas = cdc.decode(doc_ids_enc[d_lo:d_hi] if d_hi is not None
+                        else doc_ids_enc[d_lo:])
     deltas[0] += prev_last_doc
     docs = np.cumsum(deltas)
-    freqs = varint.decode(freqs_enc[f_lo:f_hi] if f_hi is not None
-                          else freqs_enc[f_lo:])
+    freqs = cdc.decode(freqs_enc[f_lo:f_hi] if f_hi is not None
+                       else freqs_enc[f_lo:])
     return docs, freqs
 
 

@@ -49,15 +49,17 @@ def _add_doc_ids_from(block: pa.Table, offset: int, docs_per_shard: int) -> pa.T
         "doc_shard", pa.array(doc_id // docs_per_shard, type=pa.int32()))
 
 
-def _decode_segment_to_postings(terms_file: Path, base: int) -> pa.Table:
+def _decode_segment_to_postings(terms_file: Path, base: int,
+                                codec: str = "varint") -> pa.Table:
     """Existing segment -> posting rows (term, doc_id, freq, positions)."""
     t = pq.read_table(terms_file)
     terms_out, docs_out, freqs_out, pos_lists = [], [], [], []
     for i in range(t.num_rows):
-        docs = segment.decode_doc_ids(t.column("doc_ids_enc")[i].as_py(), base)
-        freqs = segment.decode_freqs(t.column("freqs_enc")[i].as_py())
+        docs = segment.decode_doc_ids(t.column("doc_ids_enc")[i].as_py(),
+                                      base, codec)
+        freqs = segment.decode_freqs(t.column("freqs_enc")[i].as_py(), codec)
         flat, offs = segment.decode_positions(
-            t.column("positions_enc")[i].as_py(), freqs)
+            t.column("positions_enc")[i].as_py(), freqs, codec)
         term = t.column("term")[i].as_py()
         terms_out.extend([term] * len(docs))
         docs_out.append(docs)
@@ -100,7 +102,7 @@ class MergingSegmentWriter(SegmentWriter):
         terms_file = shard_dir / "terms.parquet"
         if terms_file.exists():
             base = shard_id * self.docs_per_shard
-            old = _decode_segment_to_postings(terms_file, base)
+            old = _decode_segment_to_postings(terms_file, base, self.codec)
             if old is not None:
                 # old postings need norm_byte for block-max: look them up
                 # from the new group's shard norms at encode time; reuse 0
@@ -262,7 +264,8 @@ def update_index(index_dir: str, source: str | rd.Dataset, *,
                                 zero_copy_batch=True)
     writer = functools.partial(
         _merge_segment_group, index_dir=str(index_path),
-        docs_per_shard=int(docs_per_shard))
+        docs_per_shard=int(docs_per_shard),
+        codec=manifest["params"].get("postings_codec", "varint"))
     new_rows = (postings.groupby("doc_shard")
                 .map_groups(writer, batch_format="pyarrow").take_all())
 
@@ -323,8 +326,9 @@ def _block_meta_update(block: pa.Table) -> dict:
 
 
 def _merge_segment_group(group: pa.Table, index_dir: str,
-                         docs_per_shard: int) -> pa.Table:
-    return MergingSegmentWriter(index_dir, docs_per_shard)(group)
+                         docs_per_shard: int,
+                         codec: str = "varint") -> pa.Table:
+    return MergingSegmentWriter(index_dir, docs_per_shard, codec)(group)
 
 
 # --------------------------------------------------------------------------
@@ -428,7 +432,9 @@ def add_indexes(dst_dir: str, src_dir: str) -> dict:
         if not terms_file.exists():
             return None
         src_base = shard_id * src_dps
-        t = _decode_segment_to_postings(terms_file, src_base)
+        t = _decode_segment_to_postings(
+            terms_file, src_base,
+            srcm["params"].get("postings_codec", "varint"))
         if t is None:
             return None
         docs = t.column("doc_id").to_numpy(zero_copy_only=False) + base
@@ -455,9 +461,10 @@ def add_indexes(dst_dir: str, src_dir: str) -> dict:
     new_rows = []
     if tables:
         postings = rd.from_arrow_refs([ray.put(t) for t in tables])
-        writer = functools.partial(_merge_segment_group,
-                                   index_dir=str(dst_path),
-                                   docs_per_shard=dps)
+        writer = functools.partial(
+            _merge_segment_group, index_dir=str(dst_path),
+            docs_per_shard=dps,
+            codec=dstm["params"].get("postings_codec", "varint"))
         new_rows = (postings.groupby("doc_shard")
                     .map_groups(writer, batch_format="pyarrow").take_all())
 
@@ -566,7 +573,8 @@ def read_expunged(index_dir: str) -> set[int]:
 
 
 def _expunge_shard(index_dir: str, shard_id: int, docs_per_shard: int,
-                   del_arr: np.ndarray) -> dict | None:
+                   del_arr: np.ndarray,
+                   codec: str = "varint") -> dict | None:
     """Rewrite one shard segment without the tombstoned docs (atomic via
     the merge machinery's aside-rename; crash-safe the same way).
     Returns the new manifest row, or None when the shard was untouched."""
@@ -585,7 +593,7 @@ def _expunge_shard(index_dir: str, shard_id: int, docs_per_shard: int,
     local_dels = del_arr[(del_arr >= lo) & (del_arr < hi)]
     if len(local_dels) == 0:
         return None
-    old = _decode_segment_to_postings(terms_file, base)
+    old = _decode_segment_to_postings(terms_file, base, codec)
     if old is None:
         return None
     docs = old.column("doc_id").to_numpy(zero_copy_only=False)
@@ -608,7 +616,7 @@ def _expunge_shard(index_dir: str, shard_id: int, docs_per_shard: int,
         "norm_byte", pa.array(norm_arr[f_docs - base], type=pa.uint8()))
     os.rename(shard_dir, aside)
     try:
-        writer = SegmentWriter(index_dir, docs_per_shard)
+        writer = SegmentWriter(index_dir, docs_per_shard, codec)
         if filtered.num_rows:
             out = writer(filtered)
             row = {k: int(out.column(k)[0].as_py())
@@ -683,7 +691,8 @@ def expunge_deletes(index_dir: str) -> dict:
     seg_task = ray.remote(_expunge_shard)
     norm_task = ray.remote(_expunge_norms_partition)
     seg_rows = ray.get([
-        seg_task.remote(str(index_path), sid, docs_per_shard, del_arr)
+        seg_task.remote(str(index_path), sid, docs_per_shard, del_arr,
+                        manifest["params"].get("postings_codec", "varint"))
         for sid in shard_ids])
     removed = ray.get([
         norm_task.remote(str(index_path), sid, del_arr)

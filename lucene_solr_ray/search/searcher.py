@@ -265,6 +265,7 @@ class ShardSearcher:
         params = manifest["params"]
         stats = manifest["stats"]
         self.docs_per_shard = params["docs_per_shard"]
+        self._codec = params.get("postings_codec", "varint")
         self.base = shard_id * self.docs_per_shard
         self.doc_count = stats["doc_count"]
         self.num_docs_total = stats["num_docs"]
@@ -484,7 +485,7 @@ class ShardSearcher:
             j = int(np.searchsorted(docs, doc_id))
             if j >= len(docs) or docs[j] != doc_id:
                 continue
-            flat, offs = segment.decode_positions(self._pos_enc[i], freqs)
+            flat, offs = segment.decode_positions(self._pos_enc[i], freqs, self._codec)
             out.append((term, int(freqs[j]),
                         [int(x) for x in flat[offs[j]:offs[j + 1]]]))
         out.sort()
@@ -500,8 +501,9 @@ class ShardSearcher:
             return None
         cached = self._decode_cache.get(term)
         if cached is None:
-            docs = segment.decode_doc_ids(self._doc_enc[i], self.base)
-            freqs = segment.decode_freqs(self._freq_enc[i])
+            docs = segment.decode_doc_ids(self._doc_enc[i], self.base,
+                                         self._codec)
+            freqs = segment.decode_freqs(self._freq_enc[i], self._codec)
             if len(self._decode_cache) >= self._CACHE_MAX:
                 self._decode_cache.pop(next(iter(self._decode_cache)))
             cached = (docs, freqs)
@@ -551,7 +553,7 @@ class ShardSearcher:
         # (ExactPhraseScorer semantics): composite (local_doc << 32 | pos)
         # keys make per-doc position membership a single global searchsorted.
         flat0, offs0 = segment.decode_positions(
-            self._pos_enc[plists[0][2]], plists[0][1])
+            self._pos_enc[plists[0][2]], plists[0][1], self._codec)
         ix0 = idxs[0]
         starts, ends = offs0[ix0], offs0[ix0 + 1]
         lens = (ends - starts).astype(np.int64)
@@ -564,7 +566,8 @@ class ShardSearcher:
         mask = np.ones(total, dtype=bool)
         for t_i in range(1, len(plists)):
             d_i, f_i, row_i = plists[t_i]
-            flat_i, _ = segment.decode_positions(self._pos_enc[row_i], f_i)
+            flat_i, _ = segment.decode_positions(self._pos_enc[row_i], f_i,
+                                                    self._codec)
             doc_of_pi = np.repeat(d_i - self.base, f_i).astype(np.int64)
             keys_i = (doc_of_pi << 32) | flat_i.astype(np.int64)
             tpos = p0 - rel[0] + rel[t_i]
@@ -601,7 +604,7 @@ class ShardSearcher:
         decoded = []
         for t_i, (d_i, f_i, row_i) in enumerate(plists):
             flat_i, offs_i = segment.decode_positions(
-                self._pos_enc[row_i], f_i)
+                self._pos_enc[row_i], f_i, self._codec)
             decoded.append((flat_i, offs_i))
         rel = list(q.positions)
         pf = np.zeros(len(docs), dtype=np.float64)
@@ -641,7 +644,7 @@ class ShardSearcher:
                     continue
                 d_i, f_i, row_i = p
                 flat, offs = segment.decode_positions(
-                    self._pos_enc[row_i], f_i)
+                    self._pos_enc[row_i], f_i, self._codec)
                 entries.append((d_i, flat, offs))
                 docs_union.append(d_i)
             if not entries:
@@ -837,7 +840,8 @@ class ShardSearcher:
                 leaf[t] = None
                 continue
             d_i, f_i, row_i = p
-            flat, offs = segment.decode_positions(self._pos_enc[row_i], f_i)
+            flat, offs = segment.decode_positions(self._pos_enc[row_i], f_i,
+                                                    self._codec)
             leaf[t] = (d_i, flat, offs)
         freqs = np.zeros(len(docs), dtype=np.float64)
         for j, d in enumerate(docs):
@@ -877,7 +881,8 @@ class ShardSearcher:
         if p is None:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         docs, freqs, row = p
-        flat, offs = segment.decode_positions(self._pos_enc[row], freqs)
+        flat, offs = segment.decode_positions(self._pos_enc[row], freqs,
+                                                self._codec)
         hits = (flat < q.end).astype(np.int64)
         f = np.add.reduceat(hits, offs[:-1]) if len(flat) else \
             np.zeros(len(docs), dtype=np.int64)
@@ -993,7 +998,8 @@ class ShardSearcher:
             prev = int(last[bi - 1]) if bi > 0 else self.base
             bd, bf = segment.decode_block(
                 self._doc_enc[row], self._freq_enc[row],
-                doffs, foffs, int(bi), nblocks, df, prev)
+                doffs, foffs, int(bi), nblocks, df, prev,
+                self._codec)
             parts_d.append(bd)
             parts_f.append(bf)
         return np.concatenate(parts_d), np.concatenate(parts_f)
