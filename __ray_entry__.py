@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["suggest_docs_source"]).suggest_docs_source,
         # benchmark decontamination (8-gram eval-set overlap flags)
         "decontaminate_docs": dedup.decontaminate_docs,
+        # exact-substring dedup (ExactSubstr, Lee et al. 2022)
+        "exactsubstr_dedup": dedup.exactsubstr_dedup,
         # Gopher-style within-doc repetition quality signals
         "repetition_stats_docs": textstats.repetition_stats,
         # training-data curation: deterministic domain-mix re-weighting
@@ -627,6 +629,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, "
             "coalesce(h.n_hits, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN hits h USING (doc_id)",
+        "exactsubstr_dedup":
+            "WITH tl AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "win AS (SELECT doc_id, i - 1 AS pos, array_to_string("
+            "list_slice(toks, i, i + 11), ' ') AS w "
+            "FROM tl, unnest(generate_series(1, len(toks) - 11)) AS t(i)), "
+            "flagged AS (SELECT doc_id, pos, row_number() OVER ("
+            "PARTITION BY w ORDER BY doc_id, pos) AS rn, "
+            "count(*) OVER (PARTITION BY w) AS c FROM win), "
+            "loser_tok AS (SELECT DISTINCT doc_id, pos + j AS tok "
+            "FROM flagged, unnest(generate_series(0, 11)) AS s(j) "
+            "WHERE c >= 2 AND rn > 1), "
+            "winner_tok AS (SELECT DISTINCT doc_id, pos + j AS tok "
+            "FROM flagged, unnest(generate_series(0, 11)) AS s(j) "
+            "WHERE c >= 2 AND rn = 1), "
+            "removed AS (SELECT l.doc_id, l.tok FROM loser_tok l "
+            "LEFT JOIN winner_tok w ON l.doc_id = w.doc_id "
+            "AND l.tok = w.tok WHERE w.tok IS NULL), "
+            "ndw AS (SELECT doc_id, count(*) AS n_dup_windows "
+            "FROM flagged WHERE c >= 2 AND rn > 1 GROUP BY doc_id), "
+            "nrm AS (SELECT doc_id, count(*) AS n_removed_tokens "
+            "FROM removed GROUP BY doc_id), "
+            "tok_tbl AS (SELECT doc_id, i - 1 AS idx, toks[i] AS tok "
+            "FROM tl, unnest(generate_series(1, len(toks))) AS t(i)), "
+            "clean AS (SELECT t.doc_id, coalesce(string_agg(t.tok, ' ' "
+            "ORDER BY t.idx) FILTER (WHERE r.tok IS NULL), '') "
+            "AS text_clean FROM tok_tbl t LEFT JOIN removed r "
+            "ON t.doc_id = r.doc_id AND t.idx = r.tok GROUP BY t.doc_id) "
+            "SELECT tl.doc_id, len(tl.toks) AS n_tokens, "
+            "coalesce(ndw.n_dup_windows, 0) AS n_dup_windows, "
+            "coalesce(nrm.n_removed_tokens, 0) AS n_removed_tokens, "
+            "coalesce(clean.text_clean, '') AS text_clean "
+            "FROM tl LEFT JOIN ndw USING (doc_id) "
+            "LEFT JOIN nrm USING (doc_id) LEFT JOIN clean USING (doc_id)",
         "suggest_docs_source":
             "WITH s AS (SELECT source AS surface, MAX(n_chars) AS weight "
             "FROM documents WHERE source LIKE 'src1%' GROUP BY source) "

@@ -694,3 +694,256 @@ def decontaminate_docs(sf_dir: str, n: int = 8,
     _, bench_grams = _token_ngrams(bench_t, n)
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     return decontaminate(ds, bench_grams, n=n)
+
+
+# -- exact substring dedup (suffix-window variant) -----------------------
+
+_H2_KEY = "fedcba9876543210"  # second independent siphash key (128-bit id)
+_TOKEN_SPLIT_RE = None  # compiled lazily from textstats._TOKEN_SPLIT
+
+
+def _token_split_re():
+    global _TOKEN_SPLIT_RE
+    if _TOKEN_SPLIT_RE is None:
+        import re
+
+        from .textstats import _TOKEN_SPLIT
+
+        _TOKEN_SPLIT_RE = re.compile(_TOKEN_SPLIT)
+    return _TOKEN_SPLIT_RE
+
+
+def _rolling_window_hashes(th: np.ndarray, window: int) -> np.ndarray:
+    """Position-shift-invariant rolling hash: XOR of per-token hashes
+    rotated by their offset within the window. Equal token windows get
+    equal hashes wherever they start; W vectorized passes, no per-token
+    Python."""
+    m = len(th) - (window - 1)
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(window):
+        k = (window - 1 - j) % 64
+        x = th[j:m + j]
+        if k:
+            kk = np.uint64(k)
+            acc ^= (x << kk) | (x >> (np.uint64(64) - kk))
+        else:
+            acc ^= x
+    return acc
+
+
+def _window_positions(t: pa.Table, window: int):
+    """All ``window``-token windows of a batch that do not straddle a doc
+    boundary. Returns (flat_start, window_doc_index, pos_in_doc, h1, h2,
+    doc_idx, terms); h1/h2 are two independent 64-bit rolling hashes whose
+    pair is the (collision-negligible) 128-bit identity of the window's
+    token content."""
+    from .textstats import _explode_terms
+
+    doc_idx, terms = _explode_terms(t)
+    T = len(terms)
+    m = T - (window - 1)
+    e_i = np.empty(0, dtype=np.int64)
+    e_u = np.empty(0, dtype=np.uint64)
+    if m <= 0:
+        return e_i, e_i, e_i, e_u, e_u, doc_idx, terms
+    h1 = _rolling_window_hashes(pd.util.hash_array(terms), window)
+    h2 = _rolling_window_hashes(
+        pd.util.hash_array(terms, hash_key=_H2_KEY), window)
+    valid = doc_idx[:m] == doc_idx[window - 1:]
+    starts = np.flatnonzero(valid)
+    wdoc = doc_idx[starts].astype(np.int64)
+    doc_first = np.searchsorted(doc_idx, np.arange(len(t)), side="left")
+    pos = starts - doc_first[wdoc]
+    return (starts.astype(np.int64), wdoc, pos.astype(np.int64),
+            h1[starts], h2[starts], doc_idx, terms)
+
+
+def _dup_window_hashes(ds: rd.Dataset, window: int) -> rd.Dataset:
+    """Pass A of exact-substring dedup: the set of h1 window hashes seen
+    >= 2 times corpus-wide. Per-batch ``np.unique`` partials shrink the
+    shuffle to (hash, count) pairs; one bucketed merge finishes."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, _, h1, _, _, _ = _window_positions(t, window)
+        u, c = np.unique(h1, return_counts=True)
+        return pa.table({
+            "win_hash": pa.array(u.view(np.int64), type=pa.int64()),
+            "cnt": pa.array(c, type=pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("win_hash", sort=False)["cnt"].sum()
+               .reset_index())
+        out = out[out["cnt"] >= 2][["win_hash"]]
+        out["win_hash"] = out["win_hash"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_agg(partials, ["win_hash"], merge)
+
+
+_OCC_SCHEMA = pa.schema([("h1", pa.int64()), ("h2", pa.int64()),
+                         ("doc_id", pa.int64()), ("pos", pa.int64())])
+_FLAG_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()),
+                          ("keep", pa.bool_())])
+
+
+def exactsubstr_dedup(sf_dir: str, window: int = 12,
+                      broadcast_cap: int = 5_000_000,
+                      _force_join: bool = False) -> rd.Dataset:
+    """Exact duplicated-substring removal (the ExactSubstr dedup of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as streaming Ray Data passes instead of a monolithic
+    suffix array:
+
+    1. **Discover** (pass A): every ``window``-token window gets a rolling
+       64-bit hash; per-batch ``np.unique`` partials + one bucketed
+       (hash, count) shuffle yield the hashes seen >= 2 times. The shuffle
+       carries 16-byte pairs, never text.
+    2. **Flag** (pass B): re-scan the corpus; only windows whose h1 is in
+       the duplicate set emit an occurrence (h1, h2, doc_id, pos). The dup
+       set is broadcast via ``ray.put`` when small (size-gated), else the
+       occurrence stream is hash-joined against it. A grouped pass on the
+       128-bit (h1, h2) pair picks the winner occurrence (lowest
+       (doc_id, pos)); all other occurrences are losers. h1-only false
+       positives land in singleton groups and emit nothing.
+    3. **Cut**: flagged occurrences (small relative to the corpus) are
+       hash-joined back to documents by doc_id; one vectorized per-doc
+       pass removes tokens covered by a loser window and not covered by
+       any winner window, i.e. every duplicated substring survives in
+       exactly its first-occurrence copy.
+
+    The cleaned text is the analyzed token stream re-joined with single
+    spaces (lowercased, punctuation-split — the same SimpleAnalyzer
+    tokenization every other documents-table operator uses).
+
+    Reference semantics: SignatureUpdateProcessorFactory.java removes
+    whole duplicate documents; this operator is its substring-granular
+    counterpart for training-data curation. Collision note: winner groups
+    key on 128 bits (two independent siphash-derived rolling hashes) —
+    ~6e-13 collision odds at 10^13 windows.
+    """
+    import ray
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    dup_ds = materialize_typed(
+        _dup_window_hashes(ds, window),
+        pa.schema([("win_hash", pa.int64())]))
+
+    n_dup = dup_ds.count()
+    use_broadcast = (n_dup <= broadcast_cap) and not _force_join
+
+    def occ_from_hits(t: pa.Table, hit_mask, wdoc, pos, h1, h2) -> pa.Table:
+        doc_ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "h1": pa.array(h1[hit_mask].view(np.int64), type=pa.int64()),
+            "h2": pa.array(h2[hit_mask].view(np.int64), type=pa.int64()),
+            "doc_id": pa.array(doc_ids[wdoc[hit_mask]], type=pa.int64()),
+            "pos": pa.array(pos[hit_mask], type=pa.int64()),
+        })
+
+    if use_broadcast:
+        dups = np.sort(dup_ds.to_pandas()["win_hash"].to_numpy()
+                       .view(np.uint64)) if n_dup else np.empty(0, np.uint64)
+        ref = ray.put(dups)
+
+        class _Occ:
+            def __init__(self):
+                self.dups = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                _, wdoc, pos, h1, h2, _, _ = _window_positions(t, window)
+                nb = len(self.dups)
+                if len(h1) == 0 or nb == 0:
+                    return _OCC_SCHEMA.empty_table()
+                p = np.searchsorted(self.dups, h1)
+                hit = (p < nb) & (self.dups[np.minimum(p, nb - 1)] == h1)
+                return occ_from_hits(t, hit, wdoc, pos, h1, h2)
+
+        occ = ds.map_batches(_Occ, batch_format="pyarrow",
+                             concurrency=(1, 8), num_cpus=1)
+    else:
+        def all_occ(t: pa.Table) -> pa.Table:
+            _, wdoc, pos, h1, h2, _, _ = _window_positions(t, window)
+            if len(h1) == 0:
+                return _OCC_SCHEMA.empty_table()
+            return occ_from_hits(t, np.ones(len(h1), dtype=bool),
+                                 wdoc, pos, h1, h2)
+
+        occ = native_join(
+            ds.map_batches(all_occ, batch_format="pyarrow"),
+            dup_ds, on="h1", right_on="win_hash")
+        occ = occ.select_columns(["h1", "h2", "doc_id", "pos"])
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "doc_id", "pos"], kind="stable")
+        grp = g.groupby(["h1", "h2"], sort=False)
+        sizes = grp["pos"].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "pos": pd.Series(dtype=np.int64),
+                                 "keep": pd.Series(dtype=bool)})
+        first = g.groupby(["h1", "h2"], sort=False).cumcount() == 0
+        return pd.DataFrame({"doc_id": g["doc_id"].astype(np.int64),
+                             "pos": g["pos"].astype(np.int64),
+                             "keep": first.to_numpy()})
+
+    flagged = materialize_typed(
+        bucketed_group_agg(occ, ["h1", "h2"], flag), _FLAG_SCHEMA)
+
+    if flagged.count() == 0:
+        # no duplicated windows anywhere: emit the tokenized passthrough
+        # directly — a fully-empty join side leaves Ray's hash-join
+        # aggregators with schema-less partitions (ArrowInvalid)
+        def passthrough(t: pa.Table) -> pa.Table:
+            from .textstats import _explode_terms
+
+            doc_idx, terms = _explode_terms(t)
+            n = len(t)
+            counts = np.bincount(doc_idx, minlength=n).astype(np.int64)
+            clean = np.full(n, "", dtype=object)
+            if len(terms):
+                joined_s = pd.Series(terms).groupby(doc_idx).agg(" ".join)
+                clean[joined_s.index.to_numpy()] = joined_s.to_numpy()
+            zeros = np.zeros(n, dtype=np.int64)
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(counts, type=pa.int64()),
+                "n_dup_windows": pa.array(zeros, type=pa.int64()),
+                "n_removed_tokens": pa.array(zeros, type=pa.int64()),
+                "text_clean": pa.array(clean, type=pa.string()),
+            })
+
+        return ds.map_batches(passthrough, batch_format="pyarrow")
+
+    joined = native_join(ds, flagged, on="doc_id", join_type="left_outer")
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        text = g["text"].iloc[0]
+        toks = [w for w in _token_split_re().split(text.lower()) if w]
+        n = len(toks)
+        occ_rows = g.dropna(subset=["pos"])
+        loser_pos = occ_rows.loc[~occ_rows["keep"].astype(bool),
+                                 "pos"].to_numpy(dtype=np.int64)
+        winner_pos = occ_rows.loc[occ_rows["keep"].astype(bool),
+                                  "pos"].to_numpy(dtype=np.int64)
+
+        def cover(starts: np.ndarray) -> np.ndarray:
+            d = np.zeros(n + 1, dtype=np.int64)
+            if len(starts):
+                np.add.at(d, starts, 1)
+                np.add.at(d, np.minimum(starts + window, n), -1)
+            return np.cumsum(d[:n]) > 0
+
+        removed = cover(loser_pos) & ~cover(winner_pos)
+        clean = " ".join(np.array(toks, dtype=object)[~removed]) if n else ""
+        return pd.DataFrame({
+            "doc_id": [np.int64(g["doc_id"].iloc[0])],
+            "n_tokens": [np.int64(n)],
+            "n_dup_windows": [np.int64(len(loser_pos))],
+            "n_removed_tokens": [np.int64(int(removed.sum()))],
+            "text_clean": [clean],
+        })
+
+    return joined.groupby("doc_id").map_groups(cut, batch_format="pandas")
