@@ -195,11 +195,25 @@ def main(argv=None) -> int:
     cf.add_argument("index_dir")
     cf.add_argument("target_dir")
 
+    ai = sub.add_parser("addindexes", help="concatenate a prebuilt source "
+                        "index onto this one (IndexWriter.addIndexes)")
+    ai.add_argument("index_dir")
+    ai.add_argument("src_index_dir")
+
+    si = sub.add_parser("split", help="split the index into two standalone "
+                        "indexes at a shard boundary (SPLITSHARD)")
+    si.add_argument("index_dir")
+    si.add_argument("dst_a")
+    si.add_argument("dst_b")
+    si.add_argument("--split-doc", type=int, default=None,
+                    help="doc boundary (multiple of docs_per_shard); "
+                    "default: middle shard boundary")
+
     args = p.parse_args(argv)
     if args.cmd in ("update", "search", "check", "delete", "get",
                     "atomic-update", "terms", "spellcheck", "facet",
                     "recover", "tlog-status", "cdcr-bootstrap",
-                    "cdcr-forward"):
+                    "cdcr-forward", "addindexes", "split"):
         from pathlib import Path
 
         if not (Path(args.index_dir) / "manifest.json").exists():
@@ -364,6 +378,16 @@ def main(argv=None) -> int:
         print(json.dumps(expire_documents(
             args.index_dir, before, field=args.field,
             expunge=args.expunge)))
+    elif args.cmd == "addindexes":
+        from .index.update import add_indexes
+
+        print(json.dumps(add_indexes(args.index_dir, args.src_index_dir)))
+    elif args.cmd == "split":
+        from .index.update import split_index
+
+        print(json.dumps(split_index(args.index_dir, args.dst_a,
+                                     args.dst_b,
+                                     split_doc=args.split_doc)))
     elif args.cmd == "segments":
         import json as _json
         from pathlib import Path

@@ -964,3 +964,192 @@ def atomic_update(index_dir: str, updates: list[dict],
                                 manifest_extra=manifest_extra)
 
     return manifest
+
+
+def split_index(src_dir: str, dst_a: str, dst_b: str,
+                split_doc: int | None = None) -> dict:
+    """SPLITSHARD analog (``solr/core/src/java/org/apache/solr/update/
+    SolrIndexSplitter.java:63``): split one index into two standalone
+    indexes at a doc boundary — the elasticity counterpart of
+    ``add_indexes`` (resharding a too-hot shard at corpus scale).
+
+    Where the reference rewrites every segment through a filtered
+    IndexWriter.addIndexes pass, the doc-range-sharded layout makes the
+    split almost metadata-only: ``split_doc`` must sit on a shard
+    boundary, so every ``terms.parquet`` segment belongs wholly to one
+    side — segment postings are shard-relative, so side A copies
+    verbatim and side B re-bases by rewriting ONE varint per term (the
+    first delta of the absolute skip-list stream; the doc/freq/position
+    value streams copy byte-identical). The norms/docvalue rows of side
+    B rewrite
+    (absolute doc_id/doc_shard columns shift), fanned out as one Ray task
+    per partition; the same tasks return (num_docs, doc_count,
+    sum_doc_len, key range) partials so each side's BM25 statistics are
+    recomputed EXACTLY (split == rebuild-of-half, asserted in tests).
+    Tombstones and expunged sets partition by the boundary and shift.
+
+    Like the reference's hash-route split, a conversation straddling the
+    boundary ends up with turns in both halves; the returned dict names
+    it (``straddling_conv``) so callers can route block-join queries.
+    Each side gets manifest version 1 with lineage clipped to its range.
+    """
+    src = Path(src_dir)
+    m = read_manifest(src_dir)
+    dps = int(m["params"]["docs_per_shard"])
+    num_docs = int(m["stats"]["num_docs"])
+    shards = sorted(m["shards"], key=lambda s: s["shard_id"])
+    if split_doc is None:
+        split_doc = dps * max(1, len(shards) // 2)
+    split_doc = int(split_doc)
+    if split_doc % dps != 0:
+        raise ValueError(
+            f"split_doc must be a multiple of docs_per_shard={dps} "
+            f"(shard-aligned zero-re-encode split); got {split_doc}")
+    if not (0 < split_doc < num_docs):
+        raise ValueError(f"split_doc {split_doc} outside (0, {num_docs})")
+    k = split_doc // dps
+
+    for dst in (dst_a, dst_b):
+        if (Path(dst) / MANIFEST_NAME).exists():
+            raise ValueError(f"destination {dst} already holds an index")
+        (Path(dst) / "shards").mkdir(parents=True, exist_ok=True)
+        (Path(dst) / "norms").mkdir(parents=True, exist_ok=True)
+
+    @ray.remote
+    def copy_shard(shard_id: int, dst: str, new_id: int,
+                   shift: int) -> None:
+        sdir = src / "shards" / f"shard={shard_id:05d}"
+        ddir = Path(dst) / "shards" / f"shard={new_id:05d}"
+        ddir.mkdir(parents=True, exist_ok=True)
+        for f in sorted(sdir.iterdir()):
+            if shift and f.name == "terms.parquet":
+                # posting doc streams are shard-RELATIVE (first delta is
+                # added to shard_id*dps at decode) so they copy verbatim,
+                # but the skip list's last-doc-per-block stream is
+                # delta-encoded ABSOLUTE: shifting every absolute value
+                # by -shift only changes the FIRST delta of each term
+                t = pq.read_table(f)
+                from ..util import varint as _vi
+
+                def reskip(buf: bytes) -> bytes:
+                    vals = _vi.decode_deltas(buf)
+                    if len(vals):
+                        vals = vals - shift
+                    return _vi.encode_deltas(vals)
+
+                col = pa.array([reskip(b.as_py())
+                                for b in t.column("skip_last_docs")],
+                               type=pa.binary())
+                idx = t.schema.get_field_index("skip_last_docs")
+                t = t.set_column(idx, "skip_last_docs", col)
+                pq.write_table(t, ddir / f.name)
+            else:
+                shutil.copy2(f, ddir / f.name)
+
+    @ray.remote
+    def move_norms(shard_id: int, dst: str, new_id: int,
+                   shift: int) -> dict:
+        part = src / "norms" / f"doc_shard={shard_id}"
+        out = Path(dst) / "norms" / f"doc_shard={new_id}"
+        out.mkdir(parents=True, exist_ok=True)
+        n_rows = doc_count = sum_len = 0
+        lo_key = hi_key = None
+        for f in sorted(part.iterdir()):
+            t = pq.read_table(f)
+            if shift:
+                docs = t.column("doc_id").to_numpy(
+                    zero_copy_only=False) - shift
+                t = t.drop_columns(["doc_id"]).append_column(
+                    "doc_id", pa.array(docs, type=pa.int64()))
+            pq.write_table(t, out / f.name)
+            n_rows += t.num_rows
+            dl = t.column("doc_len").to_numpy(zero_copy_only=False)
+            doc_count += int((dl > 0).sum())
+            sum_len += int(dl.sum())
+            keys = list(zip(t.column("conv_id").to_pylist(),
+                            (int(x) for x in
+                             t.column("turn_idx").to_pylist())))
+            if keys:
+                lo, hi = min(keys), max(keys)
+                lo_key = lo if lo_key is None else min(lo_key, lo)
+                hi_key = hi if hi_key is None else max(hi_key, hi)
+        return {"n_rows": n_rows, "doc_count": doc_count,
+                "sum_len": sum_len, "lo_key": lo_key, "hi_key": hi_key}
+
+    copy_refs, norm_refs = [], {"a": [], "b": []}
+    for s in shards:
+        sid = int(s["shard_id"])
+        if sid < k:
+            copy_refs.append(copy_shard.remote(sid, dst_a, sid, 0))
+            norm_refs["a"].append(move_norms.remote(sid, dst_a, sid, 0))
+        else:
+            copy_refs.append(
+                copy_shard.remote(sid, dst_b, sid - k, split_doc))
+            norm_refs["b"].append(
+                move_norms.remote(sid, dst_b, sid - k, split_doc))
+    ray.get(copy_refs)
+    parts = {side: ray.get(refs) for side, refs in norm_refs.items()}
+
+    def side_stats(prt: list[dict], n: int) -> dict:
+        doc_count = sum(p["doc_count"] for p in prt)
+        sum_len = sum(p["sum_len"] for p in prt)
+        return {"num_docs": n, "doc_count": doc_count,
+                "sum_total_term_freq": sum_len,
+                "avgdl": float(bm25.avg_field_length(
+                    sum_len, max(doc_count, 1)))}
+
+    def side_keys(prt: list[dict], which: str):
+        ks = [p[which] for p in prt if p[which] is not None]
+        return (min(ks) if which == "lo_key" else max(ks)) if ks else None
+
+    dels, exps = read_deletes(src_dir), read_expunged(src_dir)
+    lineage = m.get("lineage") or []
+
+    def clip_lineage(lo: int, hi: int, shift: int) -> list:
+        out = []
+        for e in lineage:
+            a, b = max(int(e["doc_lo"]), lo), min(int(e["doc_hi"]), hi)
+            if a < b:
+                out.append({**e, "doc_lo": a - shift, "doc_hi": b - shift})
+        return out
+
+    results = {}
+    for side, dst, lo, hi, shift, prt in (
+            ("a", dst_a, 0, split_doc, 0, parts["a"]),
+            ("b", dst_b, split_doc, num_docs, split_doc, parts["b"])):
+        n = hi - lo
+        side_dels = sorted(d - shift for d in dels if lo <= d < hi)
+        side_exps = sorted(d - shift for d in exps if lo <= d < hi)
+        if side_dels:
+            (Path(dst) / DELETES_NAME).write_text(
+                json.dumps({"doc_ids": side_dels}))
+        if side_exps:
+            (Path(dst) / EXPUNGED_NAME).write_text(
+                json.dumps({"doc_ids": side_exps}))
+        hk = side_keys(prt, "hi_key")
+        manifest = {
+            "version": 1,
+            "created_unix": time.time(),
+            "params": m["params"],
+            "stats": side_stats(prt, n),
+            "checkpoint": list(hk) if hk else m.get("checkpoint"),
+            "lineage": clip_lineage(lo, hi, shift),
+            "deleted_count": len(side_dels),
+            "shards": [
+                {**s, "shard_id": s["shard_id"] - k,
+                 "doc_lo": s["doc_lo"] - shift,
+                 "doc_hi": s["doc_hi"] - shift}
+                if shift else dict(s)
+                for s in shards if lo <= int(s["doc_lo"]) < hi],
+        }
+        tmp = Path(dst) / (MANIFEST_NAME + ".tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, Path(dst) / MANIFEST_NAME)
+        results[side] = {"num_docs": n, "deleted": len(side_dels)}
+
+    a_hi = side_keys(parts["a"], "hi_key")
+    b_lo = side_keys(parts["b"], "lo_key")
+    straddling = (a_hi[0] if a_hi and b_lo and a_hi[0] == b_lo[0]
+                  else None)
+    return {"split_doc": split_doc, "a": results["a"], "b": results["b"],
+            "straddling_conv": straddling}
