@@ -89,6 +89,10 @@ def main(argv=None) -> int:
                    help="edismax whole-query phrase-boost weight")
     s.add_argument("--ps", type=int, default=0,
                    help="edismax phrase-boost slop")
+    s.add_argument("--federate", action="append", default=None,
+                   metavar="INDEX_DIR",
+                   help="also search this index (repeatable): MultiReader"
+                        "-style federation with combined statistics")
 
     g = sub.add_parser("get", help="real-time get stored fields by key/id")
     g.add_argument("index_dir")
@@ -247,10 +251,15 @@ def main(argv=None) -> int:
         print(json.dumps(delete_documents(
             args.index_dir, doc_ids=args.doc_ids, keys=keys)))
     elif args.cmd == "search":
-        from .search.searcher import IndexSearcher
+        from .search.searcher import IndexSearcher, MultiIndexSearcher
 
-        searcher = IndexSearcher(args.index_dir,
-                                 similarity=args.similarity)
+        if args.federate:
+            searcher = MultiIndexSearcher(
+                [args.index_dir] + list(args.federate),
+                similarity=args.similarity)
+        else:
+            searcher = IndexSearcher(args.index_dir,
+                                     similarity=args.similarity)
         sort = None
         if args.sort:
             field, _, direction = args.sort.partition(":")

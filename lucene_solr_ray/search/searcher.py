@@ -1473,3 +1473,143 @@ class IndexSearcher:
              "conv_id": lookup[d][0], "turn_idx": lookup[d][1]}
             for d, s in hits
         ]
+
+
+class MultiIndexSearcher:
+    """MultiReader analog (``lucene/core/src/java/org/apache/lucene/index/
+    MultiReader.java:43`` + BaseCompositeReader's docBase arithmetic):
+    search several standalone indexes as ONE logical index without
+    merging — sub-index i's documents appear at
+    ``[base_i, base_i + num_docs_i)`` where ``base_i`` is the sum of the
+    preceding indexes' maxDocs, exactly the reference's sub-reader doc
+    base. Query-time statistics (docFreq, docCount,
+    sumTotalTermFreq → avgdl) are the COMBINED values, so scores are
+    bit-equal to an ``add_indexes``-merged index (asserted in tests);
+    each sub-index keeps its own ``num_docs`` for layout (MatchAllDocs
+    clamping). Analyzers must match — the same compatible-schema rule
+    ``add_indexes`` enforces. The federation is the query side of
+    ``split_index``: split a hot index, keep serving both halves as one.
+    """
+
+    def __init__(self, index_dirs, similarity: str = "bm25"):
+        if not index_dirs:
+            raise ValueError("MultiIndexSearcher needs >= 1 index")
+        self.manifests = [
+            json.loads((Path(d) / "manifest.json").read_text())
+            for d in index_dirs]
+        analyzers = {m["params"]["analyzer"] for m in self.manifests}
+        if len(analyzers) != 1:
+            raise ValueError(
+                f"sub-index analyzers must match, got {sorted(analyzers)}")
+        self.analyzer_name = analyzers.pop()
+        num = sum(m["stats"]["num_docs"] for m in self.manifests)
+        dc = sum(m["stats"]["doc_count"] for m in self.manifests)
+        ttf = sum(m["stats"]["sum_total_term_freq"] for m in self.manifests)
+        avgdl = float(bm25.avg_field_length(ttf, max(dc, 1)))
+        self.manifest = {"params": self.manifests[0]["params"],
+                         "stats": {"num_docs": num, "doc_count": dc,
+                                   "sum_total_term_freq": ttf,
+                                   "avgdl": avgdl}}
+        self.subs = []
+        base = 0
+        for d, m in zip(index_dirs, self.manifests):
+            patched = {**m, "stats": {**m["stats"], "doc_count": dc,
+                                      "sum_total_term_freq": ttf,
+                                      "avgdl": avgdl}}
+            shards = [ShardSearcher(str(d), sid, patched,
+                                    similarity=similarity)
+                      for sid in sorted(s["shard_id"]
+                                        for s in m["shards"])]
+            self.subs.append((str(d), base, m, shards))
+            base += int(m["stats"]["num_docs"])
+
+    def parse(self, text: str) -> Query:
+        from ..analysis import get_analyzer
+
+        return parse_query(text, get_analyzer(self.analyzer_name))
+
+    def parse_complex(self, text: str) -> Query:
+        from ..analysis import get_analyzer
+        from .query import parse_complex_phrase
+
+        return parse_complex_phrase(text, get_analyzer(self.analyzer_name))
+
+    def global_df(self, query: Query) -> dict[str, int]:
+        terms = sorted(collect_terms(query))
+        df: dict[str, int] = {}
+        for _, _, _, shards in self.subs:
+            for sh in shards:
+                for t, d in sh.local_df(terms).items():
+                    df[t] = df.get(t, 0) + d
+        return df
+
+    def search(self, query: Query | str, k: int = 10, sort=None,
+               filter_range=None, after=None):
+        if isinstance(query, str):
+            query = self.parse(query)
+        df_map = self.global_df(query)
+        from .query import CommonTermsQuery, rewrite_common_terms
+
+        if isinstance(query, CommonTermsQuery):
+            query = rewrite_common_terms(
+                query, df_map, self.manifest["stats"]["num_docs"])
+        hits = []
+        for _, base, _, shards in self.subs:
+            sub_after = ((after[0], int(after[1]) - base)
+                         if after is not None else None)
+            for sh in shards:
+                for h in sh.search(query, df_map, k, sort=sort,
+                                   filter_range=filter_range,
+                                   after=sub_after):
+                    hits.append((h[0] + base,) + tuple(h[1:]))
+        if sort:
+            hits.sort(key=lambda h: _merge_sort_key(h, sort))
+            return [(d, s) for d, s, _ in hits[:k]]
+        hits.sort(key=lambda h: (-float(h[1]), h[0]))
+        return hits[:k]
+
+    def explain(self, query: Query | str, doc_id: int) -> dict | None:
+        if isinstance(query, str):
+            query = self.parse(query)
+        df_map = self.global_df(query)
+        from .query import CommonTermsQuery, rewrite_common_terms
+
+        if isinstance(query, CommonTermsQuery):
+            query = rewrite_common_terms(
+                query, df_map, self.manifest["stats"]["num_docs"])
+        doc_id = int(doc_id)
+        for _, base, m, shards in self.subs:
+            if base <= doc_id < base + int(m["stats"]["num_docs"]):
+                local = doc_id - base
+                sid = local // shards[0].docs_per_shard
+                if sid >= len(shards):
+                    return None
+                return shards[sid].explain(query, local, df_map)
+        return None
+
+    def search_after(self, query: Query | str, k: int = 10, cursor=None):
+        hits = self.search(query, k=k, after=cursor)
+        if not hits:
+            return [], None
+        last = hits[-1]
+        nxt = (float(last[1]), int(last[0])) if len(hits) == k else None
+        return hits, nxt
+
+    def resolve_hits(self, hits):
+        import pyarrow.dataset as pads
+
+        out = {}
+        for d, base, m, _ in self.subs:
+            lo, hi = base, base + int(m["stats"]["num_docs"])
+            ids = [h - base for h, _ in hits if lo <= h < hi]
+            if not ids:
+                continue
+            t = pads.dataset(str(Path(d) / "norms"), format="parquet",
+                             partitioning="hive").to_table(
+                columns=["doc_id", "conv_id", "turn_idx"],
+                filter=pads.field("doc_id").isin(ids))
+            for r in t.to_pylist():
+                out[r["doc_id"] + base] = (r["conv_id"], r["turn_idx"])
+        return [{"doc_id": d, "score": float(s),
+                 "conv_id": out[d][0], "turn_idx": out[d][1]}
+                for d, s in hits]
