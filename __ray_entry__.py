@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scalar expressions / range queries (§2.9)
         "select_expr_lineitem": relational.select_expr_lineitem,
         "function_query_lineitem": relational.function_query_lineitem,
+        "scale_boost_lineitem": relational.scale_boost_lineitem,
         "expression_lineitem": relational.expression_lineitem,
         "range_filter_events": relational.range_filter_events,
         "datemath_range_events": relational.datemath_range_events,
@@ -369,6 +370,16 @@ def oracle_sql() -> dict[str, str]:
             "round(l_extendedprice * (1 - l_discount) "
             "+ 10 / (l_quantity + 10) + log10(l_extendedprice), 4) "
             "AS fscore FROM lineitem",
+        "scale_boost_lineitem":
+            "WITH b AS (SELECT min(l_extendedprice * (1 - l_discount)) "
+            "AS mn1, max(l_extendedprice * (1 - l_discount)) AS mx1, "
+            "min(l_quantity) AS mn2, max(l_quantity) AS mx2 "
+            "FROM lineitem) "
+            "SELECT l_orderkey, l_linenumber, "
+            "round((l_extendedprice * (1 - l_discount) - b.mn1) "
+            "/ (b.mx1 - b.mn1) "
+            "+ (l_quantity - b.mn2) / (b.mx2 - b.mn2) * 100, 6) "
+            "AS sscore FROM lineitem, b",
         "range_filter_events":
             "SELECT event_type, count(*) AS cnt, "
             "round(sum(value), 2) AS sum_value FROM events "

@@ -67,6 +67,16 @@ def _scale(x, lo, hi):
                               pc.subtract(hi, lo)), lo)
 
 
+def _scale_bound(x, lo, hi, mn, mx):
+    """scale() with pre-computed GLOBAL bounds (see bind_scale_global)."""
+    mnv = mn.as_py() if isinstance(mn, pa.Scalar) else float(mn)
+    mxv = mx.as_py() if isinstance(mx, pa.Scalar) else float(mx)
+    span = (mxv - mnv) or 1.0
+    return pc.add(pc.multiply(pc.divide(pc.subtract(x, pa.scalar(mnv)),
+                                        pa.scalar(span)),
+                              pc.subtract(hi, lo)), lo)
+
+
 def _np_kernel(fn: Callable, *args):
     """Run a numpy-vectorized kernel over pyarrow inputs (for formulas
     with no direct pyarrow.compute spelling, e.g. haversine)."""
@@ -113,8 +123,12 @@ FUNCTIONS: dict[str, tuple[Any, Callable]] = {
     # boost-by-recency staple)
     "recip": (4, lambda x, m, a, b: pc.divide(a, pc.add(pc.multiply(m, x),
                                                         b))),
-    # scale(x, lo, hi) (ScaleFloatFunction; min/max over the batch)
+    # scale(x, lo, hi) (ScaleFloatFunction; min/max over the TABLE it is
+    # evaluated on — use bind_scale_global before evaluating over a
+    # multi-block Dataset, matching the reference's index-wide bounds)
     "scale": (3, _scale),
+    # internal: scale() after bind_scale_global pinned global bounds
+    "scale_bound": (5, _scale_bound),
     # map(x, lo, hi, target) (RangeMapFloatFunction)
     "map": (4, lambda x, lo, hi, t: pc.if_else(
         pc.and_(pc.greater_equal(x, lo), pc.less_equal(x, hi)), t, x)),
@@ -331,6 +345,65 @@ def bind_index_stats(node, stats: dict):
         return Func(node.name,
                     tuple(bind_index_stats(a, stats) for a in node.args))
     return node
+
+def scale_subexprs(node) -> list:
+    """Distinct first-arg sub-expressions of every scale() node, in
+    first-appearance order."""
+    out = []
+
+    def walk(n):
+        if isinstance(n, Func):
+            if n.name == "scale" and n.args[0] not in out:
+                out.append(n.args[0])
+            for a in n.args:
+                walk(a)
+
+    walk(node)
+    return out
+
+
+def bind_scale_global(node, ds):
+    """ScaleFloatFunction's real contract scales by the min/max over the
+    WHOLE index (``lucene/queries/.../valuesource/ScaleFloatFunction.java:
+    35`` createWeightsMap walks every reader), not one batch — evaluating
+    an unbound scale() inside map_batches would make results depend on
+    block boundaries. This pass runs ONE streaming pre-pass over ``ds``
+    per expression (per-batch (min, max) partials, two floats per batch,
+    reduced on the driver) and pins the bounds into the AST as constants,
+    so the shipped tree stays pure data.
+
+    Returns the rewritten AST (unchanged object if there is no scale())."""
+    subs = scale_subexprs(node)
+    if not subs:
+        return node
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {}
+        for i, sub in enumerate(subs):
+            v = eval_expr(sub, t)
+            cols[f"mn{i}"] = pa.array([pc.min(v).as_py()],
+                                      type=pa.float64())
+            cols[f"mx{i}"] = pa.array([pc.max(v).as_py()],
+                                      type=pa.float64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    bounds = {sub: (float(parts[f"mn{i}"].min()),
+                    float(parts[f"mx{i}"].max()))
+              for i, sub in enumerate(subs)}
+
+    def rewrite(n):
+        if isinstance(n, Func):
+            args = tuple(rewrite(a) for a in n.args)
+            if n.name == "scale":
+                mn, mx = bounds[n.args[0]]
+                return Func("scale_bound",
+                            args + (Const(mn), Const(mx)))
+            return Func(n.name, args)
+        return n
+
+    return rewrite(node)
+
 
 _TOKEN = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_.]*|[-+]?[0-9]*\.?[0-9]+"
                     r"(?:[eE][-+]?[0-9]+)?|[(),])")

@@ -396,6 +396,38 @@ def function_query_lineitem(sf_dir: str):
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def scale_boost_lineitem(sf_dir: str):
+    """ScaleFloatFunction with INDEX-GLOBAL bounds: scale() is bound to
+    the whole-table min/max by a streaming pre-pass (two floats per
+    batch; ``valuesource.bind_scale_global``), so the result is
+    independent of block boundaries — the distributed re-expression of
+    ScaleFloatFunction.java:35's every-reader weights map."""
+    from ..functions.valuesource import (
+        bind_scale_global,
+        eval_expr,
+        parse_func,
+    )
+
+    ds = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_quantity",
+               "l_extendedprice", "l_discount"])
+    ast = parse_func(
+        "sum(scale(mul(l_extendedprice,sub(1,l_discount)),0,1),"
+        "scale(l_quantity,0,100))")
+    bound = bind_scale_global(ast, ds)
+
+    def apply(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "l_linenumber": t.column("l_linenumber"),
+            "sscore": eval_expr(bound, t),
+        })
+        return round_col(out, "sscore", 6)
+
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def expression_lineitem(sf_dir: str):
     """expressions-module query (``lucene/expressions/.../js/
     JavascriptCompiler.java``): an INFIX JS-syntax expression with

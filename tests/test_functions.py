@@ -217,3 +217,39 @@ def test_distance_kernels():
     assert np.allclose(np.sqrt(sq), d2)
     d1 = eval_expr(parse_func("dist(1,x,y,0,0)"), t).to_numpy()
     assert np.allclose(d1, [5.0, 8.0, 11.0])
+
+
+def test_bind_scale_global_block_independent(ray_session):
+    """scale() bound via the global pre-pass must not depend on block
+    boundaries (ScaleFloatFunction.java:35 walks every reader)."""
+    import ray.data as rd
+
+    from lucene_solr_ray.functions.valuesource import (
+        bind_scale_global,
+        eval_expr,
+        parse_func,
+    )
+
+    vals = np.arange(100, dtype=np.float64)
+    rng = np.random.default_rng(7)
+    rng.shuffle(vals)
+    ast = parse_func("scale(x,0,10)")
+
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(pa.table({"x": vals})).repartition(nblocks)
+        bound = bind_scale_global(ast, ds)
+        got = (ds.map_batches(
+            lambda t: pa.table({"x": t.column("x"),
+                                "s": eval_expr(bound, t)}),
+            batch_format="pyarrow").to_pandas().sort_values("x"))
+        outs.append(got["s"].to_numpy())
+    assert np.allclose(outs[0], outs[1])
+    # exact min-max semantics: min -> 0, max -> 10
+    assert outs[0].min() == 0.0 and outs[0].max() == 10.0
+    # an unbound scale() inside map_batches WOULD differ across blocks:
+    # the bound AST is constant-folded, so no per-batch min/max remains
+    from lucene_solr_ray.functions.valuesource import Func
+
+    bound = bind_scale_global(ast, rd.from_arrow(pa.table({"x": vals})))
+    assert isinstance(bound, Func) and bound.name == "scale_bound"
