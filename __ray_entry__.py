@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": relational.facet_lang,
         "facet_source_lang": relational.facet_source_lang,
         "nested_facet_source_lang": relational.nested_facet_source_lang,
+        "facet_options_docs": relational.facet_options_docs,
         "range_facet_events": relational.range_facet_events,
         "pivot_facet_orders": relational.pivot_facet_orders,
         "interval_facet_events": relational.interval_facet_events,
@@ -325,6 +326,14 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY sl.source ORDER BY sl.cnt DESC, sl.lang) AS rn "
             "FROM sl JOIN s USING (source)) "
             "SELECT source, lang, cnt FROM r WHERE rn <= 2",
+        "facet_options_docs":
+            "WITH c AS (SELECT source, count(*) AS cnt FROM documents "
+            "GROUP BY source), "
+            "s AS (SELECT count(*)::BIGINT AS num_buckets, "
+            "sum(cnt)::BIGINT AS all_count FROM c) "
+            "SELECT c.source, c.cnt, s.num_buckets, s.all_count, "
+            "0::BIGINT AS missing_count FROM c, s "
+            "ORDER BY c.cnt DESC, c.source LIMIT 2",
         "stats_events":
             "SELECT event_type, count(*) AS cnt, min(value) AS min_value, "
             "max(value) AS max_value, round(sum(value), 2) AS sum_value "

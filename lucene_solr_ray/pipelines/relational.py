@@ -34,35 +34,70 @@ def facet_source_lang(sf_dir: str):
             .groupby(["source", "lang"]).aggregate(Count(alias_name="cnt")))
 
 
-def json_facet(ds, fields: list[str], limits: list[int]):
+_MISSING_SENTINEL = "\x00__missing__"
+
+
+def json_facet(ds, fields: list[str], limits: list[int],
+               missing: bool = False, all_buckets: bool = False,
+               num_buckets: bool = False):
     """Nested JSON facet buckets (``solr/core/.../search/facet/
     FacetField.java`` semantics): per level, buckets sorted by count desc
-    (tie -> value asc) with a per-parent-bucket limit.
+    (tie -> value asc) with a per-parent-bucket limit. ``missing`` /
+    ``allBuckets`` / ``numBuckets`` mirror the JSON Facet API options
+    (FacetFieldProcessor's SpecialSlotAcc trio): the missing-value
+    bucket, the limit-independent aggregate over every bucket, and the
+    pre-limit distinct bucket count — attached at every nesting level.
 
     ONE distributed groupby over the full key tuple computes every leaf
-    count (never a per-bucket query fan-out); the bucket tree and the
+    count (never a per-bucket query fan-out, and the option trio adds NO
+    extra shuffle: nulls are folded to a sentinel key per batch so the
+    same counts table answers all three); the bucket tree and the
     per-parent limits are assembled from that (small, cardinality-bounded)
     counts table. Returns the nested bucket dict.
     """
+    if missing:
+        flds = list(fields)
+
+        def fold_nulls(t: pa.Table) -> pa.Table:
+            for f in flds:
+                col = t.column(f)
+                if col.null_count:
+                    idx = t.schema.get_field_index(f)
+                    t = t.set_column(idx, f, pc.fill_null(
+                        col, _MISSING_SENTINEL))
+            return t
+
+        ds = ds.map_batches(fold_nulls, batch_format="pyarrow")
     counts = (ds.groupby(fields).aggregate(Count(alias_name="cnt"))
               .to_pandas())
 
-    def build(df: pd.DataFrame, level: int) -> list[dict]:
+    def build(df: pd.DataFrame, level: int) -> dict:
         fld = fields[level]
-        totals = (df.groupby(fld, sort=False)["cnt"].sum()
+        is_missing = (df[fld] == _MISSING_SENTINEL
+                      if missing else df[fld].isna())
+        present, absent = df[~is_missing], df[is_missing]
+        totals = (present.groupby(fld, sort=False)["cnt"].sum()
                   .reset_index()
-                  .sort_values(["cnt", fld], ascending=[False, True])
-                  .head(limits[level]))
-        out = []
-        for _, row in totals.iterrows():
+                  .sort_values(["cnt", fld], ascending=[False, True]))
+        node = {}
+        if num_buckets:
+            node["numBuckets"] = int(len(totals))
+        if all_buckets:
+            node["allBuckets"] = {"count": int(present["cnt"].sum())}
+        if missing:
+            node["missing"] = {"count": int(absent["cnt"].sum())}
+        buckets = []
+        for _, row in totals.head(limits[level]).iterrows():
             bucket = {"val": row[fld], "count": int(row["cnt"])}
             if level + 1 < len(fields):
-                sub = df[df[fld] == row[fld]]
-                bucket["buckets"] = build(sub, level + 1)
-            out.append(bucket)
-        return out
+                sub = build(present[present[fld] == row[fld]], level + 1)
+                bucket["buckets"] = sub.pop("buckets")
+                bucket.update(sub)
+            buckets.append(bucket)
+        node["buckets"] = buckets
+        return node
 
-    return {"buckets": build(counts, 0)}
+    return build(counts, 0)
 
 
 def nested_facet_source_lang(sf_dir: str, top_sources: int = 2,
@@ -77,6 +112,27 @@ def nested_facet_source_lang(sf_dir: str, top_sources: int = 2,
         "source": pa.array([r[0] for r in rows]),
         "lang": pa.array([r[1] for r in rows]),
         "cnt": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+
+
+def facet_options_docs(sf_dir: str, limit: int = 2):
+    """JSON facet option trio over documents.source as one flat
+    SQL-checkable table: top-``limit`` buckets plus the level's
+    numBuckets / allBuckets / missing scalars repeated per row."""
+    ds = read(sf_dir, "documents", ["source"])
+    node = json_facet(ds, ["source"], [limit], missing=True,
+                      all_buckets=True, num_buckets=True)
+    rows = node["buckets"]
+    n = len(rows)
+    return pa.table({
+        "source": pa.array([b["val"] for b in rows]),
+        "cnt": pa.array([b["count"] for b in rows], type=pa.int64()),
+        "num_buckets": pa.array([node["numBuckets"]] * n,
+                                type=pa.int64()),
+        "all_count": pa.array([node["allBuckets"]["count"]] * n,
+                              type=pa.int64()),
+        "missing_count": pa.array([node["missing"]["count"]] * n,
+                                  type=pa.int64()),
     })
 
 

@@ -69,3 +69,46 @@ def test_nested_facet_matches_pandas(ray_session):
     # flat driver-surface variant has one row per (top source, top lang)
     flat = nested_facet_source_lang(sf).to_pandas()
     assert len(flat) == sum(len(b["buckets"]) for b in tree["buckets"])
+
+
+def test_facet_option_trio_with_nulls(ray_session):
+    """missing / allBuckets / numBuckets (FacetFieldProcessor's
+    SpecialSlotAcc trio) against a hand-computed corpus with nulls at
+    both nesting levels."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.relational import json_facet
+
+    src = ["a", "a", "a", "b", "b", "c", None, None]
+    lng = ["en", "en", None, "fr", "en", "fr", "en", None]
+    ds = rd.from_arrow(pa.table({"source": src, "lang": lng}))
+    node = json_facet(ds, ["source", "lang"], [2, 1], missing=True,
+                      all_buckets=True, num_buckets=True)
+    # top level: a(3) b(2) c(1), 2 missing; limit 2 -> a, b
+    assert node["numBuckets"] == 3
+    assert node["allBuckets"] == {"count": 6}
+    assert node["missing"] == {"count": 2}
+    assert [(b["val"], b["count"]) for b in node["buckets"]] \
+        == [("a", 3), ("b", 2)]
+    a, b = node["buckets"]
+    # within a: en(2), 1 missing lang; limit 1 -> en
+    assert a["numBuckets"] == 1 and a["missing"] == {"count": 1}
+    assert a["allBuckets"] == {"count": 2}
+    assert [(x["val"], x["count"]) for x in a["buckets"]] == [("en", 2)]
+    # within b: en(1), fr(1) -> tie breaks value-asc; no missing
+    assert b["numBuckets"] == 2 and b["missing"] == {"count": 0}
+    assert [(x["val"], x["count"]) for x in b["buckets"]] == [("en", 1)]
+
+
+def test_facet_options_off_by_default(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.relational import json_facet
+
+    ds = rd.from_arrow(pa.table({"source": ["a", "b", "a"]}))
+    node = json_facet(ds, ["source"], [5])
+    assert set(node) == {"buckets"}
+    assert [(b["val"], b["count"]) for b in node["buckets"]] \
+        == [("a", 2), ("b", 1)]
