@@ -137,6 +137,12 @@ def main(argv=None) -> int:
     c = sub.add_parser("check", help="validate index invariants")
     c.add_argument("index_dir")
 
+    lk = sub.add_parser("luke", help="index introspection: fields, "
+                        "stats, exact global top terms "
+                        "(LukeRequestHandler)")
+    lk.add_argument("index_dir")
+    lk.add_argument("--top", type=int, default=10)
+
     sg = sub.add_parser("segments", help="per-shard index statistics "
                         "(Luke / segments info analog)")
     sg.add_argument("index_dir")
@@ -217,7 +223,7 @@ def main(argv=None) -> int:
     if args.cmd in ("update", "search", "check", "delete", "get",
                     "atomic-update", "terms", "spellcheck", "facet",
                     "recover", "tlog-status", "cdcr-bootstrap",
-                    "cdcr-forward", "addindexes", "split"):
+                    "cdcr-forward", "addindexes", "split", "luke"):
         from pathlib import Path
 
         if not (Path(args.index_dir) / "manifest.json").exists():
@@ -397,6 +403,10 @@ def main(argv=None) -> int:
         print(json.dumps(split_index(args.index_dir, args.dst_a,
                                      args.dst_b,
                                      split_doc=args.split_doc)))
+    elif args.cmd == "luke":
+        from .index.check import luke
+
+        print(json.dumps(luke(args.index_dir, top_n=args.top)))
     elif args.cmd == "segments":
         import json as _json
         from pathlib import Path

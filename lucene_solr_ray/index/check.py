@@ -171,3 +171,73 @@ def check_index(index_dir: str, parallel: bool | None = None) -> dict:
         "docs": int(len(doc_ids)),
         "status": "ok",
     }
+
+
+def luke(index_dir: str, top_n: int = 10) -> dict:
+    """LukeRequestHandler analog (``solr/core/src/java/org/apache/solr/
+    handler/admin/LukeRequestHandler.java:109`` getIndexedFieldsInfo /
+    topTerms): index introspection — schema fields with per-field
+    docvalue presence, index-level statistics, and the EXACT global
+    top-``top_n`` terms by docFreq (tie -> term asc).
+
+    Terms are doc-range-sharded so a term's postings may live in every
+    shard; a per-shard top-N merge would be approximate. Instead the
+    segment DICTIONARIES (term, df, ttf — already aggregated per shard,
+    far smaller than postings) stream through one bucketed sum, exactly
+    the pushdown shape term statistics use everywhere else in this
+    engine; only ``top_n`` rows reach the driver."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    from ..pipelines.util import bucketed_group_agg
+    from .build import read_manifest
+
+    m = read_manifest(index_dir)
+    index_path = Path(index_dir)
+    term_files = sorted(
+        str(p) for p in (index_path / "shards").glob("shard=*/terms.parquet"))
+    top = []
+    n_terms_total = 0
+    if term_files:
+        ds = rd.read_parquet(term_files, columns=["term", "df", "ttf"])
+        n_terms_total = ds.count()
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.groupby("term", sort=False)[["df", "ttf"]].sum()
+                   .reset_index())
+            # per-bucket pre-prune: the global top-N by df must be in
+            # some bucket's local top-N
+            out = out.sort_values(["df", "term"],
+                                  ascending=[False, True]).head(top_n)
+            for c in ("df", "ttf"):
+                out[c] = out[c].astype(np.int64)
+            return out
+
+        agg = bucketed_group_agg(ds, ["term"], merge).to_pandas()
+        agg = agg.sort_values(["df", "term"],
+                              ascending=[False, True]).head(top_n)
+        top = [{"term": r.term, "df": int(r.df), "ttf": int(r.ttf)}
+               for r in agg.itertuples()]
+
+    norms = pads.dataset(str(index_path / "norms"), format="parquet",
+                         partitioning="hive")
+    reserved = {"doc_id", "doc_shard", "norm_byte", "doc_len"}
+    fields = {
+        "text": {"type": "text", "indexed": True, "docValues": False,
+                 "analyzer": m["params"]["analyzer"]},
+        **{n: {"type": str(norms.schema.field(n).type), "indexed": False,
+               "docValues": True}
+           for n in norms.schema.names if n not in reserved},
+    }
+    return {
+        "index": {**m["stats"], "version": m["version"],
+                  "num_shards": len(m["shards"]),
+                  "num_terms_sharded": int(n_terms_total),
+                  "deleted_docs": m.get("deleted_count", 0),
+                  "postings_codec": m["params"].get("postings_codec",
+                                                    "varint")},
+        "fields": fields,
+        "top_terms": top,
+    }
