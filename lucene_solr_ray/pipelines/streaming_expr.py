@@ -19,7 +19,7 @@ reference's search() hits a collection; here collections are the parquet
 tables, and ``q=...`` full-text search is served by the documents index).
 
 Supported stream functions (the commonly-composed core): search, select,
-innerJoin, leftOuterJoin, hashJoin, intersect, complement, merge, unique,
+innerJoin, leftOuterJoin, hashJoin, outerHashJoin, intersect, complement, merge, unique,
 sort, top, rollup + metrics sum()/count()/min()/max()/avg().
 """
 
@@ -245,11 +245,13 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
                 i += 1
         out = src.select_columns(cols)
         return out.rename_columns(renames) if renames else out
-    if name in ("innerJoin", "leftOuterJoin", "hashJoin"):
+    if name in ("innerJoin", "leftOuterJoin", "hashJoin",
+                "outerHashJoin"):
         left = evaluate(e.args[0], sf_dir)
         right = evaluate(e.args[1], sf_dir)
         lk, _, rk = e.params["on"].partition("=")
-        jt = "left_outer" if name == "leftOuterJoin" else "inner"
+        jt = ("left_outer" if name in ("leftOuterJoin", "outerHashJoin")
+              else "inner")
         return native_join(left, right, on=lk.strip(),
                            right_on=(rk or lk).strip(), join_type=jt)
     if name in ("intersect", "complement"):

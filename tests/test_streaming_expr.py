@@ -227,3 +227,12 @@ def test_update_stream_function(ray_session, tmp_path):
     written = pads.dataset(str(dest), format="parquet")
     assert written.count_rows() == 1000
     assert set(written.schema.names) == {"event_id", "value"}
+
+
+def test_outer_hash_join(ray_session, con):
+    got = _df('outerHashJoin(search(customer, fl="c_custkey,c_name"), '
+              'search(orders, fl="o_custkey,o_orderkey"), '
+              'on="c_custkey=o_custkey")')
+    want = _sql(con, "SELECT c_custkey, c_name, o_orderkey FROM customer "
+                     "LEFT JOIN orders ON c_custkey = o_custkey")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
