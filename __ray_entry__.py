@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_facet_source_lang": relational.nested_facet_source_lang,
         "facet_options_docs": relational.facet_options_docs,
         "range_facet_events": relational.range_facet_events,
+        "date_range_facet_events": relational.date_range_facet_events,
         "pivot_facet_orders": relational.pivot_facet_orders,
         "interval_facet_events": relational.interval_facet_events,
         "stat_sorted_facet_orders": relational.stat_sorted_facet_orders,
@@ -234,6 +235,27 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'after', count(*) FROM events WHERE value >= 350 "
             "UNION ALL SELECT 'between', count(*) FROM events "
             "WHERE value >= 50 AND value < 350",
+        "date_range_facet_events":
+            # +7DAYS stepping overshoots end: edges 01,08,15,22,29 Jan,
+            # 05 Feb; no hardend, so 'after' counts ts >= Feb 5
+            "WITH b AS (SELECT unnest(generate_series("
+            "TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-29', "
+            "INTERVAL 7 DAY)) AS lo), "
+            "c AS (SELECT TIMESTAMP '2024-01-01' + INTERVAL 7 DAY * "
+            "CAST(floor(date_diff('second', TIMESTAMP '2024-01-01', ts) "
+            "/ 604800.0) AS BIGINT) AS lo, count(*) AS n FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-02-05' GROUP BY 1) "
+            "SELECT strftime(b.lo, '%Y-%m-%dT%H:%M:%SZ') AS bucket, "
+            "CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt "
+            "FROM b LEFT JOIN c USING (lo) "
+            "UNION ALL SELECT 'before', count(*) FROM events "
+            "WHERE ts < TIMESTAMP '2024-01-01' "
+            "UNION ALL SELECT 'after', count(*) FROM events "
+            "WHERE ts >= TIMESTAMP '2024-02-05' "
+            "UNION ALL SELECT 'between', count(*) FROM events "
+            "WHERE ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-02-05'",
         "stat_sorted_facet_orders":
             "SELECT o_orderpriority, count(*) AS cnt, "
             "round(sum(o_totalprice), 2) AS sum_price FROM orders "

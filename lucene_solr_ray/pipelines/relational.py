@@ -230,6 +230,86 @@ def range_facet_events(sf_dir: str):
                        "value", start=50, end=350, gap=50)
 
 
+def date_range_facet(ds, field: str, start: str, end: str, gap: str,
+                     hardend: bool = False, include_other: bool = True,
+                     now=None):
+    """facet.range over a DATE field with date-math gap stepping
+    (``RangeFacetProcessor.java:45`` + DateRangeEndpointCalculator:
+    every bucket edge is the previous edge with ``gap`` applied through
+    DateMathParser, so ``+1MONTH`` yields CALENDAR months, not fixed
+    30-day strides). Endpoints accept date math too (``NOW/DAY-7DAYS``).
+
+    Edges are computed once on the driver (bucket count is tiny); values
+    stream through one vectorized searchsorted per batch — the math never
+    runs per row. Returns (bucket, cnt) with the bucket labeled by its
+    ISO start instant, plus before / after / between like the numeric
+    facet."""
+    from ..functions.datemath import parse_date_math
+
+    s = parse_date_math(start, now=now)
+    e = parse_date_math(end, now=now)
+    if not s < e:
+        raise ValueError(f"start {start!r} must precede end {end!r}")
+    iso = "%Y-%m-%dT%H:%M:%SZ"
+    edges = [s]
+    while edges[-1] < e:
+        nxt = parse_date_math(edges[-1].strftime(iso) + gap, now=now)
+        if nxt <= edges[-1]:
+            raise ValueError(f"gap {gap!r} must move time forward")
+        edges.append(nxt)
+    if hardend:
+        edges[-1] = e
+    n_buckets = len(edges) - 1
+    labels = [d.strftime(iso) for d in edges[:-1]]
+    edges_np = np.array([np.datetime64(d.replace(tzinfo=None), "us")
+                         for d in edges])
+    i_before, i_after, i_between = n_buckets, n_buckets + 1, n_buckets + 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(field)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        v = v[~np.isnat(v)]
+        counts = np.zeros(n_buckets + 3, dtype=np.int64)
+        below = v < edges_np[0]
+        above = v >= edges_np[-1]
+        mid = ~(below | above)
+        idx = np.searchsorted(edges_np, v[mid], side="right") - 1
+        counts[:n_buckets] = np.bincount(idx, minlength=n_buckets)
+        counts[i_before] = int(below.sum())
+        counts[i_after] = int(above.sum())
+        counts[i_between] = int(mid.sum())
+        return pa.table({"i": pa.array(np.arange(n_buckets + 3)),
+                         "cnt": pa.array(counts)})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("i").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def label(t: pa.Table) -> pa.Table:
+        idx = t.column("i").to_numpy(zero_copy_only=False)
+        names, keep = [], np.ones(len(idx), dtype=bool)
+        for j, i in enumerate(idx):
+            if i < n_buckets:
+                names.append(labels[i])
+            else:
+                names.append(("before", "after", "between")[i - n_buckets])
+                if not include_other:
+                    keep[j] = False
+        out = pa.table({"bucket": pa.array(names, type=pa.string()),
+                        "cnt": t.column("cnt").cast(pa.int64())})
+        return out.filter(pa.array(keep))
+
+    return merged.map_batches(label, batch_format="pyarrow")
+
+
+def date_range_facet_events(sf_dir: str):
+    """facet.range over events.ts: +7DAYS gaps across January 2024."""
+    return date_range_facet(read(sf_dir, "events", ["ts"]), "ts",
+                            "2024-01-01T00:00:00Z",
+                            "2024-02-01T00:00:00Z", "+7DAYS")
+
+
 # --- interval facets (IntervalFacets.java:53-101) ---
 
 def _parse_interval(spec: str) -> tuple[float, bool, float, bool]:

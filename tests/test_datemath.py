@@ -74,3 +74,51 @@ def test_errors_match_reference_vocabulary():
                 "NOW/DAY+garbage"]:
         with pytest.raises(DateMathError):
             dm(bad)
+
+
+def test_date_range_facet_calendar_months(ray_session):
+    """+1MONTH gap steps CALENDAR months (DateRangeEndpointCalculator):
+    Feb is 29 days in 2024, so fixed-stride bucketing would misplace
+    boundary values."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.relational import date_range_facet
+
+    ts = [np.datetime64(x, "us") for x in
+          ["2023-12-31T23:59:59", "2024-01-15T00:00:00",
+           "2024-01-31T23:59:59", "2024-02-01T00:00:00",
+           "2024-02-29T12:00:00", "2024-03-01T00:00:00",
+           "2024-03-31T23:59:59", "2024-04-01T00:00:00"]]
+    ds = rd.from_arrow(pa.table({"ts": pa.array(ts,
+                                                pa.timestamp("us"))}))
+    got = dict(date_range_facet(
+        ds, "ts", "2024-01-01T00:00:00Z", "2024-04-01T00:00:00Z",
+        "+1MONTH").to_pandas().itertuples(index=False, name=None))
+    assert got["2024-01-01T00:00:00Z"] == 2
+    assert got["2024-02-01T00:00:00Z"] == 2   # incl. Feb 29 midday
+    assert got["2024-03-01T00:00:00Z"] == 2
+    assert got["before"] == 1 and got["after"] == 1
+    assert got["between"] == 6
+
+
+def test_date_range_facet_datemath_endpoints(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.relational import date_range_facet
+
+    ts = [np.datetime64("2024-01-20T06:00:00", "us"),
+          np.datetime64("2024-01-21T06:00:00", "us"),
+          np.datetime64("2024-01-10T00:00:00", "us")]
+    ds = rd.from_arrow(pa.table({"ts": pa.array(ts,
+                                                pa.timestamp("us"))}))
+    got = dict(date_range_facet(
+        ds, "ts", "NOW/DAY-2DAYS", "NOW/DAY", "+1DAY",
+        now="2024-01-22T12:00:00Z").to_pandas()
+        .itertuples(index=False, name=None))
+    assert got["2024-01-20T00:00:00Z"] == 1
+    assert got["2024-01-21T00:00:00Z"] == 1
+    assert got["before"] == 1 and got["after"] == 0
