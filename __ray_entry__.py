@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_source_lang": relational.facet_source_lang,
         "nested_facet_source_lang": relational.nested_facet_source_lang,
         "facet_options_docs": relational.facet_options_docs,
+        "drill_sideways_docs": relational.drill_sideways_docs,
         "range_facet_events": relational.range_facet_events,
         "date_range_facet_events": relational.date_range_facet_events,
         "pivot_facet_orders": relational.pivot_facet_orders,
@@ -356,6 +357,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.source, c.cnt, s.num_buckets, s.all_count, "
             "0::BIGINT AS missing_count FROM c, s "
             "ORDER BY c.cnt DESC, c.source LIMIT 2",
+        "drill_sideways_docs":
+            # sideways: each dim drops its own filter, keeps the others'
+            "SELECT 'lang' AS dim, lang AS val, count(*) AS cnt "
+            "FROM documents WHERE source = 'src1' GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'source', source, count(*) FROM documents "
+            "WHERE lang = 'en' GROUP BY source "
+            "UNION ALL "
+            "SELECT 'len_parity', CASE WHEN n_chars % 2 = 0 THEN 'even' "
+            "ELSE 'odd' END, count(*) FROM documents "
+            "WHERE lang = 'en' AND source = 'src1' GROUP BY 2 "
+            "UNION ALL "
+            "SELECT '__hits__', '', count(*) FROM documents "
+            "WHERE lang = 'en' AND source = 'src1'",
         "stats_events":
             "SELECT event_type, count(*) AS cnt, min(value) AS min_value, "
             "max(value) AS max_value, round(sum(value), 2) AS sum_value "

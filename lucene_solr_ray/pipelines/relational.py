@@ -875,3 +875,78 @@ def antijoin_customers(sf_dir: str):
     """Customers with no high-value order (ComplementStream anti-join)."""
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
     return anti_join(cust, _big_order_custkeys(sf_dir), on="c_custkey")
+
+
+# --- drill-down / drill-sideways (lucene/facet) ---
+
+def drill_sideways(ds, filters: dict[str, object],
+                   facet_fields: list[str] | None = None):
+    """DrillSideways (``lucene/facet/src/java/org/apache/lucene/facet/
+    DrillSideways.java:63`` + DrillSidewaysScorer's near-miss collection):
+    apply a DrillDownQuery of per-dimension equality filters; each
+    dimension's facet counts are computed with EVERY OTHER dimension's
+    filter applied but its own dropped, so the UI can show what the user
+    would get by switching this dimension's selection. Extra
+    ``facet_fields`` (no filter of their own) count under the full drill
+    -down, and a ``__hits__`` row carries the fully-filtered hit count.
+
+    The reference collects near-misses (docs failing exactly one
+    dimension) in one scorer pass; here one ``map_batches`` pass builds
+    all dimension masks vectorized and emits per-(dim, value) partial
+    counts — corpus rows stream once, only (dim, value, cnt) partials
+    shuffle through one bucketed merge."""
+    from .util import bucketed_group_agg
+
+    dims = list(filters)
+    extra = [f for f in (facet_fields or []) if f not in filters]
+    cols = dims + extra
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        masks = {d: pc.equal(t.column(d), pa.scalar(filters[d]))
+                 .to_numpy(zero_copy_only=False).astype(bool)
+                 for d in dims}
+        all_mask = np.logical_and.reduce(list(masks.values())) \
+            if dims else np.ones(len(t), dtype=bool)
+        out = []
+        for d in cols:
+            if d in filters:
+                others = [masks[o] for o in dims if o != d]
+                sel = (np.logical_and.reduce(others) if others
+                       else np.ones(len(t), dtype=bool))
+            else:
+                sel = all_mask
+            vals = t.column(d).to_pandas()[sel]
+            vc = vals.value_counts()
+            out.append(pd.DataFrame({"dim": d,
+                                     "val": vc.index.astype(str),
+                                     "cnt": vc.to_numpy(np.int64)}))
+        out.append(pd.DataFrame({"dim": ["__hits__"], "val": [""],
+                                 "cnt": [np.int64(all_mask.sum())]}))
+        return pd.concat(out, ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["dim", "val"], sort=False)["cnt"].sum()
+               .reset_index())
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_agg(partials, ["dim", "val"], merge)
+
+
+def drill_sideways_docs(sf_dir: str):
+    """DrillSideways over documents: drill-down {lang=en, source=src1};
+    lang counts see only the source filter, source counts only the lang
+    filter, and n_chars-parity (derived dim) counts the full drill-down."""
+    ds = read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def add_parity(t: pa.Table) -> pa.Table:
+        par = pc.if_else(
+            pc.equal(pc.bit_wise_and(t.column("n_chars"), 1), 0),
+            pa.scalar("even"), pa.scalar("odd"))
+        return t.append_column("len_parity", par)
+
+    return drill_sideways(
+        ds.map_batches(add_parity, batch_format="pyarrow"),
+        {"lang": "en", "source": "src1"},
+        facet_fields=["len_parity"])

@@ -112,3 +112,34 @@ def test_facet_options_off_by_default(ray_session):
     assert set(node) == {"buckets"}
     assert [(b["val"], b["count"]) for b in node["buckets"]] \
         == [("a", 2), ("b", 1)]
+
+
+def test_drill_sideways_hand_corpus(ray_session):
+    """DrillSideways.java:63: each dimension's counts drop its own
+    filter, keep the others'; extra facet fields see the full drill-down."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.relational import drill_sideways
+
+    t = pa.table({
+        "color": ["red", "red", "red", "blue", "blue", "green"],
+        "size":  ["s",   "m",  "s",   "s",    "m",    "s"],
+        "brand": ["a",   "a",  "b",   "a",    "b",    "a"],
+    })
+    got = {(r.dim, r.val): r.cnt for r in
+           drill_sideways(rd.from_arrow(t).repartition(3),
+                          {"color": "red", "size": "s"},
+                          facet_fields=["brand"])
+           .to_pandas().itertuples()}
+    # color counts: size=s only -> red 2, blue 1, green 1
+    assert got[("color", "red")] == 2
+    assert got[("color", "blue")] == 1
+    assert got[("color", "green")] == 1
+    # size counts: color=red only -> s 2, m 1
+    assert got[("size", "s")] == 2
+    assert got[("size", "m")] == 1
+    # brand under the FULL drill-down (red+s): rows 0,2 -> a 1, b 1
+    assert got[("brand", "a")] == 1
+    assert got[("brand", "b")] == 1
+    assert got[("__hits__", "")] == 2
