@@ -75,7 +75,7 @@ def main(argv=None) -> int:
                    help="scoring model (IndexSearcher.setSimilarity)")
     s.add_argument("--syntax", default="classic",
                    choices=("classic", "complexphrase", "surround",
-                            "xml", "edismax"),
+                            "xml", "edismax", "simple"),
                    help="query language: classic parser, "
                         "ComplexPhraseQueryParser (wildcards/fuzzy/"
                         "groups inside quoted phrases), the surround "
@@ -305,6 +305,12 @@ def main(argv=None) -> int:
 
             query = parse_xml_query(args.query,
                                     get_analyzer(searcher.analyzer_name))
+        elif args.syntax == "simple":
+            from .analysis import get_analyzer
+            from .search.simpleparser import parse_simple
+
+            query = parse_simple(args.query,
+                                 get_analyzer(searcher.analyzer_name))
         elif args.syntax == "edismax":
             from .analysis import get_analyzer
             from .search.edismax import parse_edismax
