@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_docs": textstats.repetition_stats,
         # training-data curation: deterministic domain-mix re-weighting
         # and context-window sequence packing
+        "canonical_docs": __import__(
+            "lucene_solr_ray.pipelines.curation",
+            fromlist=["canonical_docs"]).canonical_docs,
         "domain_mix_docs": __import__(
             "lucene_solr_ray.pipelines.curation",
             fromlist=["domain_mix_docs"]).domain_mix_docs,
@@ -671,6 +674,11 @@ def oracle_sql() -> dict[str, str]:
             "b.n_tokens, 6) ELSE 0.0 END AS dup_token_frac, "
             "coalesce(t.top_bigram_count, 0) AS top_bigram_count "
             "FROM base b LEFT JOIN top t USING (doc_id)",
+        "canonical_docs":
+            "SELECT source, doc_id, n_chars FROM ("
+            "SELECT source, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn = 1",
         "decontaminate_docs":
             "WITH tl AS (SELECT doc_id, list_filter(string_split_regex("
             "lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "

@@ -269,3 +269,27 @@ def lm_score_docs(sf_dir: str):
     """LM quality scores over the documents table (rows-only: the
     backoff LM is pytest-oracled on hand-computable corpora)."""
     return lm_score(read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def canonical_docs(sf_dir: str):
+    """Canonical-document selection per group key (the RefinedWeb /
+    CCNet-style URL-dedup step where one representative survives per
+    normalized key): per ``source``, keep the doc with the most content
+    (max n_chars, tie -> lowest doc_id).
+
+    Per-batch partial argmax shrinks the shuffle to one row per (batch,
+    source); a bucketed vectorized merge finishes — the same
+    partial+final shape as exact_dedup, never a full-corpus sort."""
+    import pandas as pd
+
+    from .util import bucketed_group_agg, read
+
+    ds = read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="stable")
+        out = g.drop_duplicates("source", keep="first")
+        return out[["source", "doc_id", "n_chars"]]
+
+    return bucketed_group_agg(ds, ["source"], best, pre=best)
