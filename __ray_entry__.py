@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_docs": __import__(
             "lucene_solr_ray.pipelines.percolate",
             fromlist=["percolate_docs"]).percolate_docs,
+        # Boolean perceptron weak labeling (lucene/classification)
+        "perceptron_classify_docs": __import__(
+            "lucene_solr_ray.search.perceptron",
+            fromlist=["perceptron_classify_docs"]).perceptron_classify_docs,
     }
 
 

@@ -1,0 +1,283 @@
+"""Boolean perceptron classifier (``lucene/classification`` analog).
+
+Reference semantics (``lucene/classification/src/java/org/apache/lucene/
+classification/BooleanPerceptronClassifier.java``):
+
+- initial weights ``w[t] = totalTermFreq(t)`` over the text field
+  (:109-117);
+- default ``threshold = sumDocFreq(textField) / 2`` (:95-105);
+- ``assignClass(text)``: ``output = Σ w[token]`` over the analyzed
+  tokens (repeats included, :204-217); class is ``output >= threshold``
+  and ``score = 1 - exp(-|threshold - output| / threshold)`` (:219-220);
+- one training pass in docID order (:120-151): a misclassified doc
+  updates each *distinct* term of the doc with
+  ``w[t] = snapshot[t] + modifier * tf(t, doc)`` where
+  ``modifier = correct.compareTo(assigned)`` (:142-148, :174-180) and
+  ``snapshot`` is the last-built FST; the readable FST refreshes only
+  when ``batchCount % batchSize == 0`` (:146-147, :182-184) and the
+  final model is the last snapshot (:151). With ``batch_size=1`` (the
+  reference tests' configuration) the snapshot refreshes after every
+  misclassified doc, which is exactly the textbook per-doc perceptron
+  update ``w[t] += modifier * tf(t, doc)``.
+
+Ray-native mapping: the reference trains by walking one LeafReader
+sequentially — inherently serial. The distributed scale path here is
+**iterative parameter mixing** (McDonald, Hall & Mann, NAACL 2010,
+"Distributed Training Strategies for the Structured Perceptron"): each
+epoch every partition runs the per-doc perceptron locally from the
+shared broadcast snapshot and emits a sparse weight *delta*
+(vocabulary-bounded, never corpus-bounded); the driver averages the
+deltas into the next snapshot. One partition × one epoch reproduces the
+reference pass bit-for-bit (asserted in tests). Bulk classification is
+a stateless ``map_batches`` stage: the model ships once via ``ray.put``
+and each batch is scored with one searchsorted + one bincount — no
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+class PerceptronModel:
+    """Trained Boolean-perceptron state: sorted term vocabulary, int64
+    weights (the reference FST stores longs), decision threshold."""
+
+    def __init__(self, terms: np.ndarray, weights: np.ndarray,
+                 threshold: float):
+        self.terms = terms                         # sorted object (V,)
+        self.weights = weights.astype(np.int64)    # (V,)
+        self.threshold = float(threshold)
+
+    def outputs_flat(self, doc_idx: np.ndarray, flat: np.ndarray,
+                     n: int) -> np.ndarray:
+        """Per-doc Σ w[token] (repeats included) from flat
+        (doc_index, token) arrays — one searchsorted + one bincount."""
+        if len(flat) == 0 or len(self.terms) == 0:
+            return np.zeros(n, dtype=np.int64)
+        pos = np.searchsorted(self.terms, flat)
+        pos_c = np.minimum(pos, len(self.terms) - 1)
+        w = np.where(self.terms[pos_c] == flat, self.weights[pos_c], 0)
+        return np.bincount(doc_idx, weights=w.astype(np.float64),
+                           minlength=n).astype(np.int64)
+
+    def assign_flat(self, doc_idx: np.ndarray, flat: np.ndarray, n: int,
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(outputs, assigned bool, score) per doc
+        (BooleanPerceptronClassifier.java:219-220)."""
+        out = self.outputs_flat(doc_idx, flat, n)
+        assigned = out >= self.threshold
+        score = 1.0 - np.exp(-np.abs(self.threshold - out.astype(np.float64))
+                             / self.threshold)
+        return out, assigned, score
+
+    def assign(self, tokens: list[str]) -> tuple[bool, float]:
+        n_tok = len(tokens)
+        flat = np.asarray(tokens, dtype=object)
+        _, a, s = self.assign_flat(np.zeros(n_tok, dtype=np.int64), flat, 1)
+        return bool(a[0]), float(s[0])
+
+
+def corpus_init_stats(ds: rd.Dataset, text_field: str,
+                      ) -> tuple[np.ndarray, np.ndarray, float]:
+    """(sorted vocab, per-term totalTermFreq, default threshold) from a
+    distributed stats pass: per-batch (term → tf, df) partials, one
+    bucketed term shuffle (the same shape as the index-build stats
+    wave). threshold = sumDocFreq/2 (:95-101)."""
+    from ..pipelines.textstats import _explode_terms
+    from ..pipelines.util import bucketed_group_agg, materialize_typed
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        doc_idx, terms = _explode_terms(
+            pa.table({"text": t.column(text_field)}))
+        f = pd.DataFrame({"doc": doc_idx, "term": terms})
+        g = f.groupby("term", as_index=False).agg(
+            ttf=("doc", "size"), df=("doc", "nunique"))
+        g["ttf"] = g["ttf"].astype(np.int64)
+        g["df"] = g["df"].astype(np.int64)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", as_index=False)[["ttf", "df"]].sum()
+        out["ttf"] = out["ttf"].astype(np.int64)
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    schema = pa.schema([("term", pa.string()), ("ttf", pa.int64()),
+                        ("df", pa.int64())])
+    stats = materialize_typed(
+        bucketed_group_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["term"], merge),
+        schema).to_pandas().sort_values("term")
+    terms = np.asarray(stats["term"], dtype=object)
+    ttf = stats["ttf"].to_numpy().astype(np.int64)
+    threshold = float(stats["df"].sum()) / 2.0
+    return terms, ttf, threshold
+
+
+def train_reference(token_lists: list[list[str]], labels: list[bool],
+                    terms: np.ndarray, init_weights: np.ndarray,
+                    threshold: float, batch_size: int = 1,
+                    ) -> PerceptronModel:
+    """Exact sequential reference pass, quirks included
+    (BooleanPerceptronClassifier.java:120-151): classification reads the
+    stale snapshot; concurrent pending updates to one term between
+    snapshot refreshes overwrite (the weights map is re-seeded from the
+    FST value each time, :179); pending updates after the last refresh
+    are discarded (:151 weights.clear())."""
+    vocab = {t: i for i, t in enumerate(terms)}
+    snapshot = init_weights.astype(np.int64).copy()
+    pending = snapshot.copy()
+    batch_count = 0
+    for tokens, correct in zip(token_lists, labels):
+        idx = np.asarray([vocab[t] for t in tokens if t in vocab],
+                         dtype=np.int64)
+        output = int(snapshot[idx].sum()) if len(idx) else 0
+        assigned = output >= threshold
+        if bool(correct) != assigned:
+            modifier = 1 if (correct and not assigned) else -1
+            uniq, tf = np.unique(idx, return_counts=True)
+            pending[uniq] = snapshot[uniq] + modifier * tf
+            if batch_count % batch_size == 0:
+                snapshot = pending.copy()
+        batch_count += 1
+    return PerceptronModel(terms, snapshot, threshold)
+
+
+def _partition_pass(t: pa.Table, text_field: str, class_field: str,
+                    terms: np.ndarray, weights: np.ndarray,
+                    threshold: float) -> np.ndarray:
+    """One local per-doc perceptron pass over a partition starting from
+    ``weights``; returns the int64 weight delta vector. Tokens resolve
+    to vocabulary rows once per batch (vectorized); the doc loop only
+    touches misclassification updates."""
+    from ..pipelines.textstats import _explode_terms
+
+    doc_idx, flat = _explode_terms(pa.table({"text": t.column(text_field)}))
+    n = len(t)
+    labels = t.column(class_field).to_numpy(zero_copy_only=False)
+    w = weights.astype(np.int64).copy()
+    if len(flat):
+        pos = np.searchsorted(terms, flat)
+        pos = np.minimum(pos, len(terms) - 1)
+        known = terms[pos] == flat
+        doc_idx, pos = doc_idx[known], pos[known]
+    else:
+        pos = np.empty(0, dtype=np.int64)
+    starts = np.searchsorted(doc_idx, np.arange(n + 1))
+    for d in range(n):
+        rows = pos[starts[d]:starts[d + 1]]
+        output = int(w[rows].sum())
+        assigned = output >= threshold
+        correct = bool(labels[d])
+        if correct != assigned:
+            modifier = 1 if (correct and not assigned) else -1
+            uniq, tf = np.unique(rows, return_counts=True)
+            w[uniq] += modifier * tf
+    return w - weights.astype(np.int64)
+
+
+def train_perceptron_mixed(ds: rd.Dataset, text_field: str,
+                           class_field: str, epochs: int = 3,
+                           num_partitions: int | None = None,
+                           threshold: float | None = None,
+                           ) -> PerceptronModel:
+    """Distributed training by iterative parameter mixing: per epoch,
+    every partition runs the reference per-doc pass from the broadcast
+    snapshot and ships back only its sparse delta (Σ|vocab| ints); the
+    driver averages ``w_next = w + mean(delta_p)``. One partition and
+    one epoch is exactly the reference sequential pass (batch_size=1)."""
+    import ray
+
+    terms, ttf, auto_threshold = corpus_init_stats(ds, text_field)
+    if threshold is None or threshold == 0.0:     # :95-105 auto-assign
+        threshold = auto_threshold
+    weights = ttf.copy()
+    if num_partitions is not None:
+        ds = ds.repartition(num_partitions)
+    terms_ref = ray.put(terms)
+
+    for _ in range(max(1, epochs)):
+        w_ref = ray.put(weights)
+
+        def delta_batch(t: pa.Table, _w=w_ref, _t=terms_ref) -> pa.Table:
+            d = _partition_pass(t, text_field, class_field,
+                                ray.get(_t), ray.get(_w), threshold)
+            nz = np.flatnonzero(d)
+            return pa.table({"row": pa.array(nz, type=pa.int64()),
+                             "delta": pa.array(d[nz], type=pa.int64()),
+                             "parts": pa.array(
+                                 np.ones(len(nz), dtype=np.int64))})
+
+        parts = ds.map_batches(delta_batch, batch_format="pyarrow",
+                               batch_size=None).to_arrow_refs()
+        all_tables = ray.get(parts)
+        tables = [x for x in all_tables if x.num_rows]
+        n_parts = max(1, len(all_tables))
+        agg = np.zeros(len(terms), dtype=np.float64)
+        for tb in tables:
+            agg[tb.column("row").to_numpy()] += \
+                tb.column("delta").to_numpy().astype(np.float64)
+        weights = (weights + np.rint(agg / n_parts)).astype(np.int64)
+    return PerceptronModel(terms, weights, threshold)
+
+
+def classify_batches(ds: rd.Dataset, model: PerceptronModel,
+                     text_field: str, id_field: str,
+                     out_field: str = "assigned") -> rd.Dataset:
+    """Bulk weak-labeling stage: model broadcast once, each batch scored
+    vectorized -> (id, assigned, score)."""
+    import ray
+
+    from ..pipelines.textstats import _explode_terms
+
+    model_ref = ray.put(model)
+
+    class _Classify:
+        def __init__(self):
+            self.model = ray.get(model_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            doc_idx, flat = _explode_terms(
+                pa.table({"text": t.column(text_field)}))
+            _, assigned, score = self.model.assign_flat(
+                doc_idx, flat, len(t))
+            return pa.table({
+                id_field: t.column(id_field),
+                out_field: pa.array(assigned, type=pa.bool_()),
+                "score": pa.array(np.round(score, 6)),
+            })
+
+    return ds.map_batches(_Classify, batch_format="pyarrow",
+                          concurrency=(1, 8), num_cpus=1)
+
+
+def perceptron_classify_docs(sf_dir: str):
+    """Driver query: train a Boolean perceptron (label: lang == 'en') on
+    a deterministic sample with the exact reference pass, then classify
+    every document distributed -> (doc_id, assigned, score).
+
+    Training is sequential over a small deterministic sample (the
+    reference trainer is single-reader by design; the sample keeps the
+    driver-side pass corpus-size-independent) while the corpus-wide
+    stats pass and the bulk scoring stream through Ray."""
+    from ..pipelines.textstats import _explode_terms
+    from ..pipelines.util import read
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    terms, ttf, threshold = corpus_init_stats(ds, "text")
+
+    # deterministic sample: lowest 64 doc_ids (docID-order training pass)
+    sample = (ds.sort("doc_id").limit(64)).take_all()
+    token_lists, labels = [], []
+    for row in sample:
+        _, flat = _explode_terms(pa.table({"text": [row["text"]]}))
+        token_lists.append(list(flat))
+        labels.append(row["lang"] == "en")
+    model = train_reference(token_lists, labels, terms, ttf, threshold,
+                            batch_size=1)
+    return classify_batches(ds, model, "text", "doc_id")
