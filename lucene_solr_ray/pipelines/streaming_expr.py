@@ -18,9 +18,11 @@ sort/limit/union). ``search`` reads a test table with column pruning (the
 reference's search() hits a collection; here collections are the parquet
 tables, and ``q=...`` full-text search is served by the documents index).
 
-Supported stream functions (the commonly-composed core): search, select,
-innerJoin, leftOuterJoin, hashJoin, outerHashJoin, intersect, complement, merge, unique,
-sort, top, rollup + metrics sum()/count()/min()/max()/avg().
+Supported stream functions (the commonly-composed core): search, select
+(with replace()/concat() StreamOperations), innerJoin, leftOuterJoin,
+hashJoin, outerHashJoin, intersect, complement, merge, unique, reduce
+(with distinct()/group() ReduceOperations), sort, top, rollup + metrics
+sum()/count()/min()/max()/avg().
 """
 
 from __future__ import annotations
@@ -209,6 +211,85 @@ def _eval_rollup(e: Expr, sf_dir: str) -> rd.Dataset:
     return bucketed_group_agg(src, over, agg)
 
 
+def _primitive(s):
+    """StreamFactory.constructPrimitiveObject: 'null' -> None, then
+    long, then double, else the string itself."""
+    if s == "null":
+        return None
+    try:
+        return int(s)
+    except (TypeError, ValueError):
+        pass
+    try:
+        return float(s)
+    except (TypeError, ValueError):
+        return s
+
+
+def _select_ops_fn(ops: list[Expr]):
+    """Vectorized per-batch application of select() StreamOperations
+    (``solr/solrj/.../io/ops/``): ``replace(field, orig,
+    withValue=v | withField=f)`` (ReplaceWithValueOperation /
+    ReplaceWithFieldOperation null-aware match) and ``concat(
+    fields="a,b", as="c", delim="-")`` (ConcatOperation: null renders
+    as the string "null")."""
+    import pyarrow.compute as pc
+
+    _ARROW_TYPE_ERRS = (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError,
+                        pa.lib.ArrowNotImplementedError)
+
+    def _if_else(mask, repl, col):
+        try:
+            return pc.if_else(mask, repl, col)
+        except _ARROW_TYPE_ERRS:
+            # promote to a common type: numeric -> float64, else string
+            try:
+                return pc.if_else(mask, pc.cast(repl, pa.float64()),
+                                  pc.cast(col, pa.float64()))
+            except _ARROW_TYPE_ERRS:
+                return pc.if_else(mask, pc.cast(repl, pa.string()),
+                                  pc.cast(col, pa.string()))
+
+    def apply(t: pa.Table) -> pa.Table:
+        for op in ops:
+            if op.name == "replace":
+                field = op.args[0]
+                original = _primitive(op.args[1])
+                col = t.column(field)
+                if original is None:
+                    mask = pc.is_null(col)
+                else:
+                    mask = pc.fill_null(
+                        pc.equal(col, pa.scalar(original)), False)
+                if "withField" in op.params:
+                    repl = t.column(op.params["withField"])
+                else:
+                    v = _primitive(op.params["withValue"])
+                    try:
+                        repl = pa.scalar(v, type=col.type)
+                    except (pa.lib.ArrowInvalid, pa.lib.ArrowTypeError):
+                        repl = pa.scalar(v)
+                t = t.set_column(t.column_names.index(field), field,
+                                 _if_else(mask, repl, col))
+            elif op.name == "concat":
+                fields = [f.strip() for f in op.params["fields"].split(",")]
+                delim = op.params.get("delim", "")
+                arrs = [pc.fill_null(pc.cast(t.column(f), pa.string()),
+                                     "null") for f in fields]
+                joined = pc.binary_join_element_wise(*arrs, delim)
+                as_name = op.params["as"]
+                if as_name in t.column_names:
+                    t = t.set_column(t.column_names.index(as_name),
+                                     as_name, joined)
+                else:
+                    t = t.append_column(as_name, joined)
+            else:
+                raise ValueError(f"select: unknown operation {op.name!r}")
+        return t
+
+    return apply
+
+
 def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
     """Evaluate a stream expression (string or parsed tree) to a Dataset."""
     if isinstance(e, str):
@@ -231,7 +312,8 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
     if name == "select":
         src = evaluate(e.args[0], sf_dir)
         cols, renames = [], {}
-        rest = e.args[1:]
+        ops = [a for a in e.args[1:] if isinstance(a, Expr)]
+        rest = [a for a in e.args[1:] if not isinstance(a, Expr)]
         i = 0
         while i < len(rest):  # "field as alias" arrives as 3 tokens
             if i + 2 < len(rest) and rest[i + 1] == "as":
@@ -244,7 +326,14 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
                 cols.append(rest[i])
                 i += 1
         out = src.select_columns(cols)
-        return out.rename_columns(renames) if renames else out
+        if renames:
+            out = out.rename_columns(renames)
+        if ops:
+            # StreamOperations run AFTER projection+rename, in order
+            # (SelectStream.java read(): working tuple then operate())
+            out = out.map_batches(_select_ops_fn(ops),
+                                  batch_format="pyarrow")
+        return out
     if name in ("innerJoin", "leftOuterJoin", "hashJoin",
                 "outerHashJoin"):
         left = evaluate(e.args[0], sf_dir)
@@ -362,6 +451,45 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
         for p in parts[1:]:
             out = out.union(p)
         return out
+    if name == "reduce":
+        # reduce(stream, by="k", group(sort="f desc", n=5)) —
+        # ReducerStream.java:215-233 with a ReduceOperation per group.
+        # The reference reduces consecutive runs of a SORTED stream; the
+        # Ray re-expression co-locates each group with one bucketed
+        # hash shuffle (order-independent, same output set).
+        src = evaluate(e.args[0], sf_dir)
+        by = [c.strip() for c in e.params["by"].split(",")]
+        ops = [a for a in e.args[1:] if isinstance(a, Expr)]
+        if not ops:
+            raise ValueError("reduce: requires a ReduceOperation")
+        op = ops[0]
+        if op.name == "distinct":
+            # DistinctOperation: keep the first tuple of each group
+            def first(g: pd.DataFrame) -> pd.DataFrame:
+                return g.drop_duplicates(by)
+
+            return bucketed_group_agg(src, by, first, pre=first)
+        if op.name == "group":
+            # GroupOperation.java:106-128: per group keep the top-n
+            # tuples under the sort comparator; emit the group head's
+            # fields plus a "group" list of the tuples, best-first
+            keys, desc = _sort_spec(op.params["sort"])
+            n = int(op.params.get("n", 10))
+
+            def red(g: pd.DataFrame) -> pd.DataFrame:
+                g2 = g.sort_values(keys, ascending=[not d for d in desc],
+                                   kind="mergesort")
+                top = g2.groupby(by, sort=False).head(n)
+                rows = []
+                for _, sub in top.groupby(by, sort=False):
+                    recs = sub.to_dict("records")
+                    head = dict(recs[0])
+                    head["group"] = recs
+                    rows.append(head)
+                return pd.DataFrame(rows)
+
+            return bucketed_group_agg(src, by, red)
+        raise ValueError(f"reduce: unknown operation {op.name!r}")
     if name == "unique":
         src = evaluate(e.args[0], sf_dir)
         over = [c.strip() for c in e.params["over"].split(",")]

@@ -236,3 +236,77 @@ def test_outer_hash_join(ray_session, con):
     want = _sql(con, "SELECT c_custkey, c_name, o_orderkey FROM customer "
                      "LEFT JOIN orders ON c_custkey = o_custkey")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_select_replace_with_value(ray_session, con):
+    got = _df('select(search(orders, fl="o_orderkey,o_orderstatus"), '
+              'o_orderkey, o_orderstatus, '
+              'replace(o_orderstatus, "O", withValue="OPEN"))')
+    want = _sql(con, "SELECT o_orderkey, CASE WHEN o_orderstatus='O' THEN "
+                     "'OPEN' ELSE o_orderstatus END AS o_orderstatus "
+                     "FROM orders")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_select_replace_with_field_after_rename(ray_session, con):
+    # ops run after projection+rename (SelectStream.java read order)
+    got = _df('select(search(orders, fl="o_orderkey,o_custkey,o_orderstatus"),'
+              ' o_orderkey, o_custkey as k, o_orderstatus, '
+              'replace(o_orderstatus, "F", withField="k"))')
+    want = _sql(con, "SELECT o_orderkey, o_custkey AS k, "
+                     "CASE WHEN o_orderstatus='F' THEN CAST(o_custkey AS "
+                     "VARCHAR) ELSE o_orderstatus END AS o_orderstatus "
+                     "FROM orders")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_select_concat_null_renders_as_string(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from lucene_solr_ray.pipelines.streaming_expr import _select_ops_fn, parse_expr
+
+    e = parse_expr('concat(fields="a,b", as="c", delim="-")')
+    t = pa.table({"a": ["x", None], "b": ["y", "z"]})
+    out = _select_ops_fn([e])(t)
+    assert out.column("c").to_pylist() == ["x-y", "null-z"]
+
+
+def test_select_concat_stream(ray_session, con):
+    got = _df('select(search(orders, fl="o_orderkey,o_orderstatus,o_orderpriority"), '
+              'o_orderkey, o_orderstatus, o_orderpriority, '
+              'concat(fields="o_orderstatus,o_orderpriority", as="tag", delim="/"))')
+    want = _sql(con, "SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+                     "o_orderstatus || '/' || "
+                     "o_orderpriority AS tag FROM orders")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_reduce_distinct(ray_session, con):
+    got = _df('reduce(search(orders, fl="o_custkey"), by="o_custkey", '
+              'distinct())')
+    want = _sql(con, "SELECT DISTINCT o_custkey FROM orders")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_reduce_group_topn(ray_session, con):
+    out = evaluate(
+        'reduce(search(orders, fl="o_custkey,o_orderkey,o_totalprice"), '
+        'by="o_custkey", group(sort="o_totalprice desc", n=2))', SF
+    ).to_pandas()
+    # head fields == best tuple of the group; group list is best-first
+    # and capped at n (GroupOperation.java:106-128)
+    want = con.sql(
+        "SELECT o_custkey, max(o_totalprice) AS best, "
+        "count(*) AS cnt FROM orders GROUP BY o_custkey").df()
+    want["cnt"] = want["cnt"].clip(upper=2)
+    got = out.sort_values("o_custkey").reset_index(drop=True)
+    want = want.sort_values("o_custkey").reset_index(drop=True)
+    assert (got["o_custkey"].to_numpy() == want["o_custkey"].to_numpy()).all()
+    assert got["o_totalprice"].to_numpy() == pytest.approx(
+        want["best"].to_numpy())
+    sizes = got["group"].map(len).to_numpy()
+    assert (sizes == want["cnt"].to_numpy()).all()
+    for _, row in got.head(20).iterrows():
+        prices = [g["o_totalprice"] for g in row["group"]]
+        assert prices == sorted(prices, reverse=True)
+        assert row["o_totalprice"] == prices[0]
