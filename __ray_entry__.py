@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": knn.knn_cosine,
         "knn_ivf": knn.knn_ivf,
+        "knn_ivfpq": knn.knn_ivfpq,
         "knn_cosine_batch": knn.knn_cosine_batch,
         # sketches / percentiles (§2.6 PercentileAgg, HLLAgg)
         "exact_median_events": sketches.exact_median_events,

@@ -128,3 +128,51 @@ def test_embedding_neardup_hot_bucket_bounded(ray_session, tmp_path):
     # boundedness: emitted pairs are O(n * tables), nowhere near C(n,2)
     assert len(out) < n * 40, len(out)
     assert elapsed < 120, elapsed
+
+
+def test_pq_encode_centroids_roundtrip(ray_session):
+    from lucene_solr_ray.pipelines.knn import _pq_encode
+    rng = np.random.default_rng(3)
+    books = rng.normal(size=(4, 16, 8))
+    # encoding the codewords themselves returns their own indices
+    m = books.transpose(1, 0, 2).reshape(16, 32)
+    codes = _pq_encode(m, books)
+    assert codes.dtype == np.uint8
+    for j in range(4):
+        assert codes[:, j].tolist() == list(range(16))
+
+
+def test_ivfpq_recall_vs_exact(ray_session, tmp_path):
+    from lucene_solr_ray.pipelines.knn import knn_cosine, knn_ivfpq
+    hits = 0
+    total = 0
+    for qid in (0, 7, 42):
+        exact = set(knn_cosine(SF, query_vec_id=qid, k=10)
+                    .column("vec_id").to_pylist())
+        approx = set(knn_ivfpq(SF, query_vec_id=qid, k=10)
+                     .column("vec_id").to_pylist())
+        hits += len(exact & approx)
+        total += len(exact)
+    assert hits / total >= 0.8
+
+
+def test_ivfpq_codes_are_bytes(ray_session):
+    import glob
+    import json
+    import os
+    import pyarrow.parquet as papq
+    from lucene_solr_ray.pipelines.knn import build_ivfpq_index
+    out = "/tmp/lsr_test_ivfpq_idx"
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    build_ivfpq_index(SF, out, n_centroids=8, m_sub=8, n_codes=32,
+                      assign_top=2)
+    man = json.load(open(os.path.join(out, "ivfpq_manifest.json")))
+    assert man["m_sub"] == 8 and man["n_codes"] == 32
+    files = glob.glob(os.path.join(out, "data", "bucket=*", "*.parquet"))
+    t = papq.read_table(files[0])
+    codes = t.column("codes")[0].as_py()
+    assert len(codes) == 8                       # 8 bytes per vector
+    assert all(0 <= c < 32 for c in codes)
+    # resumable: a second build is a no-op (manifest detected)
+    build_ivfpq_index(SF, out, n_centroids=8, m_sub=8, n_codes=32)
