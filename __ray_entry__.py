@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_facet_orders": relational.pivot_facet_orders,
         "interval_facet_events": relational.interval_facet_events,
         "stat_sorted_facet_orders": relational.stat_sorted_facet_orders,
+        "taxonomy_facet_events": relational.taxonomy_facet_events,
         "stats_events": relational.stats_events,
         "rollup_lineitem": relational.rollup_lineitem,
         "analytics_lineitem": analytics.analytics_lineitem,
@@ -233,6 +234,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN l_quantity > 25 THEN sqrt(l_extendedprice) "
             "ELSE l_quantity - trunc(l_quantity / 7) * 7 END"
             ", 4) AS escore FROM lineitem",
+        "taxonomy_facet_events":
+            "WITH days AS (SELECT strftime(ts, '%d') AS label, "
+            "count(*) AS cnt FROM events "
+            "WHERE strftime(ts, '%Y') = '2024' AND strftime(ts, '%m') = '01' "
+            "GROUP BY label), "
+            "top AS (SELECT label, cnt FROM days "
+            "ORDER BY cnt DESC, label LIMIT 10) "
+            "SELECT label, CAST(cnt AS BIGINT) AS cnt, "
+            "(SELECT count(*) FROM days) AS child_count FROM top "
+            "UNION ALL SELECT '__total__', "
+            "CAST((SELECT sum(cnt) FROM days) AS BIGINT), "
+            "(SELECT count(*) FROM days)",
         "range_facet_events":
             "WITH b AS (SELECT 50 + 50*i AS lo FROM generate_series(0,5) t(i)), "
             "c AS (SELECT 50 + 50*CAST(floor((value-50)/50) AS BIGINT) AS lo, "

@@ -950,3 +950,75 @@ def drill_sideways_docs(sf_dir: str):
         ds.map_batches(add_parity, batch_format="pyarrow"),
         {"lang": "en", "source": "src1"},
         facet_fields=["len_parity"])
+
+
+# --- taxonomy facets (lucene/facet hierarchical dimensions) -------------
+
+def taxonomy_facet(ds, dim_cols: list[str], path: tuple = (),
+                   topn: int = 10) -> pa.Table:
+    """``Facets.getTopChildren(topN, dim, path...)`` over a hierarchy
+    stored as ordered component columns (``FacetField("Publish Date",
+    "2010", "10", "15")`` — ``lucene/demo/.../facet/
+    SimpleFacetsExample.java:69``; API ``lucene/facet/src/java/org/
+    apache/lucene/facet/Facets.java:34``, counting
+    ``taxonomy/IntTaxonomyFacets.java:90-130``).
+
+    Rows matching the ``path`` prefix count their next component; the
+    result carries the reference FacetResult fields — child labels with
+    counts (count desc, label asc tie-break), ``value`` = total count
+    under the path, ``childCount`` = distinct children — as one table:
+    child rows plus a ``__total__`` row. Per batch: one vectorized
+    prefix mask + value_counts partial (child-cardinality rows); the
+    driver merge is children-scale, never corpus-scale."""
+    if len(path) >= len(dim_cols):
+        raise ValueError("path must leave at least one child level")
+    child = dim_cols[len(path)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = None
+        for col, want in zip(dim_cols, path):
+            m = pc.equal(t.column(col), pa.scalar(want))
+            mask = m if mask is None else pc.and_(mask, m)
+        vals = t.column(child) if mask is None else \
+            pc.filter(t.column(child), pc.fill_null(mask, False))
+        vc = pa.table({"label": vals}).group_by("label").aggregate(
+            [("label", "count")])
+        return pa.table({
+            "label": vc.column("label"),
+            "cnt": vc.column("label_count").cast(pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("label", as_index=False)["cnt"].sum()
+           .sort_values(["cnt", "label"], ascending=[False, True],
+                        kind="mergesort"))
+    total = int(agg["cnt"].sum())
+    child_count = int(len(agg))
+    top = agg.head(topn)
+    out = pa.table({
+        "label": pa.array(list(top["label"]) + ["__total__"]),
+        "cnt": pa.array(list(top["cnt"].astype("int64"))
+                        + [total], type=pa.int64()),
+        "child_count": pa.array([child_count] * (len(top) + 1),
+                                type=pa.int64()),
+    })
+    return out
+
+
+def taxonomy_facet_events(sf_dir: str):
+    """Driver query: date-hierarchy taxonomy facet over events
+    (year/month/day components from ts) — top-10 days under the path
+    ("2024", "01"), plus the path total row."""
+    ds = read(sf_dir, "events", ["ts"])
+
+    def components(t: pa.Table) -> pa.Table:
+        ts = t.column("ts")
+        return pa.table({
+            "year": pc.strftime(ts, format="%Y"),
+            "month": pc.strftime(ts, format="%m"),
+            "day": pc.strftime(ts, format="%d"),
+        })
+
+    comp = ds.map_batches(components, batch_format="pyarrow")
+    return taxonomy_facet(comp, ["year", "month", "day"],
+                          path=("2024", "01"), topn=10)
