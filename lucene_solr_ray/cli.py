@@ -75,7 +75,7 @@ def main(argv=None) -> int:
                    help="scoring model (IndexSearcher.setSimilarity)")
     s.add_argument("--syntax", default="classic",
                    choices=("classic", "complexphrase", "surround",
-                            "xml", "edismax", "simple"),
+                            "xml", "edismax", "simple", "precedence"),
                    help="query language: classic parser, "
                         "ComplexPhraseQueryParser (wildcards/fuzzy/"
                         "groups inside quoted phrases), the surround "
@@ -311,6 +311,12 @@ def main(argv=None) -> int:
 
             query = parse_simple(args.query,
                                  get_analyzer(searcher.analyzer_name))
+        elif args.syntax == "precedence":
+            from .analysis import get_analyzer
+            from .search.precedence import parse_precedence
+
+            query = parse_precedence(args.query,
+                                     get_analyzer(searcher.analyzer_name))
         elif args.syntax == "edismax":
             from .analysis import get_analyzer
             from .search.edismax import parse_edismax
