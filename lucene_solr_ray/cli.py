@@ -75,7 +75,8 @@ def main(argv=None) -> int:
                    help="scoring model (IndexSearcher.setSimilarity)")
     s.add_argument("--syntax", default="classic",
                    choices=("classic", "complexphrase", "surround",
-                            "xml", "edismax", "simple", "precedence"),
+                            "xml", "edismax", "simple", "precedence",
+                            "analyzing"),
                    help="query language: classic parser, "
                         "ComplexPhraseQueryParser (wildcards/fuzzy/"
                         "groups inside quoted phrases), the surround "
@@ -311,6 +312,12 @@ def main(argv=None) -> int:
 
             query = parse_simple(args.query,
                                  get_analyzer(searcher.analyzer_name))
+        elif args.syntax == "analyzing":
+            from .analysis import get_analyzer
+            from .search.analyzing import parse_analyzing
+
+            query = parse_analyzing(args.query,
+                                    get_analyzer(searcher.analyzer_name))
         elif args.syntax == "precedence":
             from .analysis import get_analyzer
             from .search.precedence import parse_precedence
