@@ -472,11 +472,42 @@ class SearchActor:
         return results
 
 
+def _bloom_prunable(q: Query) -> bool:
+    """True iff every doc matching ``q`` must contain at least one of
+    ``collect_terms(q)`` — the condition under which union-semantics
+    bloom pruning is exact. Conservative whitelist: term-enumerable
+    leaves and positive boolean composition. MultiTermQuery expansions
+    (wildcard/fuzzy/range/regexp), MatchAllDocs, span wrappers and any
+    unknown node disable pruning."""
+    from .query import (
+        BooleanQuery,
+        CommonTermsQuery,
+        DisMaxQuery,
+        MultiPhraseQuery,
+        PhraseQuery,
+        SynonymQuery,
+        TermQuery,
+    )
+
+    if isinstance(q, (TermQuery, PhraseQuery, SynonymQuery,
+                      MultiPhraseQuery, CommonTermsQuery)):
+        return True
+    if isinstance(q, DisMaxQuery):
+        return bool(q.clauses) and all(_bloom_prunable(c)
+                                       for c in q.clauses)
+    if isinstance(q, BooleanQuery):
+        pos = list(q.must) + list(q.should)
+        # must_not clauses never make a doc match; only the positive
+        # clauses decide whether a shard can contribute
+        return bool(pos) and all(_bloom_prunable(c) for c in pos)
+    return False
+
+
 class DistributedSearcher:
     """Driver-side coordinator over a SearchActor pool."""
 
     def __init__(self, index_dir: str, num_actors: int = 4,
-                 similarity="bm25"):
+                 similarity="bm25", use_blooms: bool = True):
         self.index_dir = str(index_dir)
         self.manifest = json.loads(
             (Path(index_dir) / "manifest.json").read_text())
@@ -488,11 +519,37 @@ class DistributedSearcher:
             assignment[i % num_actors].append(sid)
         # similarity ships to the actors (a name string, or a cloudpickled
         # factory callable for parameterized similarities)
+        self.actor_shards = [sids for sids in assignment if sids]
         self.actors = [
             SearchActor.remote(self.index_dir, sids, self.manifest,
                                similarity)
-            for sids in assignment if sids
+            for sids in self.actor_shards
         ]
+        # per-shard term blooms (BloomFilteringPostingsFormat analog,
+        # index/bloom.py): when the sidecar exists, term-only queries
+        # scatter only to actors owning candidate shards
+        self.blooms = None
+        if use_blooms:
+            from ..index.bloom import TermBloomSet
+
+            self.blooms = TermBloomSet.load(self.index_dir)
+        self.last_fanout: int | None = None
+
+    def _candidate_actors(self, parsed: list[Query],
+                          all_terms: list[str]) -> list:
+        """Bloom-pruned actor subset for a query batch. Exactness: a
+        pruned actor's shards contain NONE of the batch's terms (bloom
+        false negatives are impossible), so its df partials are all 0
+        and no whitelisted query can match a doc there."""
+        self.last_fanout = len(self.actors)
+        if (self.blooms is None or not parsed or not all_terms
+                or not all(_bloom_prunable(q) for q in parsed)):
+            return self.actors
+        cand = self.blooms.shards_maybe(all_terms)
+        picked = [a for a, sids in zip(self.actors, self.actor_shards)
+                  if any(s in cand for s in sids)]
+        self.last_fanout = len(picked)
+        return picked
 
     def parse(self, text: str) -> Query:
         from ..analysis import get_analyzer
@@ -505,8 +562,11 @@ class DistributedSearcher:
         parsed = [self.parse(q) if isinstance(q, str) else q for q in queries]
         all_terms = sorted(set().union(*[collect_terms(q) for q in parsed])
                            if parsed else set())
+        actors = self._candidate_actors(parsed, all_terms)
+        if not actors:
+            return [[] for _ in parsed]
         # phase 1: global stats (one round trip for the whole batch)
-        partials = ray.get([a.local_df.remote(all_terms) for a in self.actors])
+        partials = ray.get([a.local_df.remote(all_terms) for a in actors])
         global_df: dict[str, int] = {}
         for p in partials:
             for t, d in p.items():
@@ -520,10 +580,10 @@ class DistributedSearcher:
         df_maps = [
             {t: global_df.get(t, 0) for t in collect_terms(q)} for q in parsed
         ]
-        # phase 2: scatter scoring, gather + merge
+        # phase 2: scatter scoring, gather + merge (bloom-pruned set)
         futures = [a.search_batch.remote(parsed, df_maps, k, sort,
                                          filter_range, after)
-                   for a in self.actors]
+                   for a in actors]
         per_actor = ray.get(futures)
         results = []
         for qi in range(len(parsed)):
