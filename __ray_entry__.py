@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram_events": sketches.date_histogram_events,
         "hll_distinct_users": sketches.hll_distinct,
         "tdigest_percentiles_events": sketches.tdigest_percentiles,
+        "heavy_hitters_terms": sketches.heavy_hitters_terms,
         # windowed aggregates (§2.10)
         "tumbling_window_events": windows.tumbling_window_events,
         "hopping_window_events": windows.hopping_window_events,
@@ -234,6 +235,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN l_quantity > 25 THEN sqrt(l_extendedprice) "
             "ELSE l_quantity - trunc(l_quantity / 7) * 7 END"
             ", 4) AS escore FROM lineitem",
+        "heavy_hitters_terms":
+            "WITH toks AS (SELECT unnest(string_split_regex(lower(text), "
+            "'[^a-z0-9]+')) AS term FROM documents) "
+            "SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks "
+            "WHERE term <> '' GROUP BY term "
+            "ORDER BY cnt DESC, term LIMIT 10",
         "taxonomy_facet_events":
             "WITH days AS (SELECT strftime(ts, '%d') AS label, "
             "count(*) AS cnt FROM events "

@@ -212,3 +212,67 @@ def date_histogram_events(sf_dir: str):
     return (ds.map_batches(day, batch_format="pyarrow")
             .groupby("day").aggregate(Count(alias_name="cnt"))
             .map_batches(fix_unit, batch_format="pyarrow"))
+
+
+# --- Misra-Gries heavy hitters (approximate top-k frequent terms) -------
+
+def mg_reduce(counts: "pd.Series", k: int) -> "pd.Series":
+    """Reduce a counter multiset to at most ``k`` entries, Misra-Gries
+    style: subtract the (k+1)-th largest count from everything and drop
+    the non-positive remainder (the batched equivalent of decrementing
+    all counters whenever a (k+1)-th distinct item arrives). Mergeable
+    summaries (Agarwal et al., PODS 2012): merge = sum counters, reduce
+    again; total undercount <= n / (k+1)."""
+    import pandas as pd  # noqa: F811
+
+    if len(counts) <= k:
+        return counts
+    top = counts.nlargest(k + 1)
+    cut = int(top.iloc[k])
+    out = counts - cut
+    return out[out > 0]
+
+
+def heavy_hitters_terms(sf_dir: str, k: int = 256, out_top: int = 10):
+    """Approximate top-``out_top`` most frequent terms over documents
+    (the streaming heavy-hitters complement to ``check.luke``'s exact
+    top terms): per batch ONE vectorized value_counts reduced to a
+    k-counter Misra-Gries summary, summaries merged and re-reduced on
+    the driver — k rows per batch move, never the vocabulary.
+
+    Guarantee: every term with true frequency > n_tokens/(k+1) appears,
+    and each estimate undercounts by at most n_tokens/(k+1). Exact
+    counts for the reported terms are restored with one follow-up
+    df-style pass (estimates alone are not rankable for close ties)."""
+    import pandas as pd
+
+    from .textstats import _explode_terms
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, terms = _explode_terms(pa.table({"text": t.column("text")}))
+        mg = mg_reduce(pd.Series(terms).value_counts(), k)
+        return pa.table({
+            "term": pa.array(mg.index.astype(str)),
+            "est": pa.array(mg.to_numpy().astype(np.int64)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = mg_reduce(parts.groupby("term")["est"].sum(), k)
+    cand = sorted(merged.nlargest(min(len(merged), out_top * 4)).index)
+
+    # exact recount of the surviving candidates (candidate-scale)
+    def recount(t: pa.Table) -> pa.Table:
+        _, terms = _explode_terms(pa.table({"text": t.column("text")}))
+        s = pd.Series(terms)
+        s = s[s.isin(cand)].value_counts()
+        return pa.table({"term": pa.array(s.index.astype(str)),
+                         "cnt": pa.array(s.to_numpy().astype(np.int64))})
+
+    exact = (ds.map_batches(recount, batch_format="pyarrow")
+             .to_pandas().groupby("term", as_index=False)["cnt"].sum()
+             .sort_values(["cnt", "term"], ascending=[False, True],
+                          kind="mergesort").head(out_top))
+    return pa.Table.from_pandas(exact.reset_index(drop=True),
+                                preserve_index=False)

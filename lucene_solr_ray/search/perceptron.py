@@ -269,15 +269,25 @@ def perceptron_classify_docs(sf_dir: str):
     from ..pipelines.util import read
 
     ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    terms, ttf, threshold = corpus_init_stats(ds, "text")
+    terms, ttf, auto_threshold = corpus_init_stats(ds, "text")
 
-    # deterministic sample: lowest 64 doc_ids (docID-order training pass)
-    sample = (ds.sort("doc_id").limit(64)).take_all()
+    # deterministic sample: lowest 128 doc_ids (docID-order training pass)
+    sample = (ds.sort("doc_id").limit(128)).take_all()
     token_lists, labels = [], []
     for row in sample:
         _, flat = _explode_terms(pa.table({"text": [row["text"]]}))
         token_lists.append(list(flat))
         labels.append(row["lang"] == "en")
+    # the reference auto-threshold (sumDocFreq/2) targets primary-key
+    # fields where outputs are corpus-scale; for free-text outputs are
+    # doc-scale, so anchor the threshold at the sample's median initial
+    # output (deterministic, sample-sized work) — the explicit-threshold
+    # constructor path (:102-105)
+    vocab_idx = {t: i for i, t in enumerate(terms)}
+    outputs = sorted(
+        int(ttf[[vocab_idx[t] for t in toks if t in vocab_idx]].sum())
+        for toks in token_lists)
+    threshold = float(outputs[len(outputs) // 2]) or auto_threshold
     model = train_reference(token_lists, labels, terms, ttf, threshold,
                             batch_size=1)
     return classify_batches(ds, model, "text", "doc_id")

@@ -90,3 +90,58 @@ def test_embedding_neardup_recall(ray_session):
     if exact:
         recall = len(got & exact) / len(exact)
         assert recall >= 0.3, (len(got), len(exact))
+
+
+def test_mg_reduce_semantics():
+    import pandas as pd
+    from lucene_solr_ray.pipelines.sketches import mg_reduce
+
+    counts = pd.Series({"a": 10, "b": 7, "c": 5, "d": 2, "e": 1})
+    out = mg_reduce(counts, 2)
+    # (k+1)-th largest = 5 subtracted, non-positive dropped
+    assert out.to_dict() == {"a": 5, "b": 2}
+    # at most k survive; undercount per entry <= cut
+    assert len(mg_reduce(counts, 3)) <= 3
+    # no reduction needed when k covers everything
+    assert mg_reduce(counts, 5).to_dict() == counts.to_dict()
+
+
+def test_mg_error_bound_random():
+    import numpy as np
+    import pandas as pd
+    from lucene_solr_ray.pipelines.sketches import mg_reduce
+
+    rng = np.random.default_rng(2)
+    items = rng.zipf(1.5, size=20000)
+    items = items[items < 1000]
+    true = pd.Series(items).value_counts()
+    k = 50
+    # split into 8 "batches", reduce each, merge, reduce again
+    parts = np.array_split(items, 8)
+    merged = pd.concat([mg_reduce(pd.Series(p).value_counts(), k)
+                        for p in parts]).groupby(level=0).sum()
+    est = mg_reduce(merged, k)
+    n = len(items)
+    for item, e in est.items():
+        assert e <= true[item]                   # never overcounts
+        assert true[item] - e <= n / (k + 1)     # bounded undercount
+    # every item with freq > n/(k+1) survives
+    for item, t in true.items():
+        if t > n / (k + 1):
+            assert item in est.index
+
+
+def test_heavy_hitters_exact_top(ray_session):
+    import duckdb
+    from lucene_solr_ray.pipelines.sketches import heavy_hitters_terms
+
+    got = heavy_hitters_terms("/root/testdata/sf0.001").to_pandas()
+    want = duckdb.sql(
+        "WITH toks AS (SELECT unnest(string_split_regex(lower(text), "
+        "'[^a-z0-9]+')) AS term FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')) "
+        "SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks "
+        "WHERE term <> '' GROUP BY term "
+        "ORDER BY cnt DESC, term LIMIT 10").df()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["cnt"].tolist() == want["cnt"].tolist()
