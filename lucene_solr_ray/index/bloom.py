@@ -122,8 +122,25 @@ class TermBloomSet:
 
     @classmethod
     def load(cls, index_dir: str) -> "TermBloomSet | None":
+        """Load ONLY when the sidecar matches the live manifest's
+        version and shard census — any index mutation (update, delete,
+        addIndexes, split) bumps the manifest version, and pruning with
+        stale blooms would silently drop matching docs (bloom exactness
+        relies on no-false-negatives, which staleness breaks). A stale
+        sidecar disables pruning until `build_term_blooms` reruns."""
         p = Path(index_dir) / BLOOM_FILE
-        if not p.exists():
+        meta_path = Path(index_dir) / BLOOM_META
+        if not p.exists() or not meta_path.exists():
+            return None
+        try:
+            meta = json.loads(meta_path.read_text())
+            manifest = json.loads(
+                (Path(index_dir) / "manifest.json").read_text())
+        except (OSError, json.JSONDecodeError):
+            return None
+        shard_ids = sorted(s["shard_id"] for s in manifest["shards"])
+        if meta.get("shard_ids") != shard_ids or \
+                meta.get("version") != manifest.get("version"):
             return None
         t = pq.read_table(p)
         return cls(

@@ -593,6 +593,9 @@ def _train_pq_codebooks(sf_dir: str, m_sub: int, n_codes: int,
     n, dim = m.shape
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    if n_codes > 256:
+        raise ValueError(f"n_codes {n_codes} > 256 does not fit uint8 "
+                         f"codes")
     d_sub = dim // m_sub
     k = min(n_codes, n)
     rng = np.random.default_rng(seed)
@@ -601,8 +604,10 @@ def _train_pq_codebooks(sf_dir: str, m_sub: int, n_codes: int,
         sub = m[:, j * d_sub:(j + 1) * d_sub]
         cents = sub[rng.choice(n, size=k, replace=False)]
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
+            # argmin ||x-c||^2 via the (n, k) dot form — same kernel
+            # as _pq_encode, no (n, k, d_sub) tensor
+            c2 = (cents ** 2).sum(axis=1)
+            a = np.argmin(c2[None, :] - 2 * (sub @ cents.T), axis=1)
             for c in range(k):
                 mask = a == c
                 if mask.any():
@@ -708,8 +713,8 @@ def knn_ivfpq(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     books = np.asarray(man["codebooks"], dtype=np.float64)
     msub, ncd, d_sub = books.shape
 
-    qt = pq.read_table(src, columns=["vec_id", "embedding"])
-    qrow = qt.filter(pa.compute.equal(qt.column("vec_id"), query_vec_id))
+    qrow = pq.read_table(src, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "==", query_vec_id)])
     q = np.asarray(qrow.column("embedding")[0].as_py(), dtype=np.float64)
     qn = q / np.linalg.norm(q)
     # ADC table: lut[j, c] = q_j . codebook_j[c]
@@ -740,9 +745,11 @@ def knn_ivfpq(sf_dir: str, query_vec_id: int = 0, k: int = 10,
             .drop_duplicates("vec_id").head(n_cand))
     cand_ids = set(cand["vec_id"].tolist())
 
-    # exact re-rank of the candidate ids (candidate-scale fetch)
-    keep = qt.filter(pa.compute.is_in(
-        qt.column("vec_id"), pa.array(sorted(cand_ids))))
+    # exact re-rank of the candidate ids: a predicate-pushdown read so
+    # only row groups containing candidates decompress (candidate-scale,
+    # never the corpus)
+    keep = pq.read_table(src, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", sorted(cand_ids))])
     m = np.stack([np.asarray(v, dtype=np.float64)
                   for v in keep.column("embedding").to_pylist()])
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)

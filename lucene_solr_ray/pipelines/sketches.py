@@ -253,14 +253,27 @@ def heavy_hitters_terms(sf_dir: str, k: int = 256, out_top: int = 10):
     def partial(t: pa.Table) -> pa.Table:
         _, terms = _explode_terms(pa.table({"text": t.column("text")}))
         mg = mg_reduce(pd.Series(terms).value_counts(), k)
+        # the empty string never tokenizes, so a "" row safely carries
+        # the batch's total token count for the global error bound
         return pa.table({
-            "term": pa.array(mg.index.astype(str)),
-            "est": pa.array(mg.to_numpy().astype(np.int64)),
+            "term": pa.array(list(mg.index.astype(str)) + [""]),
+            "est": pa.array(list(mg.to_numpy().astype(np.int64))
+                            + [np.int64(len(terms))]),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    merged = mg_reduce(parts.groupby("term")["est"].sum(), k)
-    cand = sorted(merged.nlargest(min(len(merged), out_top * 4)).index)
+    n_tokens = int(parts.loc[parts["term"] == "", "est"].sum())
+    real = parts[parts["term"] != ""]
+    merged = mg_reduce(real.groupby("term")["est"].sum(), k)
+    # sound candidate cut: est(t) >= true(t) - n/(k+1) and est <= true,
+    # so any true top-out_top term has est + err >= the out_top-th
+    # largest estimate; keep everything above that line (<= k terms)
+    err = n_tokens / (k + 1)
+    if len(merged) > out_top:
+        kth = float(merged.nlargest(out_top).iloc[-1])
+        cand = sorted(merged[merged + err >= kth].index)
+    else:
+        cand = sorted(merged.index)
 
     # exact recount of the surviving candidates (candidate-scale)
     def recount(t: pa.Table) -> pa.Table:

@@ -259,8 +259,15 @@ def _select_ops_fn(ops: list[Expr]):
                 if original is None:
                     mask = pc.is_null(col)
                 else:
-                    mask = pc.fill_null(
-                        pc.equal(col, pa.scalar(original)), False)
+                    try:
+                        mask = pc.fill_null(
+                            pc.equal(col, pa.scalar(original)), False)
+                    except _ARROW_TYPE_ERRS:
+                        # Java Object.equals across types is false:
+                        # a numeric original never matches a string
+                        # column (ReplaceWithValueOperation semantics)
+                        mask = pa.array(
+                            np.zeros(len(t), dtype=bool))
                 if "withField" in op.params:
                     repl = t.column(op.params["withField"])
                 else:
@@ -464,9 +471,15 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
             raise ValueError("reduce: requires a ReduceOperation")
         op = ops[0]
         if op.name == "distinct":
-            # DistinctOperation: keep the first tuple of each group
+            # DistinctOperation keeps the first tuple of the sorted
+            # stream; post-shuffle arrival order is not defined here, so
+            # the deterministic re-expression keeps each group's
+            # lexicographically-smallest tuple (partition-invariant,
+            # and identical to the reference when the stream sort is
+            # ascending on all columns)
             def first(g: pd.DataFrame) -> pd.DataFrame:
-                return g.drop_duplicates(by)
+                return (g.sort_values(list(g.columns), kind="mergesort")
+                        .drop_duplicates(by))
 
             return bucketed_group_agg(src, by, first, pre=first)
         if op.name == "group":

@@ -138,7 +138,12 @@ def parse_precedence(text: str, analyzer=None) -> Query:
         if t[0] == "ATOM":
             take()
             return (op, t[1])
-        # dangling operator (lenient: ignore)
+        if t[0] == "RP":
+            # dangling operator right before ')': leave the RP for the
+            # enclosing group — consuming it would drag outside tokens
+            # into the group
+            return (op, MatchNoDocs())
+        # dangling AND/OR (lenient: ignore)
         take()
         return parse_unary()
 

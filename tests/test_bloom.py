@@ -78,3 +78,42 @@ def test_rebuild_is_noop(idx):
     before = os.stat(p).st_mtime_ns
     build_term_blooms(idx)
     assert os.stat(p).st_mtime_ns == before
+
+
+def test_stale_blooms_disabled_after_update(ray_session, tmp_path):
+    """Index mutation bumps the manifest version; stale blooms must not
+    load (pruning with them would silently drop matching docs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from lucene_solr_ray.index.update import update_index
+    from lucene_solr_ray.search.actors import DistributedSearcher
+
+    t = generate_transcripts(300, seed=7)
+    src = tmp_path / "src.parquet"
+    papq.write_table(t, src)
+    out = tmp_path / "idx"
+    build_index(str(src), str(out), num_shards=3)
+    build_term_blooms(str(out))
+    assert TermBloomSet.load(str(out)) is not None
+
+    extra = pa.table({
+        "conv_id": ["zzz-new-conv"], "turn_idx": [0],
+        "role": ["user"], "text": ["freshterm appears here"],
+        "tool": [""],
+        "ts": pa.array([t.column("ts")[0].as_py()],
+                       type=t.schema.field("ts").type),
+    })
+    inc = tmp_path / "inc.parquet"
+    papq.write_table(extra, inc)
+    update_index(str(out), str(inc))
+
+    assert TermBloomSet.load(str(out)) is None      # stale -> disabled
+    ds = DistributedSearcher(str(out), num_actors=3)
+    assert ds.blooms is None
+    hits = ds.search("freshterm", k=5)
+    assert len(hits) == 1
+    # rebuilding re-enables pruning and still finds the new term
+    build_term_blooms(str(out))
+    ds2 = DistributedSearcher(str(out), num_actors=3)
+    assert ds2.blooms is not None
+    assert ds2.search("freshterm", k=5) == hits

@@ -101,3 +101,12 @@ def test_engine_results_match_hand_query(searcher):
     flat_docs = {d for d, _ in flat}
     got_docs = {d for d, _ in got}
     assert flat_docs <= got_docs
+
+
+def test_dangling_operator_in_group_does_not_swallow_rp():
+    # "(alpha AND) OR beta": the lenient recovery must not consume ')'
+    q = parse("(alpha AND) OR beta")
+    assert q == BooleanQuery(should=[
+        BooleanQuery(must=[T("alpha")]),
+        T("beta"),
+    ])

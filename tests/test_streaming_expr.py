@@ -310,3 +310,49 @@ def test_reduce_group_topn(ray_session, con):
         prices = [g["o_totalprice"] for g in row["group"]]
         assert prices == sorted(prices, reverse=True)
         assert row["o_totalprice"] == prices[0]
+
+
+def test_replace_type_mismatch_is_noop(ray_session):
+    import pyarrow as pa
+    from lucene_solr_ray.pipelines.streaming_expr import (
+        _select_ops_fn,
+        parse_expr,
+    )
+
+    # numeric original vs string column: Java equals -> never matches
+    e = parse_expr('replace(s, 7, withValue="X")')
+    t = pa.table({"s": ["7", "a", None]})
+    out = _select_ops_fn([e])(t)
+    assert out.column("s").to_pylist() == ["7", "a", None]
+
+
+def test_reduce_distinct_deterministic_representative(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from lucene_solr_ray.pipelines.streaming_expr import evaluate
+
+    # same group arrives in different block layouts; the survivor must
+    # be the lexicographically-smallest tuple either way
+    rows = pa.table({
+        "k": [1, 1, 2, 2, 1, 2],
+        "v": ["d", "b", "z", "m", "a", "q"],
+    })
+    import lucene_solr_ray.pipelines.streaming_expr as se
+
+    outs = []
+    for nblocks in (1, 3):
+        ds = rd.from_arrow(rows).repartition(nblocks)
+        orig = se._eval_search
+
+        def fake_search(e, sf_dir, _ds=ds):
+            return _ds
+
+        se._eval_search = fake_search
+        try:
+            out = evaluate('reduce(search(events), by="k", distinct())',
+                           "unused").to_pandas()
+        finally:
+            se._eval_search = orig
+        outs.append(out.sort_values("k").reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    assert outs[0]["v"].tolist() == ["a", "m"]
