@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_facet_events": relational.interval_facet_events,
         "stat_sorted_facet_orders": relational.stat_sorted_facet_orders,
         "taxonomy_facet_events": relational.taxonomy_facet_events,
+        "sampled_facet_events": relational.sampled_facet_events,
         "stats_events": relational.stats_events,
         "rollup_lineitem": relational.rollup_lineitem,
         "analytics_lineitem": analytics.analytics_lineitem,
@@ -235,6 +236,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN l_quantity > 25 THEN sqrt(l_extendedprice) "
             "ELSE l_quantity - trunc(l_quantity / 7) * 7 END"
             ", 4) AS escore FROM lineitem",
+        "sampled_facet_events":
+            # deterministic 1/8 Knuth-hash sample; corrected = cnt*8,
+            # total clamped to the event count
+            "WITH samp AS (SELECT event_type FROM events WHERE "
+            "(event_id * 2654435761) % 4294967296 < 536870912), "
+            "f AS (SELECT event_type AS label, "
+            "CAST(count(*) AS BIGINT) AS sample_cnt FROM samp "
+            "GROUP BY label) "
+            "SELECT label, sample_cnt, "
+            "CAST(sample_cnt * 8 AS BIGINT) AS est_cnt FROM f "
+            "UNION ALL SELECT '__total__', "
+            "(SELECT count(*) FROM samp), "
+            "LEAST((SELECT count(*) FROM events), "
+            "(SELECT count(*) FROM samp) * 8)",
         "heavy_hitters_terms":
             "WITH toks AS (SELECT unnest(string_split_regex(lower(text), "
             "'[^a-z0-9]+')) AS term FROM documents) "

@@ -1022,3 +1022,56 @@ def taxonomy_facet_events(sf_dir: str):
     comp = ds.map_batches(components, batch_format="pyarrow")
     return taxonomy_facet(comp, ["year", "month", "day"],
                           path=("2024", "01"), topn=10)
+
+
+def sampled_facet(ds, field: str, key: str, rate_denom: int = 8,
+                  ) -> pa.Table:
+    """Sampling facets (``lucene/facet/src/java/org/apache/lucene/facet/
+    RandomSamplingFacetsCollector.java:40-253``): count facets over a
+    sampled hit set, then amortize — ``correctedCount =
+    (int)(count / samplingRate)`` (:245), total clamped to the doc count
+    (:253). The reference samples one doc per ``binSize = 1/rate`` bin
+    with a seeded XORShift (:170); the deterministic re-expression keeps
+    the ``key`` rows whose Knuth multiplicative hash falls in the lowest
+    ``1/rate_denom`` of hash space — partition-invariant and
+    SQL-reproducible. Per batch: one hash mask + value_counts partial
+    (facet-cardinality rows); the driver merge is label-scale."""
+    cut = np.uint64(2**32 // rate_denom)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(key).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(2**32)
+        vals = t.column(field).to_numpy(zero_copy_only=False)[h < cut]
+        n_batch = len(t)
+        s = pd.Series(vals).value_counts()
+        return pa.table({
+            "label": pa.array(list(s.index.astype(str)) + [""]),
+            "cnt": pa.array(list(s.to_numpy().astype(np.int64))
+                            + [np.int64(n_batch)]),
+        })
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    n_total = int(parts.loc[parts["label"] == "", "cnt"].sum())
+    agg = (parts[parts["label"] != ""]
+           .groupby("label", as_index=False)["cnt"].sum()
+           .sort_values("label", kind="mergesort"))
+    sample_cnt = agg["cnt"].to_numpy().astype(np.int64)
+    corrected = sample_cnt * rate_denom                      # :245
+    total = min(n_total, int(sample_cnt.sum()) * rate_denom)  # :253
+    return pa.table({
+        "label": pa.array(list(agg["label"]) + ["__total__"]),
+        "sample_cnt": pa.array(list(sample_cnt)
+                               + [np.int64(sample_cnt.sum())],
+                               type=pa.int64()),
+        "est_cnt": pa.array(list(corrected) + [np.int64(total)],
+                            type=pa.int64()),
+    })
+
+
+def sampled_facet_events(sf_dir: str):
+    """Driver query: amortized sampled facet over events.event_type
+    (1/8 deterministic sample on event_id)."""
+    ds = read(sf_dir, "events", ["event_id", "event_type"])
+    return sampled_facet(ds, "event_type", "event_id", rate_denom=8)
