@@ -67,6 +67,14 @@ class SearchActor:
                 ttf[t] = ttf.get(t, 0) + d
         return df, ttf
 
+    def count_partial(self, query: Query, df_map: dict[str, int]) -> int:
+        """Hit count over this actor's shards (collation verification)."""
+        n = 0
+        for sh in self.searchers:
+            docs, _ = sh._score_clause(query, df_map)
+            n += int(len(docs))
+        return n
+
     def facet_partial(self, query: Query, df_map: dict[str, int],
                       field: str) -> dict[str, int]:
         """Per-actor facet counts over the query's full result set."""
@@ -618,6 +626,24 @@ class DistributedSearcher:
         """IndexSearcher-compatible global docFreq (lets the feature
         helpers — e.g. more_like_this — run against either searcher)."""
         return self._stats_phase(query)
+
+    def hit_count(self, query: Query | str) -> int:
+        """Total matching docs: per-actor count partials, one scatter."""
+        q = self.parse(query) if isinstance(query, str) else query
+        df_map = self._stats_phase(q)
+        return sum(ray.get([a.count_partial.remote(q, df_map)
+                            for a in self.actors]))
+
+    def spellcheck_collate(self, query_text: str, max_tries: int = 5,
+                           k_sugg: int = 3) -> dict | None:
+        """Distributed SpellCheckCollator.java:69: the same collation
+        walk as IndexSearcher.spellcheck_collate, with df / suggestions
+        / hit verification each one scatter round (counts are ints per
+        actor — no hit sets ship to the driver)."""
+        from .searcher import collate_walk
+
+        return collate_walk(self, query_text, max_tries, k_sugg,
+                            self.hit_count)
 
     def global_term_stats(self, terms: list[str]
                           ) -> tuple[dict[str, int], dict[str, int]]:

@@ -1287,54 +1287,14 @@ class IndexSearcher:
         response): substitute suggestions for the query's zero-docFreq
         words, re-run the rewritten query, and return the first
         collation that yields hits — ``{"collation", "hits", "tries"}``
-        — or None after ``max_tries`` rewrites. Suggestion combinations
-        are tried in rank order (best suggestion per word first, then
-        the next-ranked alternative for one word at a time)."""
-        from ..analysis import get_analyzer
+        — or None after ``max_tries`` rewrites."""
         from .features import _all_hits
 
-        analyzer = get_analyzer(self.analyzer_name)
-        chunks = query_text.split()
-        misspelled: list[tuple[int, str, list[str]]] = []
-        for i, ch in enumerate(chunks):
-            if ch.upper() in ("AND", "OR", "NOT") or not ch.isalnum():
-                continue
-            terms, _ = analyzer.analyze(ch)
-            if len(terms) != 1:
-                continue
-            if self.global_df(TermQuery(terms[0])).get(terms[0], 0) == 0:
-                sugg = [t for t, _ in self.spellcheck(terms[0], k=k_sugg)]
-                if not sugg:
-                    return None  # unfixable word: no collation possible
-                misspelled.append((i, terms[0], sugg))
-        if not misspelled:
-            return None  # nothing to collate (SpellCheckCollator no-op)
+        return collate_walk(
+            self, query_text, max_tries, k_sugg,
+            lambda q: int(len(_all_hits(self, q)[0])))
 
-        def candidates():
-            # best suggestion everywhere, then one word at a time moves
-            # to its next-ranked alternative (the collator's greedy walk)
-            yield [0] * len(misspelled)
-            for depth in range(1, k_sugg):
-                for which in range(len(misspelled)):
-                    if depth < len(misspelled[which][2]):
-                        pick = [0] * len(misspelled)
-                        pick[which] = depth
-                        yield pick
 
-        tries = 0
-        for pick in candidates():
-            if tries >= max_tries:
-                break
-            tries += 1
-            new_chunks = list(chunks)
-            for (i, _, sugg), j in zip(misspelled, pick):
-                new_chunks[i] = sugg[j]
-            collation = " ".join(new_chunks)
-            docs, _ = _all_hits(self, collation)
-            if len(docs) > 0:
-                return {"collation": collation, "hits": int(len(docs)),
-                        "tries": tries}
-        return None
 
     def terms(self, prefix: str = "", regex: str | None = None,
               limit: int = 10, sort: str = "count") -> list[tuple[str, int]]:
@@ -1473,6 +1433,58 @@ class IndexSearcher:
              "conv_id": lookup[d][0], "turn_idx": lookup[d][1]}
             for d, s in hits
         ]
+
+
+def collate_walk(searcher, query_text: str, max_tries: int,
+                 k_sugg: int, count_hits) -> dict | None:
+    """The SpellCheckCollator walk shared by the in-process and
+    distributed searchers: find zero-df words, substitute ranked
+    suggestions (best everywhere first, then one word at a time moves
+    to its next-ranked alternative), return the first rewrite whose
+    ``count_hits(collation)`` is positive."""
+    from ..analysis import get_analyzer
+
+    analyzer = get_analyzer(searcher.analyzer_name)
+    chunks = query_text.split()
+    misspelled: list[tuple[int, str, list[str]]] = []
+    for i, ch in enumerate(chunks):
+        if ch.upper() in ("AND", "OR", "NOT") or not ch.isalnum():
+            continue
+        terms, _ = analyzer.analyze(ch)
+        if len(terms) != 1:
+            continue
+        if searcher.global_df(TermQuery(terms[0])).get(terms[0], 0) == 0:
+            sugg = [t for t, _ in searcher.spellcheck(terms[0],
+                                                      k=k_sugg)]
+            if not sugg:
+                return None  # unfixable word: no collation possible
+            misspelled.append((i, terms[0], sugg))
+    if not misspelled:
+        return None  # nothing to collate (SpellCheckCollator no-op)
+
+    def candidates():
+        yield [0] * len(misspelled)
+        for depth in range(1, k_sugg):
+            for which in range(len(misspelled)):
+                if depth < len(misspelled[which][2]):
+                    pick = [0] * len(misspelled)
+                    pick[which] = depth
+                    yield pick
+
+    tries = 0
+    for pick in candidates():
+        if tries >= max_tries:
+            break
+        tries += 1
+        new_chunks = list(chunks)
+        for (i, _, sugg), j in zip(misspelled, pick):
+            new_chunks[i] = sugg[j]
+        collation = " ".join(new_chunks)
+        hits = count_hits(collation)
+        if hits > 0:
+            return {"collation": collation, "hits": int(hits),
+                    "tries": tries}
+    return None
 
 
 class MultiIndexSearcher:

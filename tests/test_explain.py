@@ -75,3 +75,14 @@ def test_spellcheck_collation(xs):
     assert xs.spellcheck_collate("ray data") is None
     # unfixable garbage: None
     assert xs.spellcheck_collate("qqqqqqzzzzxxxx") is None
+
+
+def test_distributed_collation_parity(xs, ray_session):
+    """DistributedSearcher.spellcheck_collate == in-process collation
+    (same corpus, same walk; hit counts verified by scatter)."""
+    from lucene_solr_ray.search.actors import DistributedSearcher
+
+    ds = DistributedSearcher(xs.index_dir, num_actors=3)
+    for q in ("rqy AND data", "rqy dtaa", "ray data",
+              "qqqqqqzzzzxxxx"):
+        assert ds.spellcheck_collate(q) == xs.spellcheck_collate(q), q
