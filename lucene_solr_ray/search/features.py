@@ -128,9 +128,9 @@ def rerank(searcher: IndexSearcher, query: Query | str,
     return out[:k]
 
 
-def more_like_this(searcher: IndexSearcher, text: str, k: int = 10,
-                   max_query_terms: int = 25, min_doc_freq: int = 2):
-    """Build an OR query from the seed text's top tf*idf terms, search it."""
+def _mlt_scored_terms(searcher: IndexSearcher, text: str,
+                      max_query_terms: int, min_doc_freq: int):
+    """The seed text's top (tf*idf, term) pairs, score-descending."""
     analyzer = get_analyzer(searcher.analyzer_name)
     terms, _ = analyzer.analyze(text)
     if not terms:
@@ -146,10 +146,38 @@ def more_like_this(searcher: IndexSearcher, text: str, k: int = 10,
             continue
         scored.append((float(tf) * float(bm25.idf(df, doc_count)), str(t)))
     scored.sort(reverse=True)
-    chosen = [TermQuery(t) for _, t in scored[:max_query_terms]]
+    return scored[:max_query_terms]
+
+
+def more_like_this(searcher: IndexSearcher, text: str, k: int = 10,
+                   max_query_terms: int = 25, min_doc_freq: int = 2):
+    """Build an OR query from the seed text's top tf*idf terms, search it."""
+    chosen = [TermQuery(t) for _, t in
+              _mlt_scored_terms(searcher, text, max_query_terms,
+                                min_doc_freq)]
     if not chosen:
         return []
     return searcher.search(BooleanQuery(should=chosen), k=k)
+
+
+def interesting_terms(searcher: IndexSearcher, text: str,
+                      max_query_terms: int = 25, min_doc_freq: int = 2,
+                      boost: bool = True) -> list[tuple[str, float]]:
+    """MoreLikeThisHandler ``interestingTerms=details``
+    (``solr/core/src/java/org/apache/solr/handler/
+    MoreLikeThisHandler.java:212-226`` response assembly, :454-474
+    fillInterestingTermsFromMLTQuery): the MLT query's chosen terms
+    with their clause boosts — MoreLikeThis normalizes each term's
+    tf*idf by the best score when boosting (best term reads 1.0);
+    without boost every term carries 1f."""
+    scored = _mlt_scored_terms(searcher, text, max_query_terms,
+                               min_doc_freq)
+    if not scored:
+        return []
+    if not boost:
+        return [(t, 1.0) for _, t in scored]
+    best = scored[0][0] or 1.0
+    return [(t, s / best) for s, t in scored]
 
 
 def highlight(text: str, query: Query | str, analyzer_name: str = "standard",

@@ -448,3 +448,28 @@ def test_idf_valuesource(built_index, ray_session):
             boosted_search(s, "ray", "idf(ray)", k=5)
     finally:
         dist.close()
+
+
+def test_interesting_terms(searcher):
+    from lucene_solr_ray.search.features import (
+        interesting_terms,
+        more_like_this,
+    )
+
+    searcher, _ = searcher
+    text = "ray data pipelines shuffle large blocks"
+    det = interesting_terms(searcher, text, max_query_terms=5)
+    assert det, "seed text must produce interesting terms"
+    # best term normalized to 1.0, scores descending in (0, 1]
+    assert det[0][1] == pytest.approx(1.0)
+    scores = [s for _, s in det]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < s <= 1.0 for s in scores)
+    # LIST style: same terms, flat 1f boosts
+    flat = interesting_terms(searcher, text, max_query_terms=5,
+                             boost=False)
+    assert [t for t, _ in flat] == [t for t, _ in det]
+    assert all(s == 1.0 for _, s in flat)
+    # the MLT query is built from exactly these terms (shared path)
+    hits = more_like_this(searcher, text, k=5, max_query_terms=5)
+    assert hits
