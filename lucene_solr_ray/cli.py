@@ -73,6 +73,9 @@ def main(argv=None) -> int:
     s.add_argument("--similarity", default="bm25",
                    choices=("bm25", "classic"),
                    help="scoring model (IndexSearcher.setSimilarity)")
+    s.add_argument("--qop", default="OR", choices=("OR", "AND"),
+                   help="default boolean operator for the classic "
+                        "syntax (QueryParser.setDefaultOperator / q.op)")
     s.add_argument("--syntax", default="classic",
                    choices=("classic", "complexphrase", "surround",
                             "xml", "edismax", "simple", "precedence",
@@ -337,6 +340,13 @@ def main(argv=None) -> int:
                                   get_analyzer(searcher.analyzer_name),
                                   mm=args.mm, pf=args.pf, ps=args.ps,
                                   lowercase_operators=True)
+        elif args.qop == "AND":
+            from .analysis import get_analyzer
+            from .search.query import parse_query
+
+            query = parse_query(args.query,
+                                get_analyzer(searcher.analyzer_name),
+                                default_operator="AND")
         else:
             query = args.query
         hits = searcher.search(query, k=args.k, sort=sort,

@@ -969,12 +969,17 @@ def _parse_term_like_body(chunk: str, analyzer) -> Query:
 
 
 def parse_query(text: str, analyzer=None,
-                complex_phrases: bool = False) -> Query:
+                complex_phrases: bool = False,
+                default_operator: str = "OR") -> Query:
     """Parse the classic-syntax subset into an AST.
 
     Supported: bare terms (implicit OR), AND / OR / NOT connectives,
     +required / -prohibited prefixes, "quoted phrases". Field prefixes and
     the wildcard/fuzzy/range syntax are not part of the parity surface.
+    ``default_operator="AND"`` reproduces ``QueryParser.setDefaultOperator
+    (AND_OPERATOR)`` / Solr ``q.op=AND`` (QueryParserBase.java:43,
+    addClause): bare clauses become required unless an explicit OR
+    connective precedes them (which also demotes the clause before it).
     With ``complex_phrases=True`` (ComplexPhraseQueryParser surface),
     quoted phrases parse their bodies as query syntax instead of plain
     analyzed text.
@@ -1067,20 +1072,28 @@ def parse_query(text: str, analyzer=None,
         flush(text[i:j], False)
         i = j
 
-    # assemble: classic parser semantics with default OR operator —
-    # AND promotes both adjacent clauses to MUST; NOT/- makes MUST_NOT
-    entries: list[list] = []  # [op, query] with op in {"", "+", "-"}
+    # assemble: classic parser semantics — AND promotes both adjacent
+    # clauses to MUST; NOT/- makes MUST_NOT; with q.op=AND the default
+    # is MUST and an explicit OR demotes both adjacent clauses
+    and_default = default_operator.upper() == "AND"
+    entries: list[list] = []  # [op, query, promoted] op in {"", "+", "-"}
     for conn, op, q in clauses:
-        entry = [op, q]
+        entry = [op, q, False]
         if conn == "AND":
             if entries and entries[-1][0] == "":
                 entries[-1][0] = "+"
             if entry[0] == "":
                 entry[0] = "+"
+        elif and_default and conn != "OR" and entry[0] == "":
+            entry[0] = "+"
+            entry[2] = True          # auto-promoted, OR can demote
+        if conn == "OR" and entries and entries[-1][2]:
+            entries[-1][0] = ""      # QueryParserBase.addClause: CONJ_OR
+            entries[-1][2] = False   # un-requires the previous clause
         entries.append(entry)
 
     bq = BooleanQuery()
-    for op, q in entries:
+    for op, q, _ in entries:
         if isinstance(q, MatchNoDocs):
             continue
         if op == "+":

@@ -384,3 +384,28 @@ def test_field_sort_desc_string_with_missing(ray_session, tmp_path):
         present = [v for v in vals if v is not None]
         assert all(v is None for v in vals[len(present):]), (desc, vals)
         assert present == sorted(present, reverse=desc)
+
+
+def test_default_operator_and():
+    """q.op=AND (QueryParserBase.java:43 AND_OPERATOR + addClause)."""
+    from lucene_solr_ray.search.query import TermQuery
+
+    def T(t):
+        return TermQuery(t, 1.0)
+
+    q = parse_query("segments merge", default_operator="AND")
+    assert q == BooleanQuery(must=[T("segments"), T("merge")])
+    # explicit OR demotes both adjacent clauses
+    q2 = parse_query("segments OR merge", default_operator="AND")
+    assert q2 == BooleanQuery(should=[T("segments"), T("merge")])
+    # x OR y AND z -> x +y +z flat per classic addClause
+    q3 = parse_query("alpha OR beta AND gamma", default_operator="AND")
+    assert q3 == BooleanQuery(must=[T("beta"), T("gamma")],
+                              should=[T("alpha")])
+    # x OR y z -> x y +z
+    q4 = parse_query("alpha OR beta gamma", default_operator="AND")
+    assert q4 == BooleanQuery(must=[T("gamma")],
+                              should=[T("alpha"), T("beta")])
+    # default OR unchanged
+    q5 = parse_query("segments merge")
+    assert q5 == BooleanQuery(should=[T("segments"), T("merge")])
