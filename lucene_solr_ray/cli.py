@@ -76,6 +76,12 @@ def main(argv=None) -> int:
     s.add_argument("--qop", default="OR", choices=("OR", "AND"),
                    help="default boolean operator for the classic "
                         "syntax (QueryParser.setDefaultOperator / q.op)")
+    s.add_argument("--bf", default=None,
+                   help="additive boost function (dismax bf=): a "
+                        "function-registry expression whose per-doc "
+                        "value adds to the score")
+    s.add_argument("--boost", default=None,
+                   help="multiplicative boost function ({!boost b=})")
     s.add_argument("--syntax", default="classic",
                    choices=("classic", "complexphrase", "surround",
                             "xml", "edismax", "simple", "precedence",
@@ -349,8 +355,15 @@ def main(argv=None) -> int:
                                 default_operator="AND")
         else:
             query = args.query
-        hits = searcher.search(query, k=args.k, sort=sort,
-                               filter_range=filter_range)
+        if args.bf or args.boost:
+            from .search.features import boosted_search
+
+            hits = boosted_search(
+                searcher, query, args.bf or args.boost, k=args.k,
+                mode="add" if args.bf else "multiply")
+        else:
+            hits = searcher.search(query, k=args.k, sort=sort,
+                                   filter_range=filter_range)
         rows = searcher.resolve_hits(hits)
         if args.highlight:
             from .search.features import highlight_hits

@@ -418,12 +418,17 @@ def decoded_norms(searcher, docs):
 
 
 def boosted_search(searcher: IndexSearcher, query: Query | str,
-                   boost_expr: str, k: int = 10):
+                   boost_expr: str, k: int = 10,
+                   mode: str = "multiply"):
     """FunctionScoreQuery / Solr ``{!boost b=f(...)}``
     (``lucene/queries/.../function/FunctionScoreQuery.java``): final
     score = BM25 score * f(docvalues), with f a function-registry
     expression (``functions.valuesource``) over docvalue fields —
-    e.g. ``recip(turn_idx,1,10,10)`` for a recency-style boost."""
+    e.g. ``recip(turn_idx,1,10,10)`` for a recency-style boost.
+    ``mode="add"`` is the dismax ``bf`` boost-function semantics
+    (``solr/core/.../search/DisMaxQParser.java`` addBoostFunctions:
+    each bf clause joins the main query as SHOULD, so its function
+    value ADDS to the score)."""
     import numpy as np
     import pyarrow as pa
 
@@ -507,7 +512,10 @@ def boosted_search(searcher: IndexSearcher, query: Query | str,
         boost_np = np.full(len(docs), boost.as_py())
     else:
         boost_np = boost.to_numpy(zero_copy_only=False)
-    final = scores.astype(np.float64) * boost_np
+    if mode == "add":
+        final = scores.astype(np.float64) + boost_np
+    else:
+        final = scores.astype(np.float64) * boost_np
     order = np.lexsort((docs, -final))[:k]
     return [(int(docs[i]), float(final[i])) for i in order]
 

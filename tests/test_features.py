@@ -473,3 +473,27 @@ def test_interesting_terms(searcher):
     # the MLT query is built from exactly these terms (shared path)
     hits = more_like_this(searcher, text, k=5, max_query_terms=5)
     assert hits
+
+
+def test_boosted_search_additive_bf(searcher):
+    """mode='add' (dismax bf): score + f(doc), rank recomputed."""
+    import numpy as np
+    from lucene_solr_ray.search.features import _all_hits, boosted_search
+
+    s, _ = searcher
+    q = "ray data"
+    docs, scores = _all_hits(s, q)
+    tvals = s.docvalues("turn_idx")
+    f = np.asarray([0.0 if tvals[d] is None else float(tvals[d])
+                    for d in docs])
+    want = scores.astype(np.float64) + f
+    order = np.lexsort((docs, -want))[:10]
+    expect = [(int(docs[i]), float(want[i])) for i in order]
+    got = boosted_search(s, q, "turn_idx", k=10, mode="add")
+    assert got == expect
+    # multiplicative default unchanged
+    got_mul = boosted_search(s, q, "turn_idx", k=10)
+    want_mul = scores.astype(np.float64) * f
+    order2 = np.lexsort((docs, -want_mul))[:10]
+    assert got_mul == [(int(docs[i]), float(want_mul[i]))
+                       for i in order2]
