@@ -298,22 +298,32 @@ def build_ivf_index(sf_dir: str, out_dir: str, n_centroids: int = 16,
     centroids = _sample_centroids(sf_dir, n_centroids, seed)
     cent_ref = ray.put(centroids)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pd.DataFrame) -> pa.Table:
         cents = ray.get(cent_ref)
         m = _embed_matrix(batch)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         a = min(assign_top, len(cents))
         pref = np.argsort(-(m @ cents.T), axis=1)[:, :a]
-        return pd.DataFrame({
-            "vec_id": np.repeat(batch["vec_id"].to_numpy(), a),
-            "embedding": list(np.repeat(m, a, axis=0)),
-            "bucket": pref.ravel().astype(np.int64),
+        rep = np.repeat(m, a, axis=0)
+        # a real Arrow fixed-size-list column (NOT a pandas object
+        # column of ndarrays): blocks then concatenate cleanly when the
+        # writer consolidates files
+        return pa.table({
+            "vec_id": pa.array(np.repeat(batch["vec_id"].to_numpy(), a),
+                               type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(rep.ravel(), type=pa.float64()), m.shape[1]),
+            "bucket": pa.array(pref.ravel().astype(np.int64)),
         })
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # min_rows_per_file keeps each bucket directory to a handful of
+    # files — the query path pays one footer fetch PER FILE, and
+    # many-small-files layouts dominate warm query latency
     (ds.map_batches(assign, batch_format="pandas")
      .write_parquet(os.path.join(out_dir, "data"),
-                    partition_cols=["bucket"]))
+                    partition_cols=["bucket"],
+                    min_rows_per_file=65536))
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"n_centroids": int(len(centroids)), "seed": seed,
@@ -340,7 +350,7 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     # the cached IVF index instead of silently reusing stale centroids
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
-    tag = _hl.md5(f"{os.path.abspath(sf_dir)}|{n_centroids}|{seed}|"
+    tag = _hl.md5(f"v2|{os.path.abspath(sf_dir)}|{n_centroids}|{seed}|"
                   f"{assign_top}|{st.st_size}|{st.st_mtime_ns}"
                   .encode()).hexdigest()[:12]
     idx_dir = os.path.join("/tmp/lsr_ivf", tag)
@@ -651,7 +661,7 @@ def build_ivfpq_index(sf_dir: str, out_dir: str, n_centroids: int = 16,
     cent_ref = ray.put(centroids)
     books_ref = ray.put(books)
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pd.DataFrame) -> pa.Table:
         cents = ray.get(cent_ref)
         bks = ray.get(books_ref)
         m = _embed_matrix(batch)
@@ -659,16 +669,20 @@ def build_ivfpq_index(sf_dir: str, out_dir: str, n_centroids: int = 16,
         codes = _pq_encode(m, bks)
         a = min(assign_top, len(cents))
         pref = np.argsort(-(m @ cents.T), axis=1)[:, :a]
-        return pd.DataFrame({
-            "vec_id": np.repeat(batch["vec_id"].to_numpy(), a),
-            "codes": list(np.repeat(codes, a, axis=0)),
-            "bucket": pref.ravel().astype(np.int64),
+        rep = np.repeat(codes, a, axis=0)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(batch["vec_id"].to_numpy(), a),
+                               type=pa.int64()),
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(rep.ravel(), type=pa.uint8()), codes.shape[1]),
+            "bucket": pa.array(pref.ravel().astype(np.int64)),
         })
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
     (ds.map_batches(assign, batch_format="pandas")
      .write_parquet(os.path.join(out_dir, "data"),
-                    partition_cols=["bucket"]))
+                    partition_cols=["bucket"],
+                    min_rows_per_file=65536))
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"n_centroids": int(len(centroids)), "seed": seed,
@@ -702,7 +716,7 @@ def knn_ivfpq(sf_dir: str, query_vec_id: int = 0, k: int = 10,
 
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
-    tag = _hl.md5(f"pq|{os.path.abspath(sf_dir)}|{n_centroids}|{m_sub}|"
+    tag = _hl.md5(f"pq2|{os.path.abspath(sf_dir)}|{n_centroids}|{m_sub}|"
                   f"{n_codes}|{seed}|{assign_top}|{st.st_size}|"
                   f"{st.st_mtime_ns}".encode()).hexdigest()[:12]
     idx_dir = os.path.join("/tmp/lsr_ivfpq", tag)
