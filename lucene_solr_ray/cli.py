@@ -356,6 +356,16 @@ def main(argv=None) -> int:
         else:
             query = args.query
         if args.bf or args.boost:
+            # boosted_search reranks the FULL hit set; combinations it
+            # cannot honor are rejected loudly rather than silently
+            # dropping a user constraint
+            if args.bf and args.boost:
+                raise SystemExit("--bf and --boost are mutually "
+                                 "exclusive here; compose them into one "
+                                 "expression instead")
+            if sort or filter_range or getattr(args, "federate", None):
+                raise SystemExit("--bf/--boost cannot combine with "
+                                 "--sort/--filter/--federate")
             from .search.features import boosted_search
 
             hits = boosted_search(

@@ -358,9 +358,9 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
     manifest = json.load(open(os.path.join(idx_dir, "ivf_manifest.json")))
     centroids = np.asarray(manifest["centroids"], dtype=np.float64)
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"])
-    qrow = qt.filter(pa.compute.equal(qt.column("vec_id"), query_vec_id))
+    qrow = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "==", query_vec_id)])
     q = np.asarray(qrow.column("embedding")[0].as_py(), dtype=np.float64)
     qn = q / np.linalg.norm(q)
     probes = np.argsort(-(qn @ centroids.T))[:nprobe]

@@ -1045,16 +1045,20 @@ def sampled_facet(ds, field: str, key: str, rate_denom: int = 8,
         vals = t.column(field).to_numpy(zero_copy_only=False)[h < cut]
         n_batch = len(t)
         s = pd.Series(vals).value_counts()
+        # a NULL label carries the batch total: value_counts never
+        # emits null, so it cannot collide with a real facet value
+        # (an empty-string value is legitimate and must count)
         return pa.table({
-            "label": pa.array(list(s.index.astype(str)) + [""]),
+            "label": pa.array(list(s.index.astype(str)) + [None]),
             "cnt": pa.array(list(s.to_numpy().astype(np.int64))
                             + [np.int64(n_batch)]),
         })
 
     parts = (ds.map_batches(partial, batch_format="pyarrow")
              .to_pandas())
-    n_total = int(parts.loc[parts["label"] == "", "cnt"].sum())
-    agg = (parts[parts["label"] != ""]
+    null_mask = parts["label"].isna()
+    n_total = int(parts.loc[null_mask, "cnt"].sum())
+    agg = (parts[~null_mask]
            .groupby("label", as_index=False)["cnt"].sum()
            .sort_values("label", kind="mergesort"))
     sample_cnt = agg["cnt"].to_numpy().astype(np.int64)

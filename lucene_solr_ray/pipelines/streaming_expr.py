@@ -268,6 +268,8 @@ def _select_ops_fn(ops: list[Expr]):
                         # column (ReplaceWithValueOperation semantics)
                         mask = pa.array(
                             np.zeros(len(t), dtype=bool))
+                if not pc.any(pc.fill_null(mask, False)).as_py():
+                    continue   # no tuple matches: column unchanged
                 if "withField" in op.params:
                     repl = t.column(op.params["withField"])
                 else:

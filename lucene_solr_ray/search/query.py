@@ -1086,10 +1086,12 @@ def parse_query(text: str, analyzer=None,
                 entry[0] = "+"
         elif and_default and conn != "OR" and entry[0] == "":
             entry[0] = "+"
-            entry[2] = True          # auto-promoted, OR can demote
-        if conn == "OR" and entries and entries[-1][2]:
-            entries[-1][0] = ""      # QueryParserBase.addClause: CONJ_OR
-            entries[-1][2] = False   # un-requires the previous clause
+        if and_default and conn == "OR" and entries \
+                and entries[-1][0] != "-":
+            # QueryParserBase.addClause: under AND_OPERATOR, CONJ_OR
+            # unconditionally demotes the (non-prohibited) preceding
+            # clause to SHOULD — explicit '+' included
+            entries[-1][0] = ""
         entries.append(entry)
 
     bq = BooleanQuery()

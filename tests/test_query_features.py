@@ -409,3 +409,13 @@ def test_default_operator_and():
     # default OR unchanged
     q5 = parse_query("segments merge")
     assert q5 == BooleanQuery(should=[T("segments"), T("merge")])
+    # CONJ_OR demotes the preceding clause unconditionally under
+    # AND_OPERATOR (QueryParserBase.addClause) — explicit '+' included
+    q6 = parse_query("alpha AND beta OR gamma", default_operator="AND")
+    assert q6 == BooleanQuery(must=[T("alpha")],
+                              should=[T("beta"), T("gamma")])
+    q7 = parse_query("+alpha OR beta", default_operator="AND")
+    assert q7 == BooleanQuery(should=[T("alpha"), T("beta")])
+    # prohibited clauses are exempt from the demotion
+    q8 = parse_query("-alpha OR beta", default_operator="AND")
+    assert q8 == BooleanQuery(must_not=[T("alpha")], should=[T("beta")])

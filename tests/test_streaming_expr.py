@@ -356,3 +356,19 @@ def test_reduce_distinct_deterministic_representative(ray_session):
         outs.append(out.sort_values("k").reset_index(drop=True))
     assert outs[0].equals(outs[1])
     assert outs[0]["v"].tolist() == ["a", "m"]
+
+
+def test_replace_no_match_keeps_dtype(ray_session):
+    import pyarrow as pa
+    from lucene_solr_ray.pipelines.streaming_expr import (
+        _select_ops_fn,
+        parse_expr,
+    )
+
+    # type-mismatched original: no tuple matches, column must come back
+    # bit-identical (NOT promoted to string by the replacement fallback)
+    e = parse_expr('replace(n, "x", withValue="y")')
+    t = pa.table({"n": pa.array([1, 2, None], type=pa.int64())})
+    out = _select_ops_fn([e])(t)
+    assert out.column("n").type == pa.int64()
+    assert out.column("n").to_pylist() == [1, 2, None]

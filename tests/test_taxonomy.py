@@ -44,3 +44,26 @@ def test_topn_truncates_but_total_is_full(ray_session):
     assert out["label"].tolist() == ["2010", "__total__"]
     assert out["cnt"].tolist() == [2, 5]
     assert out["child_count"].tolist() == [3, 3]
+
+
+def test_sampled_facet_empty_string_label(ray_session):
+    """'' is a legitimate facet value — it must count as a label, not
+    be folded into the batch-total sentinel."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.pipelines.relational import sampled_facet
+
+    n = 64
+    t = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "event_type": pa.array(["" if i % 2 else "x" for i in range(n)]),
+    })
+    out = sampled_facet(rd.from_arrow(t), "event_type", "event_id",
+                        rate_denom=2).to_pandas()
+    rows = dict(zip(out["label"], out["sample_cnt"]))
+    assert "" in rows and rows[""] > 0
+    # the total row equals the full input count clamp, not total+''
+    total = out[out["label"] == "__total__"]
+    assert int(total["sample_cnt"].iloc[0]) == \
+        int(out[out["label"] != "__total__"]["sample_cnt"].sum())
