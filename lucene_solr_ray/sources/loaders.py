@@ -14,6 +14,8 @@ plus a ``to_transcript_schema`` adapter.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 
 import ray.data as rd
@@ -364,6 +366,34 @@ class _HTMLTextExtractor:
         return title, text
 
 
+_MD_FENCE = re.compile(r"^```[^\n]*$", re.MULTILINE)
+_MD_LINK = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_MD_IMAGE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+_MD_HEADING = re.compile(r"^#{1,6}\s*", re.MULTILINE)
+_MD_EMPH = re.compile(r"(\*{1,3}|_{1,3}|`)(.+?)\1", re.DOTALL)
+_MD_LIST = re.compile(r"^\s*([-*+]|\d+\.)\s+", re.MULTILINE)
+_MD_QUOTE = re.compile(r"^>\s?", re.MULTILINE)
+
+
+def _markdown_extract(src: str) -> tuple[str, str]:
+    """(title, text) from markdown: first '#' heading is the title;
+    structural syntax is stripped, content (incl. code-fence bodies and
+    link anchor text) kept."""
+    m = re.search(r"^#\s+(.+)$", src, re.MULTILINE)
+    title = m.group(1).strip() if m else ""
+    text = _MD_FENCE.sub("", src)
+    text = _MD_IMAGE.sub(r"\1", text)
+    text = _MD_LINK.sub(r"\1", text)
+    text = _MD_HEADING.sub("", text)
+    for _ in range(3):          # nested emphasis unwraps iteratively
+        text, n = _MD_EMPH.subn(r"\2", text)
+        if not n:
+            break
+    text = _MD_LIST.sub("", text)
+    text = _MD_QUOTE.sub("", text)
+    return title, text
+
+
 def load_rich_docs(path: str) -> rd.Dataset:
     """ExtractingRequestHandler (Tika) analog (``solr/contrib/extraction/
     .../ExtractingDocumentLoader.java:55``): rich documents -> (id,
@@ -372,6 +402,10 @@ def load_rich_docs(path: str) -> rd.Dataset:
     - ``.html`` / ``.htm`` — REAL extraction (stdlib html.parser:
       visible text, title, script/style stripped), the most common
       Tika input by far.
+    - ``.md`` / ``.markdown`` — REAL extraction (regex markdown
+      stripper: code fences kept as code text, links reduced to their
+      anchor text, emphasis/heading/list markers removed; title = first
+      ``#`` heading), mirroring Tika's text/x-web-markdown handling.
     - ``.txt`` — passed through whole.
     - anything else — a clearly-marked declared stub (NotImplementedError
       names the missing parser), mirroring how multimodal decode is
@@ -388,6 +422,9 @@ def load_rich_docs(path: str) -> rd.Dataset:
             low = p.lower()
             if low.endswith((".html", ".htm")):
                 title, text = extract(blob.decode("utf-8", "replace"))
+            elif low.endswith((".md", ".markdown")):
+                title, text = _markdown_extract(
+                    blob.decode("utf-8", "replace"))
             elif low.endswith(".txt"):
                 title, text = "", blob.decode("utf-8", "replace")
             else:

@@ -200,3 +200,35 @@ def test_load_rich_docs_html(ray_session, tmp_path):
     with pytest.raises(Exception) as ei:
         load_rich_docs(str(tmp_path)).take_all()
     assert "no parser" in str(ei.value)
+
+
+def test_rich_docs_markdown(ray_session, tmp_path):
+    from lucene_solr_ray.sources.loaders import load_rich_docs
+
+    md = """# Getting Started
+
+Some **bold** and *emph* and `inline code` text.
+
+- item one
+- item two
+
+> a quote line
+
+```python
+def f():
+    return 1
+```
+
+See [the docs](https://example.com/x) and ![alt text](img.png).
+"""
+    (tmp_path / "doc.md").write_text(md)
+    out = load_rich_docs(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["title"] == "Getting Started"
+    t = row["text"]
+    for want in ("bold", "emph", "inline code", "item one",
+                 "a quote line", "def f():", "the docs", "alt text"):
+        assert want in t, want
+    for gone in ("**", "```", "](", "# Getting"):
+        assert gone not in t, gone
