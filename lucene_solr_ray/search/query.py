@@ -917,12 +917,25 @@ def rewrite_complex_phrase(q: ComplexPhraseQuery, sorted_terms) -> Query:
     return SpanNotQuery(include=include, exclude=exclude, boost=q.boost)
 
 
+#: ExtendableQueryParser registry (``lucene/queryparser/src/java/org/
+#: apache/lucene/queryparser/ext/ExtendableQueryParser.java:30-70`` +
+#: ``Extensions.java``): a ``key -> fn(raw_term, analyzer) -> Query``
+#: mapping; ``key:term`` atoms dispatch to the registered extension
+#: with the RAW (unanalyzed) term, like ParserExtension.parse receives
+#: the ExtensionQuery's raw query string.
+QUERY_EXTENSIONS: dict = {}
+
+
+def register_query_extension(key: str, fn) -> None:
+    QUERY_EXTENSIONS[key] = fn
+
+
 def _parse_term_like(chunk: str, analyzer) -> Query:
     """Classify a non-phrase chunk: range, fuzzy, wildcard/prefix, or an
     analyzed term. Handles ``field:term`` prefixes (single text field —
-    the prefix is validated away) and ``term^boost``. Expanded-term
-    queries are lowercased but NOT tokenized (classic parser
-    lowercase_expanded_terms behavior)."""
+    the prefix is validated away), ``ext_key:term`` parser extensions,
+    and ``term^boost``. Expanded-term queries are lowercased but NOT
+    tokenized (classic parser lowercase_expanded_terms behavior)."""
     from ..analysis.analyzer import java_lowercase
 
     boost = 1.0
@@ -935,6 +948,11 @@ def _parse_term_like(chunk: str, analyzer) -> Query:
             pass
     if ":" in chunk and not chunk.startswith("["):
         field, _, rest = chunk.partition(":")
+        if field in QUERY_EXTENSIONS:
+            q = QUERY_EXTENSIONS[field](rest, analyzer)
+            if boost != 1.0 and hasattr(q, "boost"):
+                q = type(q)(**{**q.__dict__, "boost": boost})
+            return q
         # single-field engine: accept the default field name, otherwise
         # treat the colon as token text (e.g. "12:30")
         if field in ("text", "body", "content"):

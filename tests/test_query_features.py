@@ -419,3 +419,35 @@ def test_default_operator_and():
     # prohibited clauses are exempt from the demotion
     q8 = parse_query("-alpha OR beta", default_operator="AND")
     assert q8 == BooleanQuery(must_not=[T("alpha")], should=[T("beta")])
+
+
+def test_query_extension_registry():
+    """ExtendableQueryParser (queryparser/ext): key:term dispatches to
+    the registered ParserExtension with the RAW term."""
+    from lucene_solr_ray.search.query import (
+        QUERY_EXTENSIONS,
+        TermQuery,
+        register_query_extension,
+    )
+
+    seen = []
+
+    def raw_ext(term, analyzer):
+        seen.append(term)
+        return TermQuery(term, 1.0)   # verbatim, no analysis
+
+    register_query_extension("raw", raw_ext)
+    try:
+        q = parse_query("raw:SegMents AND merge")
+        assert TermQuery("SegMents", 1.0) in q.must      # raw case kept
+        assert TermQuery("merge", 1.0) in q.must
+        assert seen == ["SegMents"]
+        # boost applies around the extension query
+        q2 = parse_query("raw:Abc^3")
+        assert q2 == TermQuery("Abc", 3.0)
+        # unregistered keys keep the colon-as-text behavior
+        q3 = parse_query("unknownkey:zzz")
+        assert not seen[1:] or seen == ["SegMents", "Abc"]
+        assert q3 is not None
+    finally:
+        QUERY_EXTENSIONS.pop("raw", None)
