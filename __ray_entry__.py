@@ -240,7 +240,7 @@ def oracle_sql() -> dict[str, str]:
             # deterministic 1/8 Knuth-hash sample; corrected = cnt*8,
             # total clamped to the event count
             "WITH samp AS (SELECT event_type FROM events WHERE "
-            "(event_id * 2654435761) % 4294967296 < 536870912), "
+            "((event_id % 4294967296)::HUGEINT * 2654435761) % 4294967296 < 536870912), "
             "f AS (SELECT event_type AS label, "
             "CAST(count(*) AS BIGINT) AS sample_cnt FROM samp "
             "GROUP BY label) "
@@ -316,18 +316,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE value > 200",
         "geo_bbox_events":
             "WITH c AS (SELECT event_id, user_id, "
-            "((user_id * 2654435761) % 4294967296) / 4294967296.0 "
+            "(((user_id % 4294967296)::HUGEINT * 2654435761) % 4294967296) / 4294967296.0 "
             "* 180 - 90 AS lat, "
-            "(((user_id + 12345) * 2654435761) % 4294967296) / 4294967296.0 "
+            "((((user_id % 4294967296) + 12345)::HUGEINT * 2654435761) % 4294967296) / 4294967296.0 "
             "* 360 - 180 AS lon FROM events) "
             "SELECT event_id, user_id, ROUND(lat, 6) AS lat, "
             "ROUND(lon, 6) AS lon FROM c WHERE lat >= 10.0 AND lat <= 55.0 "
             "AND lon >= -30.0 AND lon <= 42.5",
         "geo_nearest_events":
             "WITH c AS (SELECT event_id, "
-            "((user_id * 2654435761) % 4294967296) / 4294967296.0 "
+            "(((user_id % 4294967296)::HUGEINT * 2654435761) % 4294967296) / 4294967296.0 "
             "* 180 - 90 AS lat, "
-            "(((user_id + 12345) * 2654435761) % 4294967296) / 4294967296.0 "
+            "((((user_id % 4294967296) + 12345)::HUGEINT * 2654435761) % 4294967296) / 4294967296.0 "
             "* 360 - 180 AS lon FROM events), "
             "d AS (SELECT event_id, (lat-48.0)*(lat-48.0) + "
             "(lon-2.0)*(lon-2.0) AS d2 FROM c) "
@@ -335,9 +335,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY d2, event_id LIMIT 20",
         "heatmap_facet_events":
             "WITH pts AS (SELECT "
-            "((user_id * 2654435761) % 4294967296) / 4294967296.0 "
+            "(((user_id % 4294967296)::HUGEINT * 2654435761) % 4294967296) / 4294967296.0 "
             "* 180 - 90 AS lat, "
-            "(((user_id + 12345) * 2654435761) % 4294967296) / 4294967296.0 "
+            "((((user_id % 4294967296) + 12345)::HUGEINT * 2654435761) % 4294967296) / 4294967296.0 "
             "* 360 - 180 AS lon FROM events) "
             "SELECT LEAST(CAST(floor((lat - 10.0) / 5.0) AS BIGINT), 8) "
             "AS grow, "
@@ -437,7 +437,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
         "sample_events":
             "SELECT event_id, event_type, round(value, 4) AS value "
-            "FROM events WHERE (event_id * 2654435761) % 4294967296 "
+            "FROM events WHERE ((event_id % 4294967296)::HUGEINT * 2654435761) % 4294967296 "
             "< 429496729",
         "collapse_orders":
             "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
@@ -503,7 +503,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN dd USING (doc_id) GROUP BY k.source",
         "domain_mix_docs":
             "SELECT lang, count(*) AS cnt FROM documents "
-            "WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < "
+            "WHERE (((doc_id % 4294967296)::HUGEINT * 2654435761) % 4294967296) / 4294967296.0 < "
             "CASE lang WHEN 'en' THEN 1.0 WHEN 'fr' THEN 0.5 "
             "WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.25 WHEN 'de' THEN 0.25 "
             "ELSE 1.0 END GROUP BY lang",

@@ -306,6 +306,12 @@ def main(argv=None) -> int:
                     return parse_date_math(x)
                 return x
             filter_range = {field: (_bound(lo), _bound(hi))}
+        if args.qop == "AND" and args.syntax not in (None, "", "classic"):
+            # fail loud (same convention as unsupported --bf/--boost
+            # combos): only the classic parser honors a default operator
+            raise SystemExit(
+                f"--qop AND is only supported with the classic syntax "
+                f"(got --syntax {args.syntax})")
         if args.syntax == "complexphrase":
             query = searcher.parse_complex(args.query)
         elif args.syntax == "surround":

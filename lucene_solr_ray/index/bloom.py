@@ -79,7 +79,7 @@ def build_term_blooms(index_dir: str) -> str:
     manifest = json.loads((index_path / "manifest.json").read_text())
     shard_ids = sorted(s["shard_id"] for s in manifest["shards"])
     meta_path = index_path / BLOOM_META
-    if meta_path.exists():
+    if meta_path.exists() and (index_path / BLOOM_FILE).exists():
         meta = json.loads(meta_path.read_text())
         if meta.get("shard_ids") == shard_ids and \
                 meta.get("version") == manifest.get("version"):

@@ -42,7 +42,8 @@ def domain_mix(ds, key_col: str, rates: dict[str, float],
 
     def flt(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        u = ((ids.astype(np.uint64) * _KNUTH) % np.uint64(2 ** 32)
+        ids32 = ids.astype(np.uint64) % np.uint64(2 ** 32)
+        u = ((ids32 * _KNUTH) % np.uint64(2 ** 32)
              ).astype(np.float64) / _TWO32
         keys = t.column(key_col).to_pylist()
         rate = np.fromiter((rates.get(k, default_rate) for k in keys),

@@ -41,11 +41,15 @@ _TWO32 = np.float64(4294967296.0)
 def synth_coords(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic synthetic (lat, lon) from an integer id — Knuth
     multiplicative hashing, exactly reproducible in SQL:
-    lat = ((id * 2654435761) % 2^32) / 2^32 * 180 - 90
-    lon = (((id + 12345) * 2654435761) % 2^32) / 2^32 * 360 - 180
-    """
-    u = (ids.astype(np.uint64) * _KNUTH) % np.uint64(2**32)
-    v = ((ids.astype(np.uint64) + np.uint64(12345)) * _KNUTH) % np.uint64(2**32)
+    lat = (((id % 2^32) * 2654435761) % 2^32) / 2^32 * 180 - 90
+    lon = ((((id % 2^32 + 12345)) * 2654435761) % 2^32) / 2^32 * 360 - 180
+
+    The id is masked to 32 bits BEFORE the multiply so the uint64
+    product never wraps mod 2^64, keeping the value identical to a SQL
+    HUGEINT evaluation at any id scale (no-op for ids < 2^32)."""
+    ids32 = ids.astype(np.uint64) % np.uint64(2**32)
+    u = (ids32 * _KNUTH) % np.uint64(2**32)
+    v = ((ids32 + np.uint64(12345)) * _KNUTH) % np.uint64(2**32)
     lat = (u.astype(np.float64) / _TWO32) * 180.0 - 90.0
     lon = (v.astype(np.float64) / _TWO32) * 360.0 - 180.0
     return lat, lon

@@ -374,6 +374,11 @@ def knn_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10,
 
     paths = sorted(f for b in probes for f in _glob.glob(
         os.path.join(idx_dir, "data", f"bucket={int(b)}", "*.parquet")))
+    if not paths:
+        # every probed bucket empty (possible on tiny corpora where some
+        # coarse buckets get no vectors): an empty top-k, not a crash
+        return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
     ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -741,6 +746,9 @@ def knn_ivfpq(sf_dir: str, query_vec_id: int = 0, k: int = 10,
 
     paths = sorted(f for b in probes for f in _glob.glob(
         os.path.join(idx_dir, "data", f"bucket={int(b)}", "*.parquet")))
+    if not paths:
+        return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
     ds = rd.read_parquet(paths, columns=["vec_id", "codes"])
     n_cand = k * max(1, refine)
 

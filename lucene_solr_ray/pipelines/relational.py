@@ -844,7 +844,11 @@ def sample_events(sf_dir: str):
 
     def fil(t: pa.Table) -> pa.Table:
         ids = t.column("event_id").to_numpy(zero_copy_only=False)
-        h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        # mask to 32 bits BEFORE the Knuth multiply: the masked product
+        # is < 2^64 so uint64 arithmetic is exact (no wraparound), and
+        # the SQL oracle can reproduce it in HUGEINT at any id scale
+        ids32 = ids.astype(np.uint64) % np.uint64(2**32)
+        h = (ids32 * np.uint64(2654435761)) % np.uint64(2**32)
         keep = h < np.uint64(429496729)  # 2^32 / 10
         out = t.filter(pa.array(keep))
         return round_col(out, "value", 4)
@@ -1040,8 +1044,10 @@ def sampled_facet(ds, field: str, key: str, rate_denom: int = 8,
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t.column(key).to_numpy(zero_copy_only=False)
-        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
-            % np.uint64(2**32)
+        # 32-bit mask before the multiply keeps uint64 exact (no mod-2^64
+        # wrap) and SQL-reproducible at any id scale
+        ids32 = ids.astype(np.uint64) % np.uint64(2**32)
+        h = (ids32 * np.uint64(2654435761)) % np.uint64(2**32)
         vals = t.column(field).to_numpy(zero_copy_only=False)[h < cut]
         n_batch = len(t)
         s = pd.Series(vals).value_counts()

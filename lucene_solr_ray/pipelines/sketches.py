@@ -287,5 +287,43 @@ def heavy_hitters_terms(sf_dir: str, k: int = 256, out_top: int = 10):
              .to_pandas().groupby("term", as_index=False)["cnt"].sum()
              .sort_values(["cnt", "term"], ascending=[False, True],
                           kind="mergesort").head(out_top))
+    # Soundness gate: the candidate cut above is only guaranteed to
+    # contain the true top-out_top when every true top term survived the
+    # Misra-Gries summary, i.e. when its frequency exceeds n/(k+1). If
+    # the out_top-th RECOUNTED frequency does not strictly beat err, a
+    # dropped term (true freq <= err) could still belong to the top —
+    # fall back to one exact distributed pass (near-uniform corpora).
+    if len(exact) < out_top or \
+            (len(exact) and float(exact["cnt"].min()) <= err):
+        exact = _exact_top_terms(ds, out_top)
     return pa.Table.from_pandas(exact.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def _exact_top_terms(ds, out_top: int) -> "pd.DataFrame":
+    """Exact distributed top-``out_top`` terms: per-batch value_counts
+    partials, ONE hash-bucket shuffle on term, per-bucket exact sum +
+    local top-out_top (each term lives wholly in one bucket, so every
+    global top term is in its bucket's local top), tiny driver merge."""
+    import pandas as pd
+
+    from .textstats import _explode_terms
+    from .util import bucketed_group_agg
+
+    def vc(t: pa.Table) -> pa.Table:
+        _, terms = _explode_terms(pa.table({"text": t.column("text")}))
+        s = pd.Series(terms).value_counts()
+        return pa.table({"term": pa.array(s.index.astype(str)),
+                         "cnt": pa.array(s.to_numpy().astype(np.int64))})
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("term", as_index=False)["cnt"].sum()
+        return agg.sort_values(["cnt", "term"], ascending=[False, True],
+                               kind="mergesort").head(out_top)
+
+    parts = bucketed_group_agg(
+        ds.map_batches(vc, batch_format="pyarrow"),
+        ["term"], bucket_top).to_pandas()
+    return (parts.sort_values(["cnt", "term"], ascending=[False, True],
+                              kind="mergesort").head(out_top)
+            .reset_index(drop=True))

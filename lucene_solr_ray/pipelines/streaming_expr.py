@@ -385,16 +385,16 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
 
         def partial(t: pa.Table) -> pa.Table:
             ids = t.column(on).to_numpy(zero_copy_only=False)
-            h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
-                % np.uint64(2 ** 32)
+            ids32 = ids.astype(np.uint64) % np.uint64(2 ** 32)
+            h = (ids32 * np.uint64(2654435761)) % np.uint64(2 ** 32)
             keep = np.argsort(h, kind="stable")[:rows]
             return t.take(pa.array(np.sort(keep)))
 
         parts = src.map_batches(partial,
                                 batch_format="pyarrow").to_pandas()
         ids = parts[on].to_numpy()
-        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
-            % np.uint64(2 ** 32)
+        ids32 = ids.astype(np.uint64) % np.uint64(2 ** 32)
+        h = (ids32 * np.uint64(2654435761)) % np.uint64(2 ** 32)
         parts = parts.iloc[np.argsort(h, kind="stable")[:rows]]
         return rd.from_arrow(pa.Table.from_pandas(
             parts.reset_index(drop=True), preserve_index=False))

@@ -153,9 +153,11 @@ def bucketed_group_agg(
         for k in keys:
             h = h * np.uint64(1099511628211) ^ pd.util.hash_array(
                 batch[k].to_numpy())
-        out = batch.copy()
-        out["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        return out
+        # assign (copy-on-write) instead of copy()+setitem: one shallow
+        # copy, not a second full data copy under every high-cardinality
+        # aggregation (term_df, dedup, LSH)
+        return batch.assign(
+            __bucket=(h % np.uint64(num_buckets)).astype(np.int64))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return fn(g.drop(columns="__bucket"))

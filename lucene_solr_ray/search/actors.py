@@ -76,23 +76,29 @@ class SearchActor:
         return n
 
     def facet_partial(self, query: Query, df_map: dict[str, int],
-                      field: str) -> dict[str, int]:
-        """Per-actor facet counts over the query's full result set."""
+                      field: str):
+        """Per-actor facet counts over the query's full result set.
+        Returns (uniq:str-array, counts:int64-array) — all merging is
+        np.unique over concatenated per-shard arrays (same discipline as
+        ``_conv_agg_local``), never a per-value Python dict loop, so a
+        high-cardinality facet field stays vectorized end to end."""
         import numpy as np
 
-        out: dict[str, int] = {}
+        vals_parts = []
         for sh in self.searchers:
             docs, _ = sh._score_clause(query, df_map)
             if len(docs) == 0:
                 continue
             vals = sh.docvalues_local(field, docs)
             vals = vals[vals != None]  # noqa: E711 — drop missing-field docs
-            if len(vals) == 0:
-                continue
-            uniq, counts = np.unique(vals.astype(str), return_counts=True)
-            for v, c in zip(uniq, counts):
-                out[str(v)] = out.get(str(v), 0) + int(c)
-        return out
+            if len(vals):
+                vals_parts.append(vals.astype(str))
+        if not vals_parts:
+            return (np.empty(0, dtype=object),
+                    np.empty(0, dtype=np.int64))
+        uniq, counts = np.unique(np.concatenate(vals_parts),
+                                 return_counts=True)
+        return uniq, counts.astype(np.int64)
 
     def _conv_agg_local(self, query: Query, df_map: dict[str, int],
                         score_mode: str):
@@ -940,15 +946,23 @@ class DistributedSearcher:
         for p in partials:
             for t, d in p.items():
                 df[t] = df.get(t, 0) + d
-        counts = ray.get([a.facet_partial.remote(parsed, df, field)
-                          for a in self.actors])
-        agg: dict[str, int] = {}
-        for c in counts:
-            for v, n in c.items():
-                if prefix and not v.startswith(prefix):
-                    continue
-                agg[v] = agg.get(v, 0) + n
-        out = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        partial_arrays = ray.get([a.facet_partial.remote(parsed, df, field)
+                                  for a in self.actors])
+        nonempty = [(u, c) for u, c in partial_arrays if len(u)]
+        if not nonempty:
+            return []
+        # vectorized merge: concat per-actor (uniq, counts), re-unique,
+        # sum counts per label via np.add.at — label-scale, no dict loop
+        allu = np.concatenate([u for u, _ in nonempty])
+        allc = np.concatenate([c for _, c in nonempty])
+        uniq, inv = np.unique(allu, return_inverse=True)
+        summed = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(summed, inv, allc)
+        if prefix:
+            keep = np.char.startswith(uniq.astype(str), prefix)
+            uniq, summed = uniq[keep], summed[keep]
+        order = np.lexsort((uniq, -summed))
+        out = [(str(uniq[i]), int(summed[i])) for i in order]
         return out[:limit] if limit else out
 
     def close(self):

@@ -117,3 +117,16 @@ def test_stale_blooms_disabled_after_update(ray_session, tmp_path):
     ds2 = DistributedSearcher(str(out), num_actors=3)
     assert ds2.blooms is not None
     assert ds2.search("freshterm", k=5) == hits
+
+
+def test_rebuild_after_parquet_deleted(idx):
+    """A matching meta sidecar with a MISSING term_blooms.parquet must
+    not be treated as fresh: rebuild has to recreate the parquet (a
+    permanent no-op would leave pruning silently disabled forever)."""
+    import os
+
+    p = f"{idx}/term_blooms.parquet"
+    os.remove(p)
+    out = build_term_blooms(idx)
+    assert os.path.exists(out) and os.path.exists(p)
+    assert TermBloomSet.load(idx) is not None

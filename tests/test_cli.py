@@ -117,3 +117,21 @@ def test_cli_datemath_ts_filter(ray_session, tmp_path, capsys):
     assert main(["search", idx, "ray", "--filter", "ts", "-",
                  "2019-12-31T23:59:59Z/DAY", "-k", "3"]) == 0
     assert json.loads(capsys.readouterr().out.strip()) == []
+
+
+def test_cli_qop_rejected_with_non_classic_syntax(ray_session, tmp_path,
+                                                  capsys):
+    """--qop AND only makes sense for the classic parser; any other
+    --syntax must fail loud (same convention as unsupported --bf
+    combinations), never silently ignore the operator."""
+    import pytest
+
+    src = transcripts_path("tiny")
+    idx = str(tmp_path / "idx")
+    assert main(["build", src, idx, "--num-shards", "2"]) == 0
+    capsys.readouterr()
+    with pytest.raises(SystemExit):
+        main(["search", idx, "ray data", "--qop", "AND",
+              "--syntax", "simple"])
+    # classic + qop still works
+    assert main(["search", idx, "ray data", "--qop", "AND"]) == 0

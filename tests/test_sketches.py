@@ -145,3 +145,24 @@ def test_heavy_hitters_exact_top(ray_session):
         "ORDER BY cnt DESC, term LIMIT 10").df()
     assert got["term"].tolist() == want["term"].tolist()
     assert got["cnt"].tolist() == want["cnt"].tolist()
+
+
+def test_heavy_hitters_uniform_fallback(ray_session, tmp_path):
+    """Near-uniform corpus: the k-counter Misra-Gries summary gives no
+    term the freq > n/(k+1) survival guarantee, so the sound-cut path
+    cannot certify the top-k — the exact distributed fallback must kick
+    in and still return the true top terms."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.pipelines.sketches import heavy_hitters_terms
+
+    # term i appears i+1 times; with k=4, err = n/5 = 255 >> max freq 50
+    docs = []
+    for i in range(50):
+        docs.extend([f"term{i:02d}"] * (i + 1))
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = heavy_hitters_terms(str(tmp_path), k=4, out_top=3).to_pandas()
+    assert got["term"].tolist() == ["term49", "term48", "term47"]
+    assert got["cnt"].tolist() == [50, 49, 48]
