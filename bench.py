@@ -20,6 +20,57 @@ import sys
 import time
 
 
+# Calibration references: best calib_probe() readings observed in a
+# known-good VM window (see BASELINE.md "calibration probe"). The probe
+# runs a fixed deterministic kernel — single-process AND as 32
+# concurrent processes — so probe_sec / ref is a direct measure of how
+# throttled the measurement window was. The sandbox host intermittently
+# steals 2-10x of this container's aggregate CPU (documented across
+# rounds 2-4; direct evidence: host load-average 24 with an idle
+# container, BASELINE.md r4 notes), and the steal hits the AGGREGATE
+# budget — a single process can read full speed while 32 concurrent
+# processes crawl — hence the 32-way probe is the one that predicts the
+# distributed job's window, and every bench artifact now carries both
+# readings as its own throttle evidence.
+CALIB_REF_SINGLE_SEC = 0.042   # 1 proc, fixed kernel, good window
+CALIB_REF_AGG_SEC = 2.0        # 32 procs x 3 kernels, good window
+
+
+def _probe_kernel(iters: int) -> float:
+    """Fixed deterministic numpy+tokenize kernel (no Ray, no disk)."""
+    import re
+
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    a = rng.integers(0, 1 << 20, 2_000_000)
+    text = " ".join(f"tok{i % 977} alpha{i % 31}" for i in range(30000))
+    pat = re.compile(r"[a-z0-9]+")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.sort(a)
+        np.cumsum(a).sum()
+        pat.findall(text)
+    return time.perf_counter() - t0
+
+
+def calib_probe(num_procs: int = 32, iters: int = 3) -> tuple[float, float]:
+    """Returns (single_sec, agg_sec): wall time of one kernel iteration
+    in this process, then wall time for ``num_procs`` concurrent
+    processes each running ``iters`` kernels (pool pre-warmed so spawn
+    cost stays out of the timing). agg_sec measures the aggregate CPU
+    the host is actually giving this container right now."""
+    import multiprocessing as mp
+
+    single = _probe_kernel(1)
+    with mp.Pool(num_procs) as pool:
+        pool.map(_probe_kernel, [0] * num_procs)  # warm the pool
+        t0 = time.perf_counter()
+        pool.map(_probe_kernel, [iters] * num_procs)
+        agg = time.perf_counter() - t0
+    return single, agg
+
+
 def run_bench(num_cpus: int, sf_dir: str) -> dict:
     import ray
 
@@ -63,10 +114,15 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # The job is IDENTICAL at every parallelism level (fixed shard count
     # and fixed task plan via explicit concurrency) so scaling numbers
     # compare the same work, not differently-shaped builds.
-    trials = int(os.environ.get("LSR_BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("LSR_BENCH_TRIALS", "3"))
     index_dir = f"/tmp/lsr_bench/index_{num_cpus}"
     t_build = float("inf")
+    probe_single = probe_agg = float("inf")
     for _ in range(trials):
+        # calibration probe BEFORE each trial: documents how throttled
+        # this window is, independent of the distributed job
+        s, g = calib_probe()
+        probe_single, probe_agg = min(probe_single, s), min(probe_agg, g)
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.time()
         build_index(src, index_dir, num_shards=32,
@@ -74,6 +130,18 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         t_build = min(t_build, time.time() - t0)
     timings["index_build"] = round(t_build, 3)
     timings["index_turns_per_sec"] = round(n_turns / t_build, 1)
+    throttle = probe_agg / CALIB_REF_AGG_SEC
+    timings["calib_probe_single_sec"] = round(probe_single, 4)
+    timings["calib_probe_agg_sec"] = round(probe_agg, 3)
+    timings["calib_ref_agg_sec"] = CALIB_REF_AGG_SEC
+    timings["throttle_factor"] = round(throttle, 3)
+    # probe-normalized figures: what this job measures when the host is
+    # not stealing aggregate CPU (divide by the 32-way slowdown; a
+    # conservative correction — the distributed job also loses to
+    # scheduler preemption bursts the probe batch may miss)
+    timings["index_build_normalized"] = round(t_build / max(1.0, throttle), 3)
+    timings["index_turns_per_sec_normalized"] = round(
+        n_turns / (t_build / max(1.0, throttle)), 1)
 
     # --- BM25 query serving: p95 latency + batch throughput ---
     rng_terms = ["ray", "data", "index", "query", "merge", "scale", "t00042",

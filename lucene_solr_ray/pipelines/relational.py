@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from .joins import anti_join, broadcast_hash_join, partitioned_hash_join, semi_join
+from .joins import broadcast_hash_join, partitioned_hash_join
 from .util import read, round_col
 
 
@@ -859,26 +859,32 @@ def sample_events(sf_dir: str):
 _BIG_ORDER = 420_000.0  # threshold keeping both semi and anti sides non-empty
 
 
-def _big_order_custkeys(sf_dir: str) -> np.ndarray:
+def _big_orders_ds(sf_dir: str):
+    """High-value orders key stream (stays a Dataset — the size-gated
+    set ops broadcast it only under their cap, never a driver array)."""
     ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    keys = (ds.map_batches(
+    return ds.map_batches(
         lambda t: t.filter(pc.greater(t.column("o_totalprice"),
                                       pa.scalar(_BIG_ORDER))),
         batch_format="pyarrow")
-        .unique("o_custkey"))
-    return np.array(keys, dtype=np.int64)
 
 
 def semijoin_customers(sf_dir: str):
     """Customers having >=1 high-value order (IntersectStream semi-join)."""
+    from .joins import semi_join_ds
+
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return semi_join(cust, _big_order_custkeys(sf_dir), on="c_custkey")
+    return semi_join_ds(cust, _big_orders_ds(sf_dir), on="c_custkey",
+                        right_on="o_custkey")
 
 
 def antijoin_customers(sf_dir: str):
     """Customers with no high-value order (ComplementStream anti-join)."""
+    from .joins import anti_join_ds
+
     cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return anti_join(cust, _big_order_custkeys(sf_dir), on="c_custkey")
+    return anti_join_ds(cust, _big_orders_ds(sf_dir), on="c_custkey",
+                        right_on="o_custkey")
 
 
 # --- drill-down / drill-sideways (lucene/facet) ---

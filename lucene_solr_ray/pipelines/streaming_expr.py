@@ -353,23 +353,20 @@ def evaluate(e: Expr | str, sf_dir: str) -> rd.Dataset:
         return native_join(left, right, on=lk.strip(),
                            right_on=(rk or lk).strip(), join_type=jt)
     if name in ("intersect", "complement"):
-        # broadcast key-set semantics (IntersectStream/ComplementStream):
-        # the SECOND stream is the small side, as in the reference's
-        # sorted-stream conventions — its join keys are collected and
-        # broadcast, the first stream filters vectorized
+        # IntersectStream/ComplementStream semantics, size-gated: the
+        # second stream's keys broadcast when small, else the membership
+        # test runs as a native hash-shuffle join — the key side is
+        # never materialized on the driver (the reference streams both
+        # sides sorted and never holds the full key set either)
         left = evaluate(e.args[0], sf_dir)
         right = evaluate(e.args[1], sf_dir)
         lk, _, rk = e.params["on"].partition("=")
         rk = (rk or lk).strip()
         lk = lk.strip()
-        import ray
+        from .joins import anti_join_ds, semi_join_ds
 
-        from .joins import anti_join, semi_join
-
-        keys = np.asarray(
-            [r[rk] for r in right.select_columns([rk]).take_all()])
-        fn = semi_join if name == "intersect" else anti_join
-        return fn(left, keys, on=lk)
+        fn = semi_join_ds if name == "intersect" else anti_join_ds
+        return fn(left, right, on=lk, right_on=rk)
     if name == "random":
         # RandomStream.java: a pseudo-random sample of `rows` docs.
         # Deterministic re-expression: the `rows` smallest Knuth hashes

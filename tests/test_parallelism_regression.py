@@ -71,3 +71,56 @@ def test_dedup_and_join_at_32_cpus():
         f"32-CPU run failed\nstdout: {proc.stdout[-2000:]}\n"
         f"stderr: {proc.stderr[-4000:]}")
     assert "PARALLELISM_OK" in proc.stdout
+
+
+_SETOP_SCRIPT = """
+import ray
+ray.init(address="local", num_cpus=32, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+from lucene_solr_ray.pipelines.joins import anti_join_ds, semi_join_ds
+from lucene_solr_ray.pipelines.util import read
+
+
+def norm(ds):
+    df = ds.to_pandas()
+    return df[sorted(df.columns)].sort_values(
+        sorted(df.columns)).reset_index(drop=True)
+
+
+cust = read({sf!r}, "customer", ["c_custkey", "c_name"])
+import pyarrow.compute as pc
+big = read({sf!r}, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+    lambda t: t.filter(pc.greater(t.column("o_totalprice"), 420000.0)),
+    batch_format="pyarrow")
+
+for fn in (semi_join_ds, anti_join_ds):
+    bcast = norm(fn(cust, big, on="c_custkey", right_on="o_custkey"))
+    joined = norm(fn(cust, big, on="c_custkey", right_on="o_custkey",
+                     _force_join=True))
+    assert len(bcast) > 0, fn.__name__
+    assert bcast.equals(joined), (
+        fn.__name__, len(bcast), len(joined))
+print("SETOP_OK")
+ray.shutdown()
+""".format(sf=SF_DIR)
+
+
+def test_setop_join_path_identical_at_32_cpus():
+    """semi/anti set ops: the above-cap hash-shuffle join path must
+    produce outputs identical to the broadcast path at num_cpus=32 (the
+    gate exists so intersect()/complement() never driver-materialize an
+    unbounded key set)."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _SETOP_SCRIPT],
+        cwd=str(REPO_ROOT),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (
+        f"32-CPU set-op run failed\nstdout: {proc.stdout[-2000:]}\n"
+        f"stderr: {proc.stderr[-4000:]}")
+    assert "SETOP_OK" in proc.stdout
