@@ -207,6 +207,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_docs": __import__(
             "lucene_solr_ray.pipelines.percolate",
             fromlist=["percolate_docs"]).percolate_docs,
+        # scored percolation: per-match BM25 vs the one-doc index
+        # (MemoryIndex.java:91; scores pytest-pinned bit-exact to the
+        # real searcher on a one-doc index)
+        "percolate_scored_docs": __import__(
+            "lucene_solr_ray.pipelines.percolate",
+            fromlist=["percolate_scored_docs"]).percolate_scored_docs,
         # Boolean perceptron weak labeling (lucene/classification)
         "perceptron_classify_docs": __import__(
             "lucene_solr_ray.search.perceptron",

@@ -116,12 +116,13 @@ class _Percolator:
     """Actor: queries parsed once per worker from the broadcast set."""
 
     def __init__(self, queries_ref, text_field: str, id_field: str,
-                 analyzer: str):
+                 analyzer: str, scores: bool = False):
         import ray
 
         self.text_field = text_field
         self.id_field = id_field
         self.analyzer_name = analyzer
+        self.scores = scores
         self.queries: dict[str, Query] = {
             name: parse_query(qs) for name, qs in
             ray.get(queries_ref).items()}
@@ -164,6 +165,7 @@ class _Percolator:
                 oracle_cache[d] = oi
             return oracle_cache[d]
 
+        out_scores: list[float] = []
         for name, q in self.queries.items():
             mask = _mask_for(q, term_docs, n, vocab)
             if mask is None:
@@ -186,26 +188,42 @@ class _Percolator:
             hit = np.nonzero(mask)[0]
             out_ids.append(hit)
             out_names.extend([name] * len(hit))
+            if self.scores:
+                # MemoryIndex.java:91 semantics: each matched saved
+                # query is scored against the ONE-DOC index built from
+                # the matching document alone (N=1, df=1, avgdl=dl) —
+                # the same BM25 kernel every searcher path pins to
+                for d in hit:
+                    res = one_doc_index(int(d)).search(q, k=1)
+                    out_scores.append(float(res[0][1]) if res else 0.0)
         idx = (np.concatenate(out_ids) if out_ids
                else np.empty(0, dtype=np.int64))
-        return pa.table({
+        cols = {
             self.id_field: ids.take(pa.array(idx, type=pa.int64())),
             "query_name": pa.array(out_names, type=pa.string()),
-        })
+        }
+        if self.scores:
+            cols["score"] = pa.array(out_scores, type=pa.float64())
+        return pa.table(cols)
 
 
 def percolate(ds: rd.Dataset, queries: dict[str, str], *,
               text_field: str = "text", id_field: str = "doc_id",
-              analyzer: str = "standard") -> rd.Dataset:
+              analyzer: str = "standard",
+              scores: bool = False) -> rd.Dataset:
     """Match every saved query against every document; returns the
-    (id, query_name) routing table. Queries broadcast once (ray.put),
-    parsed once per actor."""
+    (id, query_name) routing table — plus a per-match BM25 score column
+    when ``scores=True`` (MemoryIndex.java:91: the query scored against
+    the one-document index, so N=1, df=1 and avgdl is the doc's own
+    length). Queries broadcast once (ray.put), parsed once per actor;
+    scoring cost is per MATCH, not per (doc x query)."""
     import ray
 
     queries_ref = ray.put(dict(queries))
     return ds.map_batches(
         _Percolator,
-        fn_constructor_args=(queries_ref, text_field, id_field, analyzer),
+        fn_constructor_args=(queries_ref, text_field, id_field, analyzer,
+                             scores),
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
 
 
@@ -224,3 +242,21 @@ def percolate_docs(sf_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return percolate(ds, SAVED_QUERIES, analyzer="simple")
+
+
+def percolate_scored_docs(sf_dir: str) -> rd.Dataset:
+    """Driver query: the scored percolation routing table — one
+    (doc_id, query_name, score) row per match, score = BM25 of the
+    saved query against that document's one-doc index (MemoryIndex
+    semantics; pinned bit-exact to the real searcher on a one-doc
+    index in tests/test_percolate.py)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = percolate(ds, SAVED_QUERIES, analyzer="simple", scores=True)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        from .util import round_col
+
+        return round_col(t, "score", 6)
+
+    return out.map_batches(rnd, batch_format="pyarrow")

@@ -65,3 +65,42 @@ def test_standard_analyzer_drops_stopwords(ray_session):
 
 def test_empty_stream_and_no_matches(ray_session):
     assert _route(["xyz"], {"q": "missing"}) == set()
+
+
+def test_scored_percolation_pins_one_doc_searcher(ray_session, tmp_path):
+    """MemoryIndex.java:91 semantics: every matched (doc, query) carries
+    the BM25 score of the query against the ONE-document index built
+    from that doc alone — pinned against the real IndexSearcher over an
+    actual one-doc on-disk index, same analyzer."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.data.transcripts import generate_transcripts
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.search.searcher import IndexSearcher
+
+    queries = {
+        "both": "batch AND filter",
+        "either": "scan OR stream",
+        "adj": '"batch filter"',
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(DOCS)), type=pa.int64()),
+        "text": pa.array(DOCS),
+    }))
+    got = percolate(ds, queries, analyzer="simple",
+                    scores=True).to_pandas()
+    assert len(got) > 0 and "score" in got.columns
+
+    for r in got.itertuples():
+        t = generate_transcripts(1, seed=1)
+        texts = [DOCS[int(r.doc_id)]]
+        t = t.slice(0, 1).set_column(
+            t.column_names.index("text"), "text", pa.array(texts))
+        src = tmp_path / f"one_{r.doc_id}_{r.query_name}.parquet"
+        pq.write_table(t, src)
+        idx = tmp_path / f"idx_{r.doc_id}_{r.query_name}"
+        build_index(str(src), str(idx), num_shards=1, analyzer="simple")
+        hits = IndexSearcher(str(idx)).search(queries[r.query_name], k=1)
+        assert hits, (r.doc_id, r.query_name)
+        assert float(hits[0][1]) == float(r.score), \
+            (r.doc_id, r.query_name, hits[0][1], r.score)
