@@ -136,6 +136,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heatmap_facet_events": __import__(
             "lucene_solr_ray.pipelines.geo",
             fromlist=["heatmap_facet_events"]).heatmap_facet_events,
+        # point-in-polygon (RecursivePrefixTreeStrategy: grid-prefilter
+        # + exact even-odd ray cast)
+        "polygon_filter_events": __import__(
+            "lucene_solr_ray.pipelines.geo",
+            fromlist=["polygon_filter_events"]).polygon_filter_events,
         # graph traversal streams (GatherNodesStream / ShortestPathStream)
         "gather_parts_of_customer": __import__(
             "lucene_solr_ray.pipelines.graph",
@@ -351,6 +356,30 @@ def oracle_sql() -> dict[str, str]:
             "AS gcol, count(*) AS cnt FROM pts "
             "WHERE lat >= 10.0 AND lat <= 55.0 "
             "AND lon >= -30.0 AND lon <= 45.0 GROUP BY 1, 2",
+        "polygon_filter_events":
+            # even-odd ray cast with the IDENTICAL crossing expression
+            # the engine evaluates: (x2-x1)*(lat-y1)/(y2-y1)+x1 in
+            # float64, edges (v_i -> v_{i-1}) of the concave hexagon
+            "WITH c AS (SELECT event_id, user_id, "
+            "(((user_id % 4294967296)::HUGEINT * 2654435761) "
+            "% 4294967296) / 4294967296.0 * 180 - 90 AS lat, "
+            "((((user_id % 4294967296) + 12345)::HUGEINT * 2654435761) "
+            "% 4294967296) / 4294967296.0 * 360 - 180 AS lon "
+            "FROM events), "
+            "edges(y1, x1, y2, x2) AS (VALUES "
+            "(-60.0, -100.0, 60.0, -110.0), "
+            "(-50.0, 110.0, -60.0, -100.0), "
+            "(20.0, 120.0, -50.0, 110.0), "
+            "(0.0, 10.0, 20.0, 120.0), "
+            "(55.0, 90.0, 0.0, 10.0), "
+            "(60.0, -110.0, 55.0, 90.0)), "
+            "x AS (SELECT p.event_id, p.user_id, p.lat, p.lon, "
+            "count(*) FILTER (WHERE ((e.y1 > p.lat) <> (e.y2 > p.lat)) "
+            "AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) "
+            "+ e.x1) AS nc "
+            "FROM c p CROSS JOIN edges e GROUP BY 1, 2, 3, 4) "
+            "SELECT event_id, user_id, ROUND(lat, 6) AS lat, "
+            "ROUND(lon, 6) AS lon FROM x WHERE nc % 2 = 1",
         "gather_parts_of_customer":
             "SELECT DISTINCT l_partkey AS node FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 7 "

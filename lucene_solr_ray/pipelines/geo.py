@@ -257,3 +257,150 @@ def geo_nearest_events(sf_dir: str, k: int = 20):
     t = pa.Table.from_pandas(parts.reset_index(drop=True),
                              preserve_index=False)
     return round_col(t, "d2", 6)
+
+
+# --- point-in-polygon (spatial-extras RecursivePrefixTreeStrategy) ------
+
+def _raycast_mask(lat: np.ndarray, lon: np.ndarray,
+                  vy: np.ndarray, vx: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast in planar (lat, lon) space: point is
+    inside when a +lon ray crosses an odd number of edges. The crossing
+    ordinate is computed as ``(xj-xi)*(y-yi)/(yj-yi)+xi`` — the exact
+    double expression the SQL oracle evaluates, so engine and oracle
+    agree bit-for-bit on every point including near-edge ones.
+
+    Reference semantics: ``lucene/spatial-extras/.../prefix/
+    RecursivePrefixTreeStrategy.java:60`` resolves shapes against a grid
+    then verifies leftover cells exactly; here the exact kernel is this
+    ray cast and the grid is :func:`_classify_tiles`."""
+    inside = np.zeros(len(lat), dtype=bool)
+    nv = len(vy)
+    j = nv - 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(nv):
+            yi, xi, yj, xj = vy[i], vx[i], vy[j], vx[j]
+            cond = (yi > lat) != (yj > lat)   # horizontal edges: never
+            if cond.any():
+                xc = (xj - xi) * (lat - yi) / (yj - yi) + xi
+                inside ^= cond & (lon < xc)
+            j = i
+    return inside
+
+
+def _classify_tiles(vy: np.ndarray, vx: np.ndarray,
+                    min_lat: float, dlat: float,
+                    min_lon: float, dlon: float,
+                    rows: int, cols: int) -> np.ndarray:
+    """Tile status grid: 0 = fully outside, 1 = fully inside,
+    2 = boundary (some polygon edge passes through the tile; points
+    there need the exact ray cast). Edge-vs-tile intersection is
+    Liang-Barsky segment clipping, vectorized over the whole grid per
+    edge — conservative: touching a tile border marks it boundary."""
+    gy, gx = np.mgrid[0:rows, 0:cols]
+    y0 = min_lat + gy * dlat
+    y1 = y0 + dlat
+    x0 = min_lon + gx * dlon
+    x1 = x0 + dlon
+    boundary = np.zeros((rows, cols), dtype=bool)
+    nv = len(vy)
+    j = nv - 1
+    for i in range(nv):
+        py, px, qy, qx = vy[j], vx[j], vy[i], vx[i]
+        dxe, dye = qx - px, qy - py
+        t0 = np.zeros((rows, cols))
+        t1 = np.ones((rows, cols))
+        ok = np.ones((rows, cols), dtype=bool)
+        for p, q in ((-dxe, px - x0), (dxe, x1 - px),
+                     (-dye, py - y0), (dye, y1 - py)):
+            if np.isscalar(p):
+                p = np.full((rows, cols), float(p))
+            q = np.broadcast_to(np.asarray(q, dtype=np.float64),
+                                (rows, cols))
+            para = p == 0
+            ok &= ~(para & (q < 0))          # parallel and outside
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r = np.where(para, 0.0, q / np.where(para, 1.0, p))
+            t0 = np.where(~para & (p < 0), np.maximum(t0, r), t0)
+            t1 = np.where(~para & (p > 0), np.minimum(t1, r), t1)
+        boundary |= ok & (t0 <= t1)
+        j = i
+    status = np.full((rows, cols), 0, dtype=np.int8)
+    cy = (y0 + 0.5 * dlat).ravel()
+    cx = (x0 + 0.5 * dlon).ravel()
+    centers_in = _raycast_mask(cy, cx, vy, vx).reshape(rows, cols)
+    status[centers_in] = 1
+    status[boundary] = 2
+    return status
+
+
+def polygon_filter(ds: rd.Dataset, lat_col: str, lon_col: str,
+                   polygon: list[tuple[float, float]],
+                   grid: tuple[int, int] = (32, 32)) -> rd.Dataset:
+    """Point-in-polygon filter (``{!field f=geo}Intersects(POLYGON(...))``
+    via RecursivePrefixTreeStrategy): approximate-then-verify like the
+    reference's prefix-tree strategy — a bbox reject, then a broadcast
+    tile-status grid classifies each survivor's tile as fully inside
+    (accept, no per-point work), fully outside (reject), or boundary
+    (exact vectorized ray cast). The polygon + tile grid are built once
+    on the driver (vertex-count-scale) and captured by the batch fn —
+    kilobytes shipped once per worker, never per batch."""
+    vy = np.asarray([p[0] for p in polygon], dtype=np.float64)
+    vx = np.asarray([p[1] for p in polygon], dtype=np.float64)
+    min_lat, max_lat = float(vy.min()), float(vy.max())
+    min_lon, max_lon = float(vx.min()), float(vx.max())
+    rows, cols = grid
+    dlat = (max_lat - min_lat) / rows
+    dlon = (max_lon - min_lon) / cols
+    status = _classify_tiles(vy, vx, min_lat, dlat, min_lon, dlon,
+                             rows, cols)
+
+    def fil(t: pa.Table) -> pa.Table:
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False)
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False)
+        m = ((lat >= min_lat) & (lat <= max_lat)
+             & (lon >= min_lon) & (lon <= max_lon))
+        keep = np.zeros(len(lat), dtype=bool)
+        if m.any():
+            il, io = lat[m], lon[m]
+            ty = np.minimum(((il - min_lat) / dlat).astype(np.int64),
+                            rows - 1)
+            tx = np.minimum(((io - min_lon) / dlon).astype(np.int64),
+                            cols - 1)
+            st = status[ty, tx]
+            sub = st == 1                       # fully-inside tiles
+            bnd = st == 2                       # boundary tiles: exact
+            if bnd.any():
+                sub = sub.copy()
+                sub[bnd] = _raycast_mask(il[bnd], io[bnd], vy, vx)
+            keep[np.nonzero(m)[0][sub]] = True
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# (lat, lon) vertices of a concave hexagon over the synthetic-coordinate
+# space; all-distinct latitudes so no edge is horizontal and the SQL
+# oracle's crossing expression never divides by zero
+POLYGON_EVENTS = [
+    (-60.0, -100.0),
+    (-50.0, 110.0),
+    (20.0, 120.0),
+    (0.0, 10.0),    # concave notch
+    (55.0, 90.0),
+    (60.0, -110.0),
+]
+
+
+def polygon_filter_events(sf_dir: str):
+    """Driver query: events whose synthetic coordinates fall inside the
+    concave test polygon (exact even-odd ray cast; DuckDB oracle runs
+    the identical crossing arithmetic per edge and keeps odd-parity
+    points)."""
+    out = polygon_filter(_events_with_coords(sf_dir), "lat", "lon",
+                         POLYGON_EVENTS)
+
+    def shape(t: pa.Table) -> pa.Table:
+        t = round_col(t, "lat", 6)
+        return round_col(t, "lon", 6)
+
+    return out.map_batches(shape, batch_format="pyarrow")

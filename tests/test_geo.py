@@ -125,3 +125,123 @@ def test_heatmap_edge_point_clamped(ray_session):
                         columns=15).to_pandas()
     got = {(r.grow, r.gcol): r.cnt for r in out.itertuples()}
     assert got == {(0, 0): 1, (8, 14): 1}
+
+
+# --- point-in-polygon (RecursivePrefixTreeStrategy analog) --------------
+
+def _pp_table(lat, lon):
+    import pyarrow as pa
+
+    return pa.table({
+        "pid": pa.array(range(len(lat)), type=pa.int64()),
+        "lat": pa.array(lat, type=pa.float64()),
+        "lon": pa.array(lon, type=pa.float64()),
+    })
+
+
+def _poly_ids(ds_table, poly, grid=(32, 32)):
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.geo import polygon_filter
+
+    out = polygon_filter(rd.from_arrow(ds_table), "lat", "lon", poly,
+                         grid=grid).to_pandas()
+    return set(out["pid"].tolist()) if len(out) else set()
+
+
+CONCAVE = [(-60.0, -100.0), (-50.0, 110.0), (20.0, 120.0),
+           (0.0, 10.0), (55.0, 90.0), (60.0, -110.0)]
+
+
+def test_polygon_grid_path_equals_brute_force(ray_session):
+    """The tile-status prefilter (inside tiles skip the ray cast) must
+    be invisible: identical membership to the exact ray cast on every
+    point, at several grid resolutions including the degenerate 1x1
+    (all-boundary) grid."""
+    import numpy as np
+
+    from lucene_solr_ray.pipelines.geo import _raycast_mask
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-90, 90, 20000)
+    lon = rng.uniform(-180, 180, 20000)
+    vy = np.array([p[0] for p in CONCAVE])
+    vx = np.array([p[1] for p in CONCAVE])
+    want = set(np.nonzero(_raycast_mask(lat, lon, vy, vx))[0].tolist())
+    assert len(want) > 1000
+    t = _pp_table(lat, lon)
+    for grid in ((1, 1), (4, 4), (32, 32), (64, 64)):
+        assert _poly_ids(t, CONCAVE, grid) == want, grid
+
+
+def test_polygon_near_edge_points(ray_session):
+    """Points displaced +-1e-9 degrees perpendicular to every edge (and
+    edge midpoints themselves): grid path must agree with the exact ray
+    cast on each — the conservative boundary-tile classification cannot
+    flip any of them."""
+    import numpy as np
+
+    from lucene_solr_ray.pipelines.geo import _raycast_mask
+
+    vy = np.array([p[0] for p in CONCAVE])
+    vx = np.array([p[1] for p in CONCAVE])
+    lats, lons = [], []
+    nv = len(vy)
+    for i in range(nv):
+        j = (i - 1) % nv
+        for f in (0.25, 0.5, 0.75):
+            my = vy[j] + f * (vy[i] - vy[j])
+            mx = vx[j] + f * (vx[i] - vx[j])
+            ey, ex = vy[i] - vy[j], vx[i] - vx[j]
+            nrm = (ey * ey + ex * ex) ** 0.5
+            for eps in (-1e-9, 0.0, 1e-9, -1e-3, 1e-3):
+                lats.append(my + eps * (-ex / nrm))
+                lons.append(mx + eps * (ey / nrm))
+    lat = np.array(lats)
+    lon = np.array(lons)
+    want = set(np.nonzero(_raycast_mask(lat, lon, vy, vx))[0].tolist())
+    got = _poly_ids(_pp_table(lat, lon), CONCAVE)
+    assert got == want
+
+
+def test_polygon_concave_notch_and_vertices(ray_session):
+    """The notch interior is OUTSIDE; deep-interior points are inside;
+    all six vertices classify identically under grid and brute paths
+    (planar even-odd semantics)."""
+    import numpy as np
+
+    from lucene_solr_ray.pipelines.geo import _raycast_mask
+
+    vy = np.array([p[0] for p in CONCAVE])
+    vx = np.array([p[1] for p in CONCAVE])
+    # (25.0, 60.0) sits inside the notch triangle (v2, v3, v4) carve-out
+    lat = np.array([25.0, -30.0, 10.0] + [p[0] for p in CONCAVE])
+    lon = np.array([60.0, 0.0, -50.0] + [p[1] for p in CONCAVE])
+    want = _raycast_mask(lat, lon, vy, vx)
+    assert not want[0]           # notch interior excluded
+    assert want[1] and want[2]   # deep interior
+    got = _poly_ids(_pp_table(lat, lon), CONCAVE)
+    assert got == set(np.nonzero(want)[0].tolist())
+
+
+def test_polygon_touching_pole_and_antimeridian(ray_session):
+    """Planar semantics at the domain edges: a polygon reaching the
+    pole line (lat 90) and the antimeridian (lon +-180) still classifies
+    points consistently between the grid path and the ray cast — incl.
+    points exactly at the pole and on the antimeridian."""
+    import numpy as np
+
+    from lucene_solr_ray.pipelines.geo import _raycast_mask
+
+    poly = [(50.0, -180.0), (55.0, 180.0), (90.0, 170.0),
+            (89.0, -20.0), (70.0, -180.0)]
+    vy = np.array([p[0] for p in poly])
+    vx = np.array([p[1] for p in poly])
+    rng = np.random.default_rng(11)
+    lat = np.concatenate([rng.uniform(40, 90, 5000),
+                          np.array([90.0, 90.0, 60.0, 60.0])])
+    lon = np.concatenate([rng.uniform(-180, 180, 5000),
+                          np.array([0.0, 170.0, -180.0, 180.0])])
+    want = set(np.nonzero(_raycast_mask(lat, lon, vy, vx))[0].tolist())
+    got = _poly_ids(_pp_table(lat, lon), poly)
+    assert got == want
