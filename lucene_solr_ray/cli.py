@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     b.add_argument("--resume", action="store_true")
     b.add_argument("--unsorted", action="store_true",
                    help="input is not pre-sorted by (conv_id, turn_idx)")
+    b.add_argument("--store-offsets", action="store_true",
+                   help="write the token char-offsets sidecar "
+                        "(PostingsHighlighter-style highlighting without "
+                        "re-analysis)")
     b.add_argument("--codec", default="varint",
                    choices=("varint", "raw32"),
                    help="postings codec (PostingsFormat SPI analog): "
@@ -70,6 +74,11 @@ def main(argv=None) -> int:
     s.add_argument("--highlight", default=None, metavar="SOURCE_PARQUET",
                    help="attach snippets, fetching hit texts from the "
                         "source parquet (stored-fields phase)")
+    s.add_argument("--highlight-offsets", default=None,
+                   metavar="SOURCE_PARQUET",
+                   help="offsets-based snippets (PostingsHighlighter): "
+                        "no re-analysis of hit docs; requires an index "
+                        "built with store_offsets")
     s.add_argument("--similarity", default="bm25",
                    choices=("bm25", "classic"),
                    help="scoring model (IndexSearcher.setSimilarity)")
@@ -254,7 +263,7 @@ def main(argv=None) -> int:
             args.source, args.index_dir, num_shards=args.num_shards,
             docs_per_shard=args.docs_per_shard, analyzer=args.analyzer,
             resume=args.resume, assume_sorted=not args.unsorted,
-            postings_codec=args.codec)
+            postings_codec=args.codec, store_offsets=args.store_offsets)
         print(json.dumps({"shards": len(manifest["shards"]),
                           "stats": manifest["stats"],
                           "phases": manifest["phases"]}))
@@ -386,6 +395,11 @@ def main(argv=None) -> int:
 
             rows = highlight_hits(searcher, args.query, rows,
                                   args.highlight)
+        if args.highlight_offsets:
+            from .search.features import postings_highlight_hits
+
+            rows = postings_highlight_hits(searcher, args.query, rows,
+                                           args.highlight_offsets)
         print(json.dumps(rows, default=str))
     elif args.cmd == "get":
         from .index.update import realtime_get

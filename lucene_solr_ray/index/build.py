@@ -597,10 +597,50 @@ def _plan_source_tasks(source: str, target_rows: int):
     return _assemble_plan(files, rg_rows, target_rows)
 
 
+def _token_spans(texts: list, analyzer):
+    """Per-doc raw-token char offsets for the offsets sidecar
+    (PostingsHighlighter.java:100 stores offsets in postings; this is
+    the doc-major equivalent — one (starts, ends) pair per RAW token, so
+    a postings position indexes the arrays directly, stopword holes and
+    all). Mirrors the tokenize fast/slow split: ASCII standard-chain
+    docs take one C-speed finditer over the lowered text (ASCII lower
+    preserves offsets); everything else goes through tokenize_full."""
+    from ..analysis.analyzer import StandardAnalyzer
+    from ..analysis.tokenizer import StandardTokenizer as _StdTok
+
+    fast_capable = (isinstance(analyzer, StandardAnalyzer)
+                    and type(analyzer.tokenizer) is _StdTok)
+    if fast_capable:
+        from ..analysis.tokenizer import _ascii_scanner
+
+        word_re, _ = _ascii_scanner()
+        mtl = analyzer.tokenizer.max_token_length
+    counts = np.zeros(len(texts), dtype=np.int64)
+    starts_all: list[int] = []
+    ends_all: list[int] = []
+    for i, text in enumerate(texts):
+        t = text or ""
+        spans = None
+        if fast_capable and t.isascii():
+            spans = [(m.start(), m.end())
+                     for m in word_re.finditer(t.lower())]
+            if len(t) > mtl and any(e - s > mtl for s, e in spans):
+                spans = None        # over-long policy: tokenize_full owns it
+        if spans is None:
+            spans = [(tok.start, tok.end)
+                     for tok in analyzer.tokenizer.tokenize_full(t)]
+        counts[i] = len(spans)
+        starts_all.extend(s for s, _ in spans)
+        ends_all.extend(e for _, e in spans)
+    return (counts, np.asarray(starts_all, dtype=np.int32),
+            np.asarray(ends_all, dtype=np.int32))
+
+
 @ray.remote
 def _fused_tokenize_task(file: str, row_groups: list[int], offset: int,
                          docs_per_shard: int, analyzer_name: str,
-                         runs_dir: str, norms_dir: str, task_id: int) -> dict:
+                         runs_dir: str, norms_dir: str, task_id: int,
+                         offsets_dir: str | None = None) -> dict:
     """read -> assign doc_ids -> verify order -> tokenize -> write runs and
     norms split at shard boundaries -> return partial stats + key range."""
     _limit_worker_threads()
@@ -656,6 +696,31 @@ def _fused_tokenize_task(file: str, row_groups: list[int], offset: int,
         norm_dir.mkdir(parents=True, exist_ok=True)
         pq.write_table(piece.select(norm_cols).drop_columns(["doc_shard"]),
                        norm_dir / f"run-{task_id:05d}.parquet")
+    if offsets_dir is not None:
+        texts = t.column("text").to_pylist()
+        counts, st_flat, en_flat = _token_spans(
+            texts, get_analyzer(analyzer_name))
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        for i in range(len(bounds) - 1):
+            a, b = int(bounds[i]), int(bounds[i + 1])
+            sid = int(shard_col[a])
+            od = Path(offsets_dir) / f"shard={sid:05d}"
+            od.mkdir(parents=True, exist_ok=True)
+            lo, hi = offs[a], offs[b]
+            sub_offs = (offs[a:b + 1] - lo).astype(np.int64)
+            # spans as ONE little-endian int32 blob per doc
+            # ([starts..., ends...]): binary decode is a memcpy, where a
+            # list<int32> column pays per-element assembly — the
+            # highlighter reads a PAGE of hit docs, so row groups stay
+            # small for tight doc_id stats pruning
+            blobs = [
+                np.concatenate((st_flat[x0:x1], en_flat[x0:x1]))
+                .astype("<i4").tobytes()
+                for x0, x1 in zip(sub_offs[:-1] + lo, sub_offs[1:] + lo)]
+            pq.write_table(pa.table({
+                "doc_id": pa.array(doc_id[a:b], type=pa.int64()),
+                "spans": pa.array(blobs, type=pa.large_binary()),
+            }), od / f"run-{task_id:05d}.parquet", row_group_size=32)
     marker.write_text(json.dumps(stats))
     return stats
 
@@ -688,7 +753,8 @@ def _encode_shard_dir_task(runs_dir: str, shard_id: int, index_dir: str,
 def _build_fused(source: str, index_path: Path, docs_per_shard: int | None,
                  num_shards: int | None, analyzer: str, concurrency: int,
                  resume: bool, keep_runs: bool, phases: dict, _phase,
-                 codec: str = "varint") -> dict:
+                 codec: str = "varint",
+                 store_offsets: bool = False) -> dict:
     """The scalable two-wave build (documented in the module docstring)."""
     runs_dir = index_path / "runs"
     norms_dir = index_path / "norms"
@@ -739,10 +805,15 @@ def _build_fused(source: str, index_path: Path, docs_per_shard: int | None,
     _phase("plan")
 
     # wave A: fused read+assign+tokenize+write (runs and norms)
+    offsets_dir = None
+    if store_offsets:
+        offsets_dir = index_path / "offsets"
+        offsets_dir.mkdir(parents=True, exist_ok=True)
     a_futures = [
         _fused_tokenize_task.remote(
             f, rgs, off, int(docs_per_shard), analyzer,
-            str(runs_dir), str(norms_dir), i)
+            str(runs_dir), str(norms_dir), i,
+            str(offsets_dir) if offsets_dir else None)
         for i, (f, rgs, off, nr) in enumerate(tasks)
     ]
     # wave B: per-shard encode, each task gated ONLY on the wave-A tasks
@@ -815,6 +886,7 @@ def build_index(
     keep_runs: bool = False,
     shuffle: str = "aligned",
     postings_codec: str = "varint",
+    store_offsets: bool = False,
 ) -> dict:
     """Build a sharded inverted index; returns the manifest dict.
 
@@ -846,15 +918,20 @@ def build_index(
     # fused two-wave path: applicable to sorted parquet-on-disk sources
     # (the 100 TB case); Dataset sources or unsorted input use the general
     # Dataset pipeline below
+    if store_offsets and not (isinstance(source, str) and assume_sorted
+                              and shuffle == "aligned"):
+        raise ValueError("store_offsets requires the fused sorted-parquet "
+                         "build path")
     if isinstance(source, str) and assume_sorted and shuffle == "aligned":
         r = _build_fused(source, index_path, docs_per_shard, num_shards,
                          analyzer, concurrency, resume, keep_runs,
-                         phases, _phase, codec=postings_codec)
+                         phases, _phase, codec=postings_codec,
+                         store_offsets=store_offsets)
         manifest = _write_manifest(
             index_path, analyzer, r["docs_per_shard"], r["actual_shards"],
             r["stats"], r["avgdl"], r["manifest_rows"], phases, t0,
             checkpoint=r["checkpoint"], lineage=r["lineage"],
-            postings_codec=postings_codec)
+            postings_codec=postings_codec, offsets=store_offsets)
         if not keep_runs:
             shutil.rmtree(index_path / "runs", ignore_errors=True)
         return manifest
@@ -982,7 +1059,8 @@ def _write_manifest(index_path: Path, analyzer: str, docs_per_shard: int,
                     actual_shards: int, stats: dict, avgdl: float,
                     manifest_rows: list[dict], phases: dict, t0: float,
                     checkpoint=None, lineage=None,
-                    postings_codec: str = "varint") -> dict:
+                    postings_codec: str = "varint",
+                    offsets: bool = False) -> dict:
     shards = sorted(manifest_rows, key=lambda r: r["shard_id"])
     manifest = {
         "version": 1,
@@ -994,6 +1072,7 @@ def _write_manifest(index_path: Path, analyzer: str, docs_per_shard: int,
             "num_shards": int(actual_shards),
             "block_size": segment.BLOCK_SIZE,
             "postings_codec": postings_codec,
+            "offsets": bool(offsets),
             "k1": float(bm25.K1),
             "b": float(bm25.B),
         },

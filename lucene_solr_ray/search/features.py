@@ -560,3 +560,135 @@ def elevate(searcher: IndexSearcher, query: Query | str,
         if len(out) >= k:
             break
     return out[:k]
+
+
+# --- offsets-based highlighting (PostingsHighlighter.java:100) ----------
+
+def best_fragments_from_offsets(text: str, starts, ends,
+                                matched_pos: dict[int, str],
+                                fragment_size: int = 100,
+                                max_fragments: int = 3,
+                                pre: str = "<b>", post: str = "</b>",
+                                merge_contiguous: bool = True,
+                                weights: dict[str, float] | None = None,
+                                ) -> list[tuple[str, float]]:
+    """``best_fragments`` computed from STORED token offsets instead of
+    re-analysis (PostingsHighlighter semantics): ``starts``/``ends`` are
+    the doc's raw-token char spans from the build-time offsets sidecar,
+    ``matched_pos`` maps raw token position -> matched query term (from
+    one postings probe per query term). Fragmentation, distinct-term
+    scoring, contiguous merge and ordering replicate ``best_fragments``
+    exactly — pinned by parity goldens in tests/test_highlight_offsets.py
+    — without tokenizing the text."""
+    n = len(starts)
+    frags: list[dict] = []
+    cur = {"start": 0, "toks": [], "idx": 0}
+    boundary = fragment_size
+    for i in range(n):
+        s, e = int(starts[i]), int(ends[i])
+        if e > boundary and cur["toks"]:
+            cur["end"] = int(ends[cur["toks"][-1]])
+            frags.append(cur)
+            cur = {"start": cur["end"], "toks": [], "idx": len(frags)}
+            while boundary < e:
+                boundary += fragment_size
+        cur["toks"].append(i)
+    if cur["toks"]:
+        cur["end"] = len(text)
+        frags.append(cur)
+    if not frags:
+        return []
+    frags[-1]["end"] = len(text)
+
+    def score_of(frag) -> tuple[float, list[int]]:
+        seen: set[str] = set()
+        sc = 0.0
+        matched = []
+        for i in frag["toks"]:
+            term = matched_pos.get(i)
+            if term is not None:
+                matched.append(i)
+                if term not in seen:
+                    seen.add(term)
+                    sc += (weights or {}).get(term, 1.0)
+        return sc, matched
+
+    scored = []
+    for f in frags:
+        sc, matched = score_of(f)
+        if sc > 0:
+            scored.append({**f, "score": sc, "matched": matched})
+    if merge_contiguous and scored:
+        merged = [scored[0]]
+        for f in scored[1:]:
+            prev = merged[-1]
+            if f["idx"] == prev["idx"] + 1:
+                u = {**prev, "end": f["end"], "idx": f["idx"],
+                     "toks": prev["toks"] + f["toks"]}
+                u["score"], u["matched"] = score_of(u)
+                merged[-1] = u
+            else:
+                merged.append(f)
+        scored = merged
+    scored.sort(key=lambda f: (-f["score"], f["start"]))
+    out = []
+    for f in scored[:max_fragments]:
+        pieces, cpos = [], f["start"]
+        for i in f["matched"]:
+            s, e = int(starts[i]), int(ends[i])
+            pieces.append(text[cpos:s])
+            pieces.append(pre + text[s:e] + post)
+            cpos = e
+        pieces.append(text[cpos:f["end"]])
+        out.append(("".join(pieces).strip(), f["score"]))
+    return out
+
+
+def postings_highlight_hits(searcher, query: Query | str, rows: list[dict],
+                            source_path: str, fragments: int = 3,
+                            **hl_kw) -> list[dict]:
+    """Offsets-based highlighting for a page of hits: texts come from
+    the source parquet (pushdown read, hit-page-scale), matched token
+    positions come from ONE postings probe per (query term, doc) and
+    map to char spans through the index's offsets sidecar — the hit
+    docs are never re-tokenized (PostingsHighlighter.java:100; the
+    re-analysis fragmenter re-tokenizes every hit doc, which dominates
+    highlight cost on long documents). Requires the index built with
+    ``store_offsets=True``; each row gains ``snippets``."""
+    import pyarrow.dataset as pads
+
+    if not rows:
+        return rows
+    parsed = searcher.parse(query) if isinstance(query, str) else query
+    wanted = sorted(collect_terms(parsed))
+    want = {(str(r["conv_id"]), int(r["turn_idx"])) for r in rows}
+    t = pads.dataset(source_path, format="parquet").to_table(
+        columns=["conv_id", "turn_idx", "text"],
+        filter=pads.field("conv_id").isin(sorted({c for c, _ in want})))
+    texts = {(str(c), int(i)): x
+             for c, i, x in zip(t.column("conv_id").to_pylist(),
+                                t.column("turn_idx").to_pylist(),
+                                t.column("text").to_pylist())
+             if (str(c), int(i)) in want}
+    offsets = searcher.term_offsets([int(r["doc_id"]) for r in rows])
+    by_shard = {sh.shard_id: sh for sh in searcher.shards}
+    dps = searcher.shards[0].docs_per_shard
+    out = []
+    for r in rows:
+        d = int(r["doc_id"])
+        text = texts.get((str(r["conv_id"]), int(r["turn_idx"])), "")
+        sh = by_shard.get(d // dps)
+        row_off = offsets.get(d)
+        if sh is None or row_off is None:
+            out.append({**r, "snippets": []})
+            continue
+        starts, ends = row_off
+        matched_pos: dict[int, str] = {}
+        for term in wanted:
+            for p in sh.positions_of(term, d):
+                matched_pos[int(p)] = term
+        fr = best_fragments_from_offsets(
+            text, starts, ends, matched_pos,
+            max_fragments=fragments, **hl_kw)
+        out.append({**r, "snippets": [s for s, _ in fr]})
+    return out

@@ -491,6 +491,28 @@ class ShardSearcher:
         out.sort()
         return out
 
+    def positions_of(self, term: str, doc_id: int) -> list[int]:
+        """Positions of one TERM in one DOC (a single term-dict probe +
+        postings decode — candidate-scale, unlike term_vector's
+        O(vocab) inversion). The offsets-based highlighter maps these
+        through the build-time offsets sidecar to char spans without
+        re-analyzing the text (PostingsHighlighter.java:100)."""
+        if self._deleted is not None and self._deleted[doc_id - self.base]:
+            return []
+        i = self._terms.get(term)
+        if i is None:
+            return []
+        p = self._postings(term)
+        if p is None:
+            return []
+        docs, freqs = p[0], p[1]
+        j = int(np.searchsorted(docs, doc_id))
+        if j >= len(docs) or docs[j] != doc_id:
+            return []
+        flat, offs = segment.decode_positions(self._pos_enc[i], freqs,
+                                              self._codec)
+        return [int(x) for x in flat[offs[j]:offs[j + 1]]]
+
     # --- postings access (decode results cached: LRUQueryCache analog,
     # search/LRUQueryCache.java) ---
     _CACHE_MAX = 1024
@@ -1163,6 +1185,7 @@ class IndexSearcher:
 
     def __init__(self, index_dir: str, similarity: str = "bm25"):
         self.index_dir = str(index_dir)
+        self._offsets_files: dict = {}  # parquet handle cache (metadata)
         self.manifest = json.loads(
             (Path(index_dir) / "manifest.json").read_text())
         shard_ids = [s["shard_id"] for s in self.manifest["shards"]]
@@ -1239,6 +1262,55 @@ class IndexSearcher:
         order = np.lexsort((uniq, -counts))
         out = [(str(uniq[i]), int(counts[i])) for i in order]
         return out[:limit] if limit else out
+
+    def term_offsets(self, doc_ids: list[int]
+                     ) -> dict[int, tuple[list[int], list[int]]]:
+        """Per-doc raw-token char spans from the build-time offsets
+        sidecar (``store_offsets=True`` builds; PostingsHighlighter's
+        stored-offsets analog, doc-major). Pushdown read — only row
+        groups containing the requested page of hits decompress."""
+        import pyarrow.dataset as pads
+
+        p = Path(self.index_dir) / "offsets"
+        if not p.exists():
+            return {}
+        # prune at the directory level first (doc ranges map to shard
+        # dirs), then let doc_id row-group stats prune inside the files
+        dps = int(self.manifest["params"]["docs_per_shard"])
+        want = sorted({int(d) for d in doc_ids})
+        dirs = sorted({p / f"shard={d // dps:05d}" for d in want})
+        files = sorted(str(f) for d in dirs if d.exists()
+                       for f in d.glob("*.parquet"))
+        if not files:
+            return {}
+        # manual row-group pruning (doc_id min/max stats): the generic
+        # dataset filter path decodes far more than the hit page needs
+        # on wide list columns; offsets files are written with 32-row
+        # groups so each hit costs one small row-group decode
+        want_arr = np.asarray(want, dtype=np.int64)
+        out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        import pyarrow.parquet as _pq
+
+        for f in files:
+            pf = self._offsets_files.get(f)
+            if pf is None:
+                pf = self._offsets_files[f] = _pq.ParquetFile(f)
+            md = pf.metadata
+            idx_col = pf.schema_arrow.get_field_index("doc_id")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx_col).statistics
+                if st is not None and not (
+                        (want_arr >= st.min) & (want_arr <= st.max)).any():
+                    continue
+                t = pf.read_row_group(rg)
+                ids = t.column("doc_id").to_numpy()
+                sel = np.nonzero(np.isin(ids, want_arr))[0]
+                for i in sel:
+                    spans = np.frombuffer(
+                        t.column("spans")[i].as_buffer(), dtype="<i4")
+                    half = len(spans) // 2
+                    out[int(ids[i])] = (spans[:half], spans[half:])
+        return out
 
     def term_vectors(self, doc_ids: list[int]
                      ) -> dict[int, list[tuple[str, int, list[int]]]]:
