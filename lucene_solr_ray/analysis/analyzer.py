@@ -164,6 +164,18 @@ def get_analyzer(name: str = "standard"):
         from .tokenizer import UAX29URLEmailTokenizer
 
         return StandardAnalyzer(tokenizer_cls=UAX29URLEmailTokenizer)
+    if name == "icu":
+        # script-aware segmentation + CJK bigrams, no stopwords
+        # (ICUTokenizer.java:48; see analysis/icu.py)
+        from .icu import ICUTokenizer
+
+        return StandardAnalyzer(tokenizer_cls=ICUTokenizer, stopwords=None)
+    if name == "cjk":
+        # CJKAnalyzer flavor: same tokenizer + English stops
+        # (lucene/analysis/common/.../cjk/CJKAnalyzer.java:45)
+        from .icu import ICUTokenizer
+
+        return StandardAnalyzer(tokenizer_cls=ICUTokenizer)
     from .filters import CUSTOM_CHAINS
 
     if name in CUSTOM_CHAINS:
