@@ -471,3 +471,25 @@ def make_common_grams_filter(common: frozenset[str] | set[str] | None = None
 CUSTOM_CHAINS["icu_folded"] = CustomAnalyzer([icu_normalize_filter])
 CUSTOM_CHAINS["common_grams"] = CustomAnalyzer(
     [lowercase_filter, make_common_grams_filter()])
+
+
+# --- Snowball stemmers (org/tartarus/snowball/ext/*Stemmer.java) --------
+
+def make_snowball_filter(lang: str) -> Filter:
+    """Token filter over one of the pure-Python Snowball stemmers
+    (analysis/snowball.py; golden-validated word-for-word against the
+    reference's TestSnowballVocab vocabularies)."""
+    from .snowball import SNOWBALL_STEMS
+
+    stem = SNOWBALL_STEMS[lang]
+
+    def snowball_filter(tokens: TokenStream) -> TokenStream:
+        return [(stem(t), p) for t, p in tokens]
+
+    snowball_filter.__name__ = f"snowball_{lang}_filter"
+    return snowball_filter
+
+
+for _lang in ("german", "french", "spanish", "italian", "portuguese"):
+    CUSTOM_CHAINS[f"{_lang}_stemmed"] = CustomAnalyzer(
+        [lowercase_filter, make_snowball_filter(_lang)])

@@ -1,0 +1,934 @@
+"""Pure-Python Snowball stemmers for the top non-English languages
+(``lucene/analysis/common/src/java/org/tartarus/snowball/ext/
+GermanStemmer.java`` et al. — the reference wraps code generated from the
+published Snowball algorithms, snowballstem.org).
+
+These are independent implementations of the same published algorithms,
+validated word-for-word against the reference's full TestSnowballVocab
+vocabularies (20k-35k words per language) in tests/test_snowball.py.
+Each stemmer registers in the filter zoo as ``<lang>_stem`` and as a
+CustomAnalyzer chain ``<lang>_stemmed`` (standard tokenizer + lowercase +
+stem), so ``build_index(analyzer="german_stemmed")`` works everywhere an
+analyzer name does.
+"""
+
+from __future__ import annotations
+
+# --- shared helpers ------------------------------------------------------
+
+
+def _r_regions(word: str, vowels: str) -> tuple[int, int]:
+    """Standard (R1, R2) start offsets: R1 = after the first non-vowel
+    following a vowel; R2 = the same computed within R1."""
+    n = len(word)
+    r1 = n
+    for i in range(1, n):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            r1 = i + 1
+            break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if word[i] not in vowels and word[i - 1] in vowels:
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+# --- German (snowballstem.org german algorithm) --------------------------
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_END = set("bdfghklmnrt")
+_DE_ST_END = set("bdfghklmnt")
+
+
+def german_stem(word: str) -> str:
+    """Snowball German stemmer (GermanStemmer.java semantics)."""
+    word = word.replace("ß", "ss")
+    # mark u/y between vowels as consonants
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i] == "u" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = "U"
+        if chars[i] == "y" and chars[i - 1] in _DE_VOWELS \
+                and chars[i + 1] in _DE_VOWELS:
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    # regions computed on the MARKED word: uppercase U/Y are consonants
+    r1, r2 = _r_regions(word, _DE_VOWELS)
+    # R1 region is adjusted so that it is at least 3 chars in
+    r1 = max(r1, min(3, len(word)))
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 1
+    if word.endswith(("em", "ern", "er")):
+        for suf in ("ern", "em", "er"):
+            if word.endswith(suf):
+                if in_r1(len(word) - len(suf)):
+                    word = word[:-len(suf)]
+                break
+    elif word.endswith(("e", "en", "es")):
+        for suf in ("en", "es", "e"):
+            if word.endswith(suf):
+                if in_r1(len(word) - len(suf)):
+                    word = word[:-len(suf)]
+                break
+    elif word.endswith("s") and len(word) >= 2 \
+            and word[-2] in _DE_S_END and in_r1(len(word) - 1):
+        word = word[:-1]
+
+    # step 2
+    if word.endswith(("en", "er", "est")):
+        for suf in ("est", "en", "er"):
+            if word.endswith(suf):
+                if in_r1(len(word) - len(suf)):
+                    word = word[:-len(suf)]
+                break
+    elif word.endswith("st") and len(word) >= 6 \
+            and word[-3] in _DE_ST_END and in_r1(len(word) - 2):
+        word = word[:-2]
+
+    # step 3 (d-suffixes)
+    if word.endswith(("end", "ung")):
+        if in_r2(len(word) - 3):
+            word = word[:-3]
+            if word.endswith("ig") and not word.endswith("eig") \
+                    and in_r2(len(word) - 2):
+                word = word[:-2]
+    elif word.endswith(("ig", "ik", "isch")):
+        for suf in ("isch", "ig", "ik"):
+            if word.endswith(suf):
+                if in_r2(len(word) - len(suf)) \
+                        and word[len(word) - len(suf) - 1:len(word) - len(suf)] != "e":
+                    word = word[:-len(suf)]
+                break
+    elif word.endswith(("lich", "heit")):
+        if in_r2(len(word) - 4):
+            word = word[:-4]
+            if word.endswith(("er", "en")) and in_r1(len(word) - 2):
+                word = word[:-2]
+    elif word.endswith("keit"):
+        if in_r2(len(word) - 4):
+            word = word[:-4]
+            if word.endswith("lich") and in_r2(len(word) - 4):
+                word = word[:-4]
+            elif word.endswith("ig") and in_r2(len(word) - 2):
+                word = word[:-2]
+
+    # finally
+    word = word.replace("U", "u").replace("Y", "y")
+    word = (word.replace("ä", "a").replace("ö", "o").replace("ü", "u"))
+    return word
+
+
+# --- Spanish (snowballstem.org spanish algorithm) -------------------------
+
+_ES_VOWELS = "aeiouáéíóúü"
+
+
+def _rv_es(word: str, vowels: str) -> int:
+    """Romance-language RV: if the second letter is a consonant, RV is
+    after the next vowel; if the first two letters are vowels, after the
+    next consonant; otherwise after the third letter; end of word if not
+    found."""
+    n = len(word)
+    if n < 3:
+        return n
+    if word[1] not in vowels:
+        for i in range(2, n):
+            if word[i] in vowels:
+                return i + 1
+        return n
+    if word[0] in vowels and word[1] in vowels:
+        for i in range(2, n):
+            if word[i] not in vowels:
+                return i + 1
+        return n
+    return 3
+
+
+_ES_ACCENT = str.maketrans("áéíóú", "aeiou")
+
+_ES_PRONOUNS = ("selas", "selos", "sela", "selo", "las", "les", "los",
+                "nos", "me", "se", "la", "le", "lo")
+_ES_PRE_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRE_B = ("iendo", "ando", "ar", "er", "ir")
+
+_ES_STEP2B_LONG = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "aríais",
+    "aremos", "eríais", "eremos", "iríais", "iremos", "ierais", "ieseis",
+    "asteis", "isteis", "ábamos", "áramos", "ásemos", "arían", "arías",
+    "aréis", "erían", "erías", "eréis", "irían", "irías", "iréis",
+    "ieran", "iesen", "ieron", "iendo", "ieras", "ieses", "abais",
+    "arais", "aseis", "íamos", "arán", "arás", "aría", "erán", "erás",
+    "ería", "irán", "irás", "iría", "iera", "iese", "aste", "iste",
+    "aban", "aran", "asen", "aron", "ando", "abas", "adas", "idas",
+    "aras", "ases", "íais", "ados", "idos", "amos", "imos", "ará",
+    "aré", "erá", "eré", "irá", "iré", "aba", "ada", "ida", "ara",
+    "ase", "ían", "ado", "ido", "ías", "áis", "ía", "ad", "ed", "id",
+    "an", "ió", "ar", "er", "ir", "as", "ís")
+
+
+def spanish_stem(word: str) -> str:
+    """Snowball Spanish stemmer (SpanishStemmer.java semantics)."""
+    n0 = len(word)
+    r1, r2 = _r_regions(word, _ES_VOWELS)
+    rv = _rv_es(word, _ES_VOWELS)
+
+    def in_r1(p): return p >= r1
+    def in_r2(p): return p >= r2
+    def in_rv(p): return p >= rv
+
+    # step 0: attached pronoun — the among runs with the window LIMITED
+    # to RV (setlimit tomark pV in the generated code): a pronoun or
+    # verb ending reaching before RV simply does not match, and shorter
+    # alternatives are tried
+    def _match_rv(suffixes):
+        best = None
+        for suf in suffixes:
+            if word.endswith(suf) and in_rv(len(word) - len(suf)):
+                if best is None or len(suf) > len(best):
+                    best = suf
+        return best
+
+    pron = _match_rv(_ES_PRONOUNS)
+    if pron is not None:
+        base = word[:-len(pron)]
+
+        def _pre_in_rv(pre):
+            return base.endswith(pre) and len(base) - len(pre) >= rv
+
+        hit_a = max((p for p in _ES_PRE_A if _pre_in_rv(p)),
+                    key=len, default=None)
+        hit_b = max((p for p in _ES_PRE_B if _pre_in_rv(p)),
+                    key=len, default=None)
+        if hit_a is not None and (hit_b is None or len(hit_a) >= len(hit_b)):
+            word = base[:-len(hit_a)] + hit_a.translate(_ES_ACCENT)
+        elif hit_b is not None:
+            word = base
+        elif base.endswith("yendo") and len(base) >= 6 \
+                and base[-6] == "u" and len(base) - 5 >= rv:
+            word = base
+
+    # step 1: standard suffixes (one longest-match family)
+    n_before_1 = len(word)
+
+    def try_del(suffixes, region, repl=""):
+        nonlocal word
+        for suf in sorted(suffixes, key=len, reverse=True):
+            if word.endswith(suf):
+                if region(len(word) - len(suf)):
+                    word = word[:-len(suf)] + repl
+                    return True
+                return False
+        return False
+
+    fams = []  # (suffix family sorted by length handled as one "among")
+    # the whole step-1 list is ONE longest-match among — collect
+    # (suffix, action) pairs and pick the longest matching suffix
+    actions: list[tuple[str, str]] = []
+    for s in ("anza", "anzas", "ico", "ica", "icos", "icas", "ismo",
+              "ismos", "able", "ables", "ible", "ibles", "ista",
+              "istas", "oso", "osa", "osos", "osas", "amiento",
+              "amientos", "imiento", "imientos"):
+        actions.append((s, "del_r2"))
+    for s in ("adora", "ador", "ación", "adoras", "adores", "aciones",
+              "ante", "antes", "ancia", "ancias"):
+        actions.append((s, "del_r2_ic"))
+    actions += [("logía", "logia"), ("logías", "logia")]
+    actions += [("ución", "ucion"), ("uciones", "ucion")]
+    actions += [("encia", "encia"), ("encias", "encia")]
+    actions += [("amente", "amente"), ("mente", "mente")]
+    actions += [("idad", "idad"), ("idades", "idad")]
+    for s in ("iva", "ivo", "ivas", "ivos"):
+        actions.append((s, "iv"))
+
+    best = None
+    for suf, act in actions:
+        if word.endswith(suf):
+            if best is None or len(suf) > len(best[0]):
+                best = (suf, act)
+    if best is not None:
+        suf, act = best
+        p = len(word) - len(suf)
+        if act == "del_r2":
+            if in_r2(p):
+                word = word[:p]
+        elif act == "del_r2_ic":
+            if in_r2(p):
+                word = word[:p]
+                if word.endswith("ic") and in_r2(len(word) - 2):
+                    word = word[:-2]
+        elif act == "logia":
+            if in_r2(p):
+                word = word[:p] + "log"
+        elif act == "ucion":
+            if in_r2(p):
+                word = word[:p] + "u"
+        elif act == "encia":
+            if in_r2(p):
+                word = word[:p] + "ente"
+        elif act == "amente":
+            if in_r1(p):
+                word = word[:p]
+                if word.endswith("iv") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("at") and in_r2(len(word) - 2):
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if word.endswith(pre) and in_r2(len(word) - 2):
+                            word = word[:-2]
+                            break
+        elif act == "mente":
+            if in_r2(p):
+                word = word[:p]
+                for pre in ("ante", "able", "ible"):
+                    if word.endswith(pre) and in_r2(len(word) - 4):
+                        word = word[:-4]
+                        break
+        elif act == "idad":
+            if in_r2(p):
+                word = word[:p]
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and in_r2(len(word) - len(pre)):
+                        word = word[:-len(pre)]
+                        break
+        elif act == "iv":
+            if in_r2(p):
+                word = word[:p]
+                if word.endswith("at") and in_r2(len(word) - 2):
+                    word = word[:-2]
+
+    # step 2a: verb suffixes beginning y (only if step 1 removed
+    # nothing); RV-limited among, u-precondition per entry
+    if len(word) == n_before_1:
+        n_before_2a = len(word)
+        y_suf = _match_rv(("yeron", "yendo", "yamos", "yais", "yan",
+                           "yen", "yas", "yes", "ya", "ye", "yo", "yó"))
+        if y_suf is not None and len(word) > len(y_suf) \
+                and word[-len(y_suf) - 1] == "u":
+            word = word[:-len(y_suf)]
+        # step 2b (only if 2a removed nothing): ONE RV-limited among
+        # over the union; the gu-undouble applies to its group only
+        if len(word) == n_before_2a:
+            gu_group = ("éis", "emos", "en", "es")
+            suf = _match_rv(_ES_STEP2B_LONG + gu_group)
+            if suf is not None:
+                word = word[:-len(suf)]
+                if suf in gu_group and word.endswith("gu"):
+                    word = word[:-1]
+
+    # step 3: residual suffix (RV-limited among over the union)
+    suf = _match_rv(("os", "a", "o", "á", "í", "ó", "e", "é"))
+    if suf is not None:
+        word = word[:-len(suf)]
+        if suf in ("e", "é") and word.endswith("gu") \
+                and len(word) - 1 >= rv:
+            word = word[:-1]
+
+    return word.translate(_ES_ACCENT)
+
+
+# --- Italian (snowballstem.org italian algorithm) -------------------------
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_ACUTE = str.maketrans("áéíóú", "àèìòù")
+
+_IT_PRONOUNS = (
+    "gliela", "gliele", "glieli", "glielo", "gliene", "sene", "mela",
+    "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+    "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+    "veli", "velo", "vene", "gli", "ci", "la", "le", "li", "lo", "mi",
+    "ne", "si", "ti", "vi")
+
+_IT_STEP2 = (
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe",
+    "eremmo", "ereste", "eresti", "essero", "iranno", "irebbe",
+    "iremmo", "ireste", "iresti", "iscano", "iscono", "issero",
+    "arono", "avamo", "avano", "avate", "eremo", "erete", "erono",
+    "evamo", "evano", "evate", "iremo", "irete", "irono", "ivamo",
+    "ivano", "ivate", "ammo", "ando", "asse", "assi", "emmo", "enda",
+    "ende", "endi", "endo", "erai", "erei", "Yamo", "iamo", "immo",
+    "irai", "irei", "isca", "isce", "isci", "isco", "ano", "are",
+    "ata", "ate", "ati", "ato", "ava", "avi", "avo", "erà", "ere",
+    "erò", "ete", "eva", "evi", "evo", "irà", "ire", "irò", "ita",
+    "ite", "iti", "ito", "iva", "ivi", "ivo", "ono", "uta", "ute",
+    "uti", "uto", "ar", "ir")
+
+
+def italian_stem(word: str) -> str:
+    """Snowball Italian stemmer (ItalianStemmer.java semantics)."""
+    word = word.translate(_IT_ACUTE)
+    chars = list(word)
+    for i in range(1, len(chars)):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+        elif 0 < i < len(chars) - 1 and chars[i] in "ui" \
+                and chars[i - 1] in _IT_VOWELS and chars[i + 1] in _IT_VOWELS:
+            chars[i] = "U" if chars[i] == "u" else "I"
+    word = "".join(chars)
+
+    r1, r2 = _r_regions(word, _IT_VOWELS)
+    rv = _rv_es(word, _IT_VOWELS)
+
+    def in_r1(p): return p >= r1
+    def in_r2(p): return p >= r2
+
+    def _match_rv(suffixes):
+        best = None
+        for suf in suffixes:
+            if word.endswith(suf) and len(word) - len(suf) >= rv:
+                if best is None or len(suf) > len(best):
+                    best = suf
+        return best
+
+    # step 0: attached pronoun (RV-limited)
+    pron = _match_rv(_IT_PRONOUNS)
+    if pron is not None:
+        base = word[:-len(pron)]
+
+        def _pre(pre):
+            return base.endswith(pre) and len(base) - len(pre) >= rv
+
+        hit_a = max((p for p in ("ando", "endo") if _pre(p)),
+                    key=len, default=None)
+        hit_b = max((p for p in ("ar", "er", "ir") if _pre(p)),
+                    key=len, default=None)
+        if hit_a is not None:
+            word = base
+        elif hit_b is not None:
+            word = base + "e"
+
+    # step 1: standard suffixes — one longest-match among, per-entry
+    # region conditions (no backtracking on a failed condition)
+    n_before_1 = len(word)
+    actions: list[tuple[str, str]] = []
+    for s in ("anza", "anze", "ico", "ici", "ica", "ice", "iche",
+              "ichi", "ismo", "ismi", "abile", "abili", "ibile",
+              "ibili", "ista", "iste", "isti", "istà", "istè", "istì",
+              "oso", "osi", "osa", "ose", "mente", "atrice", "atrici",
+              "ante", "anti"):
+        actions.append((s, "del_r2"))
+    for s in ("azione", "azioni", "atore", "atori"):
+        actions.append((s, "del_r2_ic"))
+    actions += [("logia", "log"), ("logie", "log")]
+    for s in ("uzione", "uzioni", "usione", "usioni"):
+        actions.append((s, "u"))
+    actions += [("enza", "ente"), ("enze", "ente")]
+    for s in ("amento", "amenti", "imento", "imenti"):
+        actions.append((s, "del_rv"))
+    actions.append(("amente", "amente"))
+    actions.append(("ità", "ita"))
+    for s in ("ivo", "ivi", "iva", "ive"):
+        actions.append((s, "iv"))
+
+    best = None
+    for suf, act in actions:
+        if word.endswith(suf):
+            if best is None or len(suf) > len(best[0]):
+                best = (suf, act)
+    if best is not None:
+        suf, act = best
+        p = len(word) - len(suf)
+        if act == "del_r2":
+            if in_r2(p):
+                word = word[:p]
+        elif act == "del_r2_ic":
+            if in_r2(p):
+                word = word[:p]
+                if word.endswith("ic") and in_r2(len(word) - 2):
+                    word = word[:-2]
+        elif act in ("log", "u", "ente"):
+            if in_r2(p):
+                word = word[:p] + act
+        elif act == "del_rv":
+            if p >= rv:
+                word = word[:p]
+        elif act == "amente":
+            if in_r1(p):
+                word = word[:p]
+                if word.endswith("iv") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("at") and in_r2(len(word) - 2):
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "abil"):
+                        if word.endswith(pre) \
+                                and in_r2(len(word) - len(pre)):
+                            word = word[:-len(pre)]
+                            break
+        elif act == "ita":
+            if in_r2(p):
+                word = word[:p]
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and in_r2(len(word) - len(pre)):
+                        word = word[:-len(pre)]
+                        break
+        elif act == "iv":
+            if in_r2(p):
+                word = word[:p]
+                if word.endswith("at") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("ic") and in_r2(len(word) - 2):
+                        word = word[:-2]
+
+    # step 2: verb suffixes (only if step 1 removed nothing), RV-limited
+    if len(word) == n_before_1:
+        suf = _match_rv(_IT_STEP2)
+        if suf is not None:
+            word = word[:-len(suf)]
+
+    # step 3a: final vowel (+ preceding i), RV-limited
+    suf = _match_rv(("a", "e", "i", "o", "à", "è", "ì", "ò"))
+    if suf is not None:
+        word = word[:-1]
+        if word.endswith("i") and len(word) - 1 >= rv:
+            word = word[:-1]
+    # step 3b: ch/gh -> c/g, RV-limited
+    for suf, repl in (("ch", "c"), ("gh", "g")):
+        if word.endswith(suf) and len(word) - len(suf) >= rv:
+            word = word[:-len(suf)] + repl
+            break
+
+    return word.replace("U", "u").replace("I", "i")
+
+
+# --- Portuguese (snowballstem.org portuguese algorithm) -------------------
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+_PT_STEP2 = (
+    "aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+    "aríeis", "eríeis", "iríeis", "ásseis", "ésseis", "ísseis",
+    "áramos", "éramos", "íramos", "ávamos", "aremos", "eremos",
+    "iremos", "ariam", "eriam", "iriam", "assem", "essem", "issem",
+    "ara~o", "era~o", "ira~o", "arias", "erias", "irias", "ardes",
+    "erdes", "irdes", "asses", "esses", "isses", "astes", "estes",
+    "istes", "áreis", "areis", "éreis", "ereis", "íreis", "ireis",
+    "áveis", "íamos", "armos", "ermos", "irmos", "aria", "eria",
+    "iria", "asse", "esse", "isse", "aste", "este", "iste", "arei",
+    "erei", "irei", "aram", "eram", "iram", "avam", "arem", "erem",
+    "irem", "ando", "endo", "indo", "adas", "idas", "arás", "aras",
+    "erás", "eras", "irás", "avas", "ares", "eres", "ires", "íeis",
+    "ados", "idos", "ámos", "amos", "emos", "imos", "iras", "ada",
+    "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam", "ado",
+    "ido", "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar",
+    "er", "ir", "as", "es", "is", "eu", "iu", "ou")
+
+
+def portuguese_stem(word: str) -> str:
+    """Snowball Portuguese stemmer (PortugueseStemmer.java semantics).
+    Nasal vowels encode as ``a~``/``o~`` (vowel + consonant) for region
+    arithmetic, exactly like the published algorithm."""
+    word = word.replace("ã", "a~").replace("õ", "o~")
+
+    r1, r2 = _r_regions(word, _PT_VOWELS)
+    rv = _rv_es(word, _PT_VOWELS)
+
+    def in_r1(p): return p >= r1
+    def in_r2(p): return p >= r2
+
+    def _match_rv(suffixes):
+        best = None
+        for suf in suffixes:
+            if word.endswith(suf) and len(word) - len(suf) >= rv:
+                if best is None or len(suf) > len(best):
+                    best = suf
+        return best
+
+    n0 = len(word)
+    # step 1: standard suffixes
+    actions: list[tuple[str, str]] = []
+    for s in ("eza", "ezas", "ico", "ica", "icos", "icas", "ismo",
+              "ismos", "ável", "ível", "ista", "istas", "oso", "osa",
+              "osos", "osas", "amento", "amentos", "imento",
+              "imentos"):
+        actions.append((s, "del_r2"))
+    # NOTE: this matches the generated stemmer the reference ships
+    # (2010 snapshot): the adora/ação family has NO ic follow-up and
+    # there is no uça~o -> u rule — both were later snowball revisions
+    # (goldens from TestSnowballVocabData pin the shipped behavior)
+    for s in ("adora", "ador", "aça~o", "adoras", "adores", "aço~es",
+              "ante", "antes", "ância"):
+        actions.append((s, "del_r2"))
+    actions += [("logia", "log"), ("logias", "log")]
+    actions += [("ência", "ente"), ("ências", "ente")]
+    actions.append(("amente", "amente"))
+    actions.append(("mente", "mente"))
+    actions += [("idade", "idade"), ("idades", "idade")]
+    for s in ("iva", "ivo", "ivas", "ivos"):
+        actions.append((s, "iv"))
+    actions += [("ira", "eira"), ("iras", "eira")]
+
+    best = None
+    for suf, act in actions:
+        if word.endswith(suf):
+            if best is None or len(suf) > len(best[0]):
+                best = (suf, act)
+    if best is not None:
+        suf, act = best
+        p = len(word) - len(suf)
+        if act == "del_r2":
+            if in_r2(p):
+                word = word[:p]
+        elif act == "del_r2_ic":
+            if in_r2(p):
+                word = word[:p]
+                if word.endswith("ic") and in_r2(len(word) - 2):
+                    word = word[:-2]
+        elif act in ("log", "u", "ente"):
+            if in_r2(p):
+                word = word[:p] + act
+        elif act == "amente":
+            if in_r1(p):
+                word = word[:p]
+                if word.endswith("iv") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("at") and in_r2(len(word) - 2):
+                        word = word[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if word.endswith(pre) and in_r2(len(word) - 2):
+                            word = word[:-2]
+                            break
+        elif act == "mente":
+            if in_r2(p):
+                word = word[:p]
+                for pre in ("ante", "avel", "ível"):
+                    if word.endswith(pre) and in_r2(len(word) - 4):
+                        word = word[:-4]
+                        break
+        elif act == "idade":
+            if in_r2(p):
+                word = word[:p]
+                for pre in ("abil", "ic", "iv"):
+                    if word.endswith(pre) and in_r2(len(word) - len(pre)):
+                        word = word[:-len(pre)]
+                        break
+        elif act == "iv":
+            if in_r2(p):
+                word = word[:p]
+                if word.endswith("at") and in_r2(len(word) - 2):
+                    word = word[:-2]
+        elif act == "eira":
+            # ira/iras -> ir if in RV and preceded by e
+            if p >= rv and p >= 1 and word[p - 1] == "e":
+                word = word[:p] + "ir"
+
+    # step 2: verb suffixes (only if step 1 removed nothing)
+    if len(word) == n0:
+        suf = _match_rv(_PT_STEP2)
+        if suf is not None:
+            word = word[:-len(suf)]
+
+    # step 3 if a suffix was removed in step 1 or 2, else step 4
+    if len(word) != n0:
+        if word.endswith("i") and len(word) - 1 >= rv \
+                and word.endswith("ci"):
+            word = word[:-1]
+    else:
+        suf = _match_rv(("os", "a", "i", "o", "á", "í", "ó"))
+        if suf is not None:
+            word = word[:-len(suf)]
+
+    # step 5 (always)
+    suf = _match_rv(("e", "é", "ê"))
+    if suf is not None:
+        word = word[:-1]
+        for pre, ch in (("gu", "u"), ("ci", "i")):
+            if word.endswith(pre) and len(word) - 1 >= rv:
+                word = word[:-1]
+                break
+    elif word.endswith("ç"):
+        word = word[:-1] + "c"
+
+    return word.replace("a~", "ã").replace("o~", "õ")
+
+
+# --- French (snowballstem.org french algorithm) ---------------------------
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+
+def _rv_fr(word: str) -> int:
+    """French RV: after the third letter if the word starts with two
+    vowels; else after the first vowel not at the beginning; par/col/tap
+    prefixes define RV directly after them."""
+    if word[:3] in ("par", "col", "tap"):
+        return 3
+    n = len(word)
+    if n >= 2 and word[0] in _FR_VOWELS and word[1] in _FR_VOWELS:
+        return min(3, n)
+    for i in range(1, n):
+        if word[i] in _FR_VOWELS:
+            return i + 1
+    return n
+
+
+_FR_STEP2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez",
+    "issons", "irais", "irait", "irent", "iriez", "irons", "iront",
+    "isses", "issez", "îmes", "îtes", "irai", "iras", "irez", "isse",
+    "ies", "ira", "ît", "ie", "ir", "is", "it", "i")
+
+_FR_STEP2B_ER = (
+    "eraIent", "erions", "èrent", "erais", "erait", "erez", "eriez",
+    "erons", "eront", "erai", "eras", "ées", "era", "iez", "ée", "és",
+    "er", "ez", "é")
+_FR_STEP2B_A = (
+    "assions", "assiez", "assent", "asses", "antes", "aIent", "asse",
+    "ants", "ante", "âmes", "âtes", "ant", "ais", "ait", "as", "ai",
+    "ât", "a")
+
+
+def french_stem(word: str) -> str:
+    """Snowball French stemmer (FrenchStemmer.java semantics)."""
+    chars = list(word)
+    n = len(chars)
+    # one left-to-right pass over the LIVE buffer: an already-marked
+    # neighbor (Y/U/I, uppercase) no longer counts as a vowel for the
+    # letters after it — e.g. croyiez -> croYiez, NOT croYIez
+    for i in range(n):
+        c = chars[i]
+        prev_v = i > 0 and chars[i - 1] in _FR_VOWELS
+        next_v = i + 1 < n and chars[i + 1] in _FR_VOWELS
+        if c in "ui" and prev_v and next_v:
+            chars[i] = c.upper()
+        elif c == "y" and (prev_v or next_v):
+            chars[i] = "Y"
+        elif c == "u" and i > 0 and chars[i - 1] == "q":
+            chars[i] = "U"
+    word = "".join(chars)
+
+    r1, r2 = _r_regions(word, _FR_VOWELS)
+    rv = _rv_fr(word)
+
+    def in_r1(p): return p >= r1
+    def in_r2(p): return p >= r2
+    def in_rv(p): return p >= rv
+
+    def _match_rv(suffixes):
+        best = None
+        for suf in suffixes:
+            if word.endswith(suf) and len(word) - len(suf) >= rv:
+                if best is None or len(suf) > len(best):
+                    best = suf
+        return best
+
+    altered = False
+    did_step1_ment = False
+
+    # --- step 1: standard suffixes (one longest-match among) ---
+    actions: list[tuple[str, str]] = []
+    for s in ("ance", "iqUe", "isme", "able", "iste", "eux", "ances",
+              "iqUes", "ismes", "ables", "istes"):
+        actions.append((s, "del_r2"))
+    for s in ("atrice", "ateur", "ation", "atrices", "ateurs",
+              "ations"):
+        actions.append((s, "at"))
+    actions += [("logie", "log"), ("logies", "log")]
+    for s in ("usion", "ution", "usions", "utions"):
+        actions.append((s, "u"))
+    actions += [("ence", "ent"), ("ences", "ent")]
+    actions += [("ement", "ement"), ("ements", "ement")]
+    actions += [("ité", "ite"), ("ités", "ite")]
+    for s in ("if", "ive", "ifs", "ives"):
+        actions.append((s, "if"))
+    actions.append(("eaux", "eaux"))
+    actions.append(("aux", "aux"))
+    actions += [("euse", "euse"), ("euses", "euse")]
+    actions += [("issement", "issement"), ("issements", "issement")]
+    actions.append(("amment", "amment"))
+    actions.append(("emment", "emment"))
+    actions += [("ment", "ment"), ("ments", "ment")]
+
+    best = None
+    for suf, act in actions:
+        if word.endswith(suf):
+            if best is None or len(suf) > len(best[0]):
+                best = (suf, act)
+    if best is not None:
+        suf, act = best
+        p = len(word) - len(suf)
+        if act == "del_r2":
+            if in_r2(p):
+                word = word[:p]
+                altered = True
+        elif act == "at":
+            if in_r2(p):
+                word = word[:p]
+                altered = True
+                if word.endswith("ic"):
+                    if in_r2(len(word) - 2):
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+        elif act in ("log", "u", "ent"):
+            if in_r2(p):
+                word = word[:p] + act
+                altered = True
+        elif act == "ement":
+            if in_rv(p):
+                word = word[:p]
+                altered = True
+                if word.endswith("iv") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("at") and in_r2(len(word) - 2):
+                        word = word[:-2]
+                elif word.endswith("eus"):
+                    if in_r2(len(word) - 3):
+                        word = word[:-3]
+                    elif in_r1(len(word) - 3):
+                        word = word[:-3] + "eux"
+                elif word.endswith(("abl", "iqU")) \
+                        and in_r2(len(word) - 3):
+                    word = word[:-3]
+                elif word.endswith(("ièr", "Ièr")) \
+                        and in_rv(len(word) - 3):
+                    word = word[:-3] + "i"
+        elif act == "ite":
+            if in_r2(p):
+                word = word[:p]
+                altered = True
+                if word.endswith("abil"):
+                    if in_r2(len(word) - 4):
+                        word = word[:-4]
+                    else:
+                        word = word[:-4] + "abl"
+                elif word.endswith("ic"):
+                    if in_r2(len(word) - 2):
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+                elif word.endswith("iv") and in_r2(len(word) - 2):
+                    word = word[:-2]
+        elif act == "if":
+            if in_r2(p):
+                word = word[:p]
+                altered = True
+                if word.endswith("at") and in_r2(len(word) - 2):
+                    word = word[:-2]
+                    if word.endswith("ic"):
+                        if in_r2(len(word) - 2):
+                            word = word[:-2]
+                        else:
+                            word = word[:-2] + "iqU"
+        elif act == "eaux":
+            word = word[:p] + "eau"
+            altered = True
+        elif act == "aux":
+            if in_r1(p):
+                word = word[:p] + "al"
+                altered = True
+        elif act == "euse":
+            if in_r2(p):
+                word = word[:p]
+                altered = True
+            elif in_r1(p):
+                word = word[:p] + "eux"
+                altered = True
+        elif act == "issement":
+            if in_r1(p) and p >= 1 and word[p - 1] not in _FR_VOWELS:
+                word = word[:p]
+                altered = True
+        elif act == "amment":
+            if in_rv(p):
+                word = word[:p] + "ant"
+                did_step1_ment = True
+        elif act == "emment":
+            if in_rv(p):
+                word = word[:p] + "ent"
+                did_step1_ment = True
+        elif act == "ment":
+            if p >= 1 and word[p - 1] in _FR_VOWELS and in_rv(p - 1):
+                word = word[:p]
+                did_step1_ment = True
+
+    # --- step 2a (if step 1 removed nothing, or a ment family hit) ---
+    if not altered or did_step1_ment:
+        suf = _match_rv(_FR_STEP2A)
+        if suf is not None and len(word) - len(suf) - 1 >= rv \
+                and word[-len(suf) - 1] not in _FR_VOWELS:
+            word = word[:-len(suf)]
+            altered = True
+        else:
+            # --- step 2b (step 2a failed to remove) ---
+            suf = _match_rv(("ions",) + _FR_STEP2B_ER + _FR_STEP2B_A)
+            if suf is not None:
+                p = len(word) - len(suf)
+                if suf == "ions":
+                    if in_r2(p):
+                        word = word[:p]
+                        altered = True
+                elif suf in _FR_STEP2B_ER:
+                    word = word[:p]
+                    altered = True
+                else:
+                    word = word[:p]
+                    altered = True
+                    if word.endswith("e") and in_rv(len(word) - 1):
+                        word = word[:-1]
+
+    if altered:
+        # --- step 3 ---
+        if word.endswith("Y"):
+            word = word[:-1] + "i"
+        elif word.endswith("ç"):
+            word = word[:-1] + "c"
+    else:
+        # --- step 4 ---
+        if word.endswith("s") and len(word) >= 2 \
+                and word[-2] not in "aiouès":
+            word = word[:-1]
+        suf = _match_rv(("Ière", "ière", "Ier", "ier", "ion", "e", "ë"))
+        if suf is not None:
+            p = len(word) - len(suf)
+            if suf == "ion":
+                if in_r2(p) and p >= 1 and word[p - 1] in "st":
+                    word = word[:p]
+            elif suf in ("ier", "ière", "Ier", "Ière"):
+                word = word[:p] + "i"
+            elif suf == "e":
+                word = word[:p]
+            elif suf == "ë":
+                if word[:p].endswith("gu"):
+                    word = word[:p]
+
+    # --- step 5: undouble ---
+    for end in ("enn", "onn", "ett", "ell", "eill"):
+        if word.endswith(end):
+            word = word[:-1]
+            break
+
+    # --- step 6: un-accent ---
+    i = len(word) - 1
+    seen_nonvowel = False
+    while i >= 0:
+        # markers Y/U/I are consonants here (that is what the marking
+        # is for): bibliothèqU -> è counts as accent-before-non-vowels
+        if word[i] in _FR_VOWELS:
+            break
+        seen_nonvowel = True
+        i -= 1
+    if seen_nonvowel and i >= 0 and word[i] in "éè":
+        word = word[:i] + "e" + word[i + 1:]
+
+    return word.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
+#: filter-zoo registry (filters.make_snowball_filter / <lang>_stemmed chains)
+SNOWBALL_STEMS = {
+    "german": german_stem,
+    "french": french_stem,
+    "spanish": spanish_stem,
+    "italian": italian_stem,
+    "portuguese": portuguese_stem,
+}
