@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_cosine": knn.knn_cosine,
         "knn_ivf": knn.knn_ivf,
+        # full probe == exact: the oracle-green row for the IVF path
+        "knn_ivf_fullprobe": knn.knn_ivf_fullprobe,
         "knn_ivfpq": knn.knn_ivfpq,
         "knn_cosine_batch": knn.knn_cosine_batch,
         # sketches / percentiles (§2.6 PercentileAgg, HLLAgg)
@@ -830,5 +832,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, round(sim, 6) AS sim FROM ("
             "SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], "
             "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]"
+            ") AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10)",
+        "knn_ivf_fullprobe":
+            # nprobe = n_centroids makes IVF exact, so plain cosine
+            # top-k IS the oracle for the whole bucketed ANN path
+            "SELECT vec_id, round(sim, 6) AS sim FROM ("
+            "SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], "
+            "(SELECT embedding FROM embeddings WHERE vec_id = 7)::DOUBLE[]"
             ") AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10)",
     }

@@ -783,3 +783,14 @@ def knn_ivfpq(sf_dir: str, query_vec_id: int = 0, k: int = 10,
         "sim": pa.array(sims[order], type=pa.float64()),
     })
     return out.set_column(1, "sim", round_away(out.column("sim"), 6))
+
+
+def knn_ivf_fullprobe(sf_dir: str, query_vec_id: int = 7, k: int = 10,
+                      n_centroids: int = 16):
+    """IVF with ``nprobe = n_centroids``: every bucket is probed, so the
+    result is EXACTLY the cosine top-k — the driver-oracle row that
+    pins the whole IVF path (bucket layout, path pruning, per-batch
+    partial top-k, multi-assignment dedup) against plain SQL, leaving
+    approximation out of the equation."""
+    return knn_ivf(sf_dir, query_vec_id=query_vec_id, k=k,
+                   nprobe=n_centroids, n_centroids=n_centroids)
