@@ -135,6 +135,11 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     timings["calib_probe_agg_sec"] = round(probe_agg, 3)
     timings["calib_ref_agg_sec"] = CALIB_REF_AGG_SEC
     timings["throttle_factor"] = round(throttle, 3)
+    # effective cores the host actually granted during the probe batch:
+    # 32 procs x 3 kernels of work, each kernel worth probe_single_sec
+    # of one-core time — ratio to the batch wall time is parallelism
+    timings["calib_effective_cores"] = round(
+        32 * 3 * probe_single / max(probe_agg, 1e-9), 1)
     # probe-normalized figures: what this job measures when the host is
     # not stealing aggregate CPU (divide by the 32-way slowdown; a
     # conservative correction — the distributed job also loses to
