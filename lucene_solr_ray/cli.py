@@ -141,6 +141,16 @@ def main(argv=None) -> int:
     sp.add_argument("--collate", action="store_true",
                     help="treat the input as a full query and return a "
                          "verified collation (SpellCheckCollator)")
+    sp.add_argument("--impl", default="direct",
+                    choices=("direct", "index", "file"),
+                    help="direct = DirectSpellChecker over the live term "
+                         "dict; index = IndexBasedSpellChecker (n-gram "
+                         "spelling index w/ thresholdTokenFrequency); "
+                         "file = FileBasedSpellChecker (--dictionary)")
+    sp.add_argument("--dictionary", default=None,
+                    help="word-list file for --impl file")
+    sp.add_argument("--threshold", type=float, default=0.0,
+                    help="thresholdTokenFrequency for --impl index")
 
     f = sub.add_parser("facet", help="field facet over a query's hits")
     f.add_argument("index_dir")
@@ -430,6 +440,18 @@ def main(argv=None) -> int:
         s = IndexSearcher(args.index_dir)
         if args.collate:
             print(json.dumps(s.spellcheck_collate(args.term)))
+        elif args.impl == "index":
+            from .search.spellindex import index_based_spellchecker
+
+            si = index_based_spellchecker(s, args.threshold)
+            print(json.dumps(si.suggest(args.term, k=args.k)))
+        elif args.impl == "file":
+            if not args.dictionary:
+                raise SystemExit("--impl file requires --dictionary")
+            from .search.spellindex import SpellingIndex
+
+            si = SpellingIndex.from_file(args.dictionary)
+            print(json.dumps(si.suggest(args.term, k=args.k)))
         else:
             print(json.dumps(s.spellcheck(args.term, k=args.k)))
     elif args.cmd == "facet":
