@@ -580,24 +580,40 @@ def best_fragments_from_offsets(text: str, starts, ends,
     scoring, contiguous merge and ordering replicate ``best_fragments``
     exactly — pinned by parity goldens in tests/test_highlight_offsets.py
     — without tokenizing the text."""
+    import numpy as np
+
     n = len(starts)
+    if n == 0:
+        return []
+    ends_arr = np.asarray(ends, dtype=np.int64)
+    # fragment boundaries computed per FRAGMENT (searchsorted over the
+    # monotone token ends), not per token — a 24k-char doc has ~40x
+    # fewer fragments than tokens, and this loop was the offsets-path
+    # hot spot. Semantics identical to the per-token walk: a fragment
+    # is the maximal token run with end <= boundary; the token that
+    # crosses starts the next fragment and pushes the boundary to the
+    # next fragment_size multiple at or past its end.
     frags: list[dict] = []
-    cur = {"start": 0, "toks": [], "idx": 0}
+    i = 0
     boundary = fragment_size
-    for i in range(n):
-        s, e = int(starts[i]), int(ends[i])
-        if e > boundary and cur["toks"]:
-            cur["end"] = int(ends[cur["toks"][-1]])
-            frags.append(cur)
-            cur = {"start": cur["end"], "toks": [], "idx": len(frags)}
+    frag_start_char = 0
+    while i < n:
+        # fragment = tokens [i, j): j is the first LATER token whose end
+        # crosses the boundary (a fragment always takes at least one
+        # token, exactly like the per-token walk's empty-cur rule)
+        j = max(i + 1,
+                int(np.searchsorted(ends_arr, boundary, side="right")))
+        end_char = int(ends_arr[j - 1])
+        frags.append({"start": frag_start_char, "toks": list(range(i, j)),
+                      "idx": len(frags), "end": end_char})
+        frag_start_char = end_char
+        i = j
+        if j < n:
+            # the trigger token starts the next fragment; the boundary
+            # chain advances to the next multiple at or past ITS end
+            e = int(ends_arr[j])
             while boundary < e:
                 boundary += fragment_size
-        cur["toks"].append(i)
-    if cur["toks"]:
-        cur["end"] = len(text)
-        frags.append(cur)
-    if not frags:
-        return []
     frags[-1]["end"] = len(text)
 
     def score_of(frag) -> tuple[float, list[int]]:

@@ -113,3 +113,27 @@ def test_manifest_flag_and_graceful_without_offsets(ray_session, tmp_path):
     rows = s.resolve_hits(s.search("ray", k=2))
     out = postings_highlight_hits(s, "ray", rows, src)
     assert all(r["snippets"] == [] for r in out)
+
+
+def test_fragmenter_parity_with_overlong_tokens(off_index):
+    """fragment_size SMALLER than single tokens: the searchsorted
+    fragmenter must replicate the per-token walk's rule that a fragment
+    always absorbs at least one token and the boundary chain advances on
+    the trigger token (parity across tiny and large fragment sizes)."""
+    idx, src = off_index
+    s = IndexSearcher(idx)
+    t = pq.read_table(src, columns=["conv_id", "turn_idx", "text"])
+    texts = {(c, int(i)): x for c, i, x in
+             zip(t.column("conv_id").to_pylist(),
+                 t.column("turn_idx").to_pylist(),
+                 t.column("text").to_pylist())}
+    parsed = s.parse("ray OR data")
+    rows = s.resolve_hits(s.search("ray OR data", k=6))
+    for fs in (3, 5, 18, 40, 250):
+        for r in rows:
+            text = texts[(r["conv_id"], int(r["turn_idx"]))]
+            want = best_fragments(text, parsed, analyzer_name="standard",
+                                  fragment_size=fs, max_fragments=4)
+            got = _offsets_fragments(s, int(r["doc_id"]), text, parsed,
+                                     fragment_size=fs, max_fragments=4)
+            assert got == want, (fs, r["doc_id"])
