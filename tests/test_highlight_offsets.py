@@ -137,3 +137,42 @@ def test_fragmenter_parity_with_overlong_tokens(off_index):
             got = _offsets_fragments(s, int(r["doc_id"]), text, parsed,
                                      fragment_size=fs, max_fragments=4)
             assert got == want, (fs, r["doc_id"])
+
+
+def test_offsets_graceful_after_incremental_update(ray_session, tmp_path):
+    """update_index does not extend the offsets sidecar (documented):
+    pre-existing docs keep offsets-based snippets, appended docs get
+    empty snippets — never a crash, never a wrong span."""
+    import pyarrow as pa
+
+    from lucene_solr_ray.data.transcripts import generate_transcripts
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.index.update import update_index
+
+    t = generate_transcripts(60, seed=6)
+    src = tmp_path / "a.parquet"
+    pq.write_table(t, src)
+    idx = tmp_path / "idx"
+    build_index(str(src), str(idx), num_shards=2, store_offsets=True)
+
+    t2 = generate_transcripts(30, seed=7)
+    # re-key past the checkpoint ('z' > 'c' keeps global sort order)
+    new_ids = ["zz-" + c for c in t2.column("conv_id").to_pylist()]
+    t2 = t2.set_column(t2.column_names.index("conv_id"), "conv_id",
+                       pa.array(new_ids))
+    texts2 = ["appended ray data doc"] * t2.num_rows
+    t2 = t2.set_column(t2.column_names.index("text"), "text",
+                       pa.array(texts2))
+    src2 = tmp_path / "b.parquet"
+    pq.write_table(t2, src2)
+    update_index(str(idx), str(src2))
+
+    s = IndexSearcher(str(idx))
+    rows = s.resolve_hits(s.search("ray", k=30))
+    combined = tmp_path / "all.parquet"
+    pq.write_table(pa.concat_tables([t, t2]), combined)
+    out = postings_highlight_hits(s, "ray", rows, str(combined))
+    old = [r for r in out if not str(r["conv_id"]).startswith("zz-")]
+    new = [r for r in out if str(r["conv_id"]).startswith("zz-")]
+    assert new and all(r["snippets"] == [] for r in new)
+    assert old and any("<b>" in sn for r in old for sn in r["snippets"])
