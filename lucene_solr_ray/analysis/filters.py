@@ -490,6 +490,7 @@ def make_snowball_filter(lang: str) -> Filter:
     return snowball_filter
 
 
-for _lang in ("german", "french", "spanish", "italian", "portuguese"):
+for _lang in ("german", "german2", "french", "spanish", "italian",
+              "portuguese", "russian", "danish", "norwegian", "swedish"):
     CUSTOM_CHAINS[f"{_lang}_stemmed"] = CustomAnalyzer(
         [lowercase_filter, make_snowball_filter(_lang)])

@@ -41,10 +41,9 @@ _DE_S_END = set("bdfghklmnrt")
 _DE_ST_END = set("bdfghklmnt")
 
 
-def german_stem(word: str) -> str:
-    """Snowball German stemmer (GermanStemmer.java semantics)."""
+def _german_mark(word: str) -> str:
+    """ß -> ss, then mark u/y between vowels as consonants."""
     word = word.replace("ß", "ss")
-    # mark u/y between vowels as consonants
     chars = list(word)
     for i in range(1, len(chars) - 1):
         if chars[i] == "u" and chars[i - 1] in _DE_VOWELS \
@@ -53,8 +52,16 @@ def german_stem(word: str) -> str:
         if chars[i] == "y" and chars[i - 1] in _DE_VOWELS \
                 and chars[i + 1] in _DE_VOWELS:
             chars[i] = "Y"
-    word = "".join(chars)
+    return "".join(chars)
 
+
+def german_stem(word: str) -> str:
+    """Snowball German stemmer (GermanStemmer.java semantics)."""
+    return _german_body(_german_mark(word))
+
+
+def _german_body(word: str) -> str:
+    """Steps 1-3 + finalization over an already-marked word."""
     # regions computed on the MARKED word: uppercase U/Y are consonants
     r1, r2 = _r_regions(word, _DE_VOWELS)
     # R1 region is adjusted so that it is at least 3 chars in
@@ -924,11 +931,322 @@ def french_stem(word: str) -> str:
     return word.replace("I", "i").replace("U", "u").replace("Y", "y")
 
 
+
+def german2_stem(word: str) -> str:
+    """Snowball german2 variant (German2Stemmer.java): ae/oe/ue are
+    treated as umlaut writings and fold to the same stems as the umlaut
+    forms. The U/Y consonant marking runs FIRST (the published variant's
+    prelude), so a 'u' between vowels — already a consonant-marked U —
+    never participates in the ue -> ü rewrite, and 'ue' after q stays."""
+    word = _german_mark(word)
+    out = []
+    i = 0
+    n = len(word)
+    while i < n:
+        c = word[i]
+        nxt = word[i + 1] if i + 1 < n else ""
+        if c == "q" and nxt == "u":
+            # the prelude's 'qu' (hop 2): qu plus the next TWO chars
+            # pass through unrewritten (so 'quae' keeps its ae)
+            out.append(word[i:i + 4])
+            i += 4
+            continue
+        if c in "aou" and nxt == "e":
+            out.append({"a": "ä", "o": "ö", "u": "ü"}[c])
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return _german_body("".join(out))
+
+
+# --- Russian (snowballstem.org russian algorithm) -------------------------
+
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PGERUND_1 = ("вшись", "вши", "в")                 # preceded by а/я
+_RU_PGERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJ = ("ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие",
+           "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им", "ым",
+           "ом", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+_RU_PART_1 = ("ем", "нн", "вш", "ющ", "щ")            # preceded by а/я
+_RU_PART_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = ("ешь", "нно", "ете", "йте", "ла", "на", "ли", "ем",
+              "ло", "но", "ет", "ют", "ны", "ть", "й", "л", "н")
+_RU_VERB_2 = ("ейте", "уйте", "ила", "ыла", "ена", "ите", "или",
+              "ыли", "ило", "ыло", "ено", "ует", "уют", "ены",
+              "ить", "ыть", "ишь", "ей", "уй", "ил",
+              "ыл", "им", "ым", "ен", "ят", "ит", "ыт", "ую", "ю")
+_RU_NOUN = ("иями", "ями", "ами", "ией", "иям", "ием", "иях", "ев",
+            "ов", "ие", "ье", "еи", "ии", "ей", "ой", "ий", "ям",
+            "ем", "ам", "ом", "ах", "ях", "ию", "ью", "ия", "ья",
+            "а", "е", "и", "й", "о", "у", "ы", "ь", "ю", "я")
+
+
+def russian_stem(word: str) -> str:
+    """Snowball Russian stemmer (RussianStemmer.java semantics)."""
+    rv = len(word)
+    for i, ch in enumerate(word):
+        if ch in _RU_VOWELS:
+            rv = i + 1
+            break
+    r1, r2 = _r_regions(word, _RU_VOWELS)
+
+    def match_rv(suffixes):
+        best = None
+        for suf in suffixes:
+            if word.endswith(suf) and len(word) - len(suf) >= rv:
+                if best is None or len(suf) > len(best):
+                    best = suf
+        return best
+
+    def match_rv_ay(suffixes):
+        """Group-1 endings: only when preceded by а or я (the а/я stays
+        and must itself be inside RV — it is part of the matched
+        pattern in the generated among)."""
+        best = None
+        for suf in suffixes:
+            for pre in ("а", "я"):
+                full = pre + suf
+                if word.endswith(full) and len(word) - len(full) >= rv:
+                    if best is None or len(suf) > len(best):
+                        best = suf
+        return best
+
+    # step 1: perfective gerund, else [reflexive] + adjectival/verb/noun
+    g2 = match_rv(_RU_PGERUND_2)
+    g1 = match_rv_ay(_RU_PGERUND_1)
+    if g2 is not None and (g1 is None or len(g2) >= len(g1) + 1):
+        word = word[:-len(g2)]
+    elif g1 is not None:
+        word = word[:-len(g1)]
+    else:
+        refl = match_rv(("ся", "сь"))
+        if refl is not None:
+            word = word[:-len(refl)]
+        adj = match_rv(_RU_ADJ)
+        if adj is not None:
+            word = word[:-len(adj)]
+            p2 = match_rv(_RU_PART_2)
+            p1 = match_rv_ay(_RU_PART_1)
+            if p2 is not None and (p1 is None or len(p2) >= len(p1) + 1):
+                word = word[:-len(p2)]
+            elif p1 is not None:
+                word = word[:-len(p1)]
+        else:
+            v2 = match_rv(_RU_VERB_2)
+            v1 = match_rv_ay(_RU_VERB_1)
+            if v2 is not None and (v1 is None or len(v2) >= len(v1) + 1):
+                word = word[:-len(v2)]
+            elif v1 is not None:
+                word = word[:-len(v1)]
+            else:
+                noun = match_rv(_RU_NOUN)
+                if noun is not None:
+                    word = word[:-len(noun)]
+
+    # step 2: final и
+    if word.endswith("и") and len(word) - 1 >= rv:
+        word = word[:-1]
+
+    # step 3: derivational (R2)
+    for suf in ("ость", "ост"):
+        if word.endswith(suf) and len(word) - len(suf) >= r2:
+            word = word[:-len(suf)]
+            break
+
+    # step 4
+    if word.endswith("нн") and len(word) - 2 >= rv:
+        word = word[:-1]
+    else:
+        sup = match_rv(("ейше", "ейш"))
+        if sup is not None:
+            word = word[:-len(sup)]
+            if word.endswith("нн") and len(word) - 2 >= rv:
+                word = word[:-1]
+        elif word.endswith("ь") and len(word) - 1 >= rv:
+            word = word[:-1]
+    return word
+
+
+
+# --- Scandinavian trio (danish / norwegian / swedish algorithms) ----------
+
+def _r1_min3(word: str, vowels: str) -> int:
+    """R1 with the Scandinavian adjustment: at least 3 chars before."""
+    r1, _ = _r_regions(word, vowels)
+    return max(r1, min(3, len(word)))
+
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_S_END = set("abcdfghjklmnoprtvyzå")
+_DA_STEP1 = ("erendes", "erende", "hedens", "ethed", "erede", "heden",
+             "heder", "endes", "ernes", "erens", "erets", "ered",
+             "ende", "erne", "eren", "erer", "heds", "enes", "eres",
+             "ens", "ere", "ene", "ers", "ets", "hed", "es", "et",
+             "er", "en", "e", "eret")
+
+
+def danish_stem(word: str) -> str:
+    """Snowball Danish stemmer (DanishStemmer.java semantics)."""
+    r1 = _r1_min3(word, _DA_VOWELS)
+
+    def m_r1(suffixes):
+        best = None
+        for suf in suffixes:
+            if word.endswith(suf) and len(word) - len(suf) >= r1:
+                if best is None or len(suf) > len(best):
+                    best = suf
+        return best
+
+    suf = m_r1(_DA_STEP1)
+    if suf is not None:
+        word = word[:-len(suf)]
+    elif word.endswith("s") and len(word) - 1 >= r1 \
+            and len(word) >= 2 and word[-2] in _DA_S_END:
+        word = word[:-1]
+
+    # step 2: consonant-pair truncation
+    for pair in ("gd", "dt", "gt", "kt"):
+        if word.endswith(pair) and len(word) - 2 >= r1:
+            word = word[:-1]
+            break
+
+    # step 3 (one among: ig/lig/elig/els delete + repeat step 2;
+    # løst -> løs; all R1-anchored)
+    if word.endswith("igst"):
+        word = word[:-2]
+    cands = [(c, "del") for c in ("elig", "lig", "els", "ig")
+             if word.endswith(c) and len(word) - len(c) >= r1]
+    if word.endswith("løst") and len(word) - 4 >= r1:
+        cands.append(("løst", "løs"))
+    if cands:
+        suf, act = max(cands, key=lambda c: len(c[0]))
+        if act == "del":
+            word = word[:-len(suf)]
+            for pair in ("gd", "dt", "gt", "kt"):
+                if word.endswith(pair) and len(word) - 2 >= r1:
+                    word = word[:-1]
+                    break
+        else:
+            word = word[:-1]
+
+    # step 4: undouble a final double consonant in R1
+    if len(word) >= 2 and word[-1] == word[-2] \
+            and word[-1] not in _DA_VOWELS and len(word) - 1 >= r1:
+        word = word[:-1]
+    return word
+
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_S_END = set("bcdfghjlmnoprtvyz")
+
+
+def norwegian_stem(word: str) -> str:
+    """Snowball Norwegian stemmer (NorwegianStemmer.java semantics)."""
+    r1 = _r1_min3(word, _NO_VOWELS)
+
+    def m_r1(suffixes):
+        best = None
+        for suf in suffixes:
+            if word.endswith(suf) and len(word) - len(suf) >= r1:
+                if best is None or len(suf) > len(best):
+                    best = suf
+        return best
+
+    # step 1 is ONE among incl. the conditional s and erte/ert entries
+    cands = []
+    for suf in ("hetenes", "hetene", "hetens", "heten", "heter",
+                "endes", "ande", "ende", "edes", "enes",
+                "ene", "ane", "ede", "ens", "ers", "ets", "het",
+                "ast", "en", "ar", "er", "as", "es", "et",
+                "a", "e"):
+        if word.endswith(suf) and len(word) - len(suf) >= r1:
+            cands.append((suf, "del"))
+    for suf in ("erte", "ert"):
+        if word.endswith(suf) and len(word) - len(suf) >= r1:
+            cands.append((suf, "er"))
+    if word.endswith("s") and len(word) - 1 >= r1 and len(word) >= 2:
+        prev = word[-2]
+        if prev in _NO_S_END or (prev == "k" and (len(word) < 3 or
+                                 word[-3] not in _NO_VOWELS)):
+            cands.append(("s", "del"))
+    if cands:
+        suf, act = max(cands, key=lambda c: len(c[0]))
+        word = word[:-len(suf)] + ("er" if act == "er" else "")
+
+    # step 2: dt / vt -> drop last letter
+    for pair in ("dt", "vt"):
+        if word.endswith(pair) and len(word) - 2 >= r1:
+            word = word[:-1]
+            break
+
+    # step 3
+    suf = None
+    for cand in ("hetslov", "eleg", "elig", "elov", "slov", "leg",
+                 "eig", "lig", "els", "lov", "ig"):
+        if word.endswith(cand) and len(word) - len(cand) >= r1:
+            if suf is None or len(cand) > len(suf):
+                suf = cand
+    if suf is not None:
+        word = word[:-len(suf)]
+    return word
+
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_S_END = set("bcdfghjklmnoprtvy")
+_SV_STEP1 = ("heterna", "hetens", "anden", "heten", "heter", "arnas",
+             "ernas", "ornas", "arens", "andes", "arna", "erna",
+             "orna", "ande", "arne", "aste", "aren", "ades", "erns",
+             "ade", "are", "ern", "ens", "het", "ast", "andet",
+             "ad", "en", "ar", "er", "or", "as", "es", "at", "a", "e")
+
+
+def swedish_stem(word: str) -> str:
+    """Snowball Swedish stemmer (SwedishStemmer.java semantics)."""
+    r1 = _r1_min3(word, _SV_VOWELS)
+
+    def m_r1(suffixes):
+        best = None
+        for suf in suffixes:
+            if word.endswith(suf) and len(word) - len(suf) >= r1:
+                if best is None or len(suf) > len(best):
+                    best = suf
+        return best
+
+    suf = m_r1(_SV_STEP1)
+    s_ok = (word.endswith("s") and len(word) - 1 >= r1
+            and len(word) >= 2 and word[-2] in _SV_S_END)
+    if suf is not None and (not s_ok or len(suf) >= 1):
+        word = word[:-len(suf)]
+    elif s_ok:
+        word = word[:-1]
+
+    for pair in ("dd", "gd", "nn", "dt", "gt", "kt", "tt"):
+        if word.endswith(pair) and len(word) - 2 >= r1:
+            word = word[:-1]
+            break
+
+    cands = []
+    for cand, act in (("lig", "del"), ("ig", "del"), ("els", "del"),
+                      ("löst", "lös"), ("fullt", "full")):
+        if word.endswith(cand) and len(word) - len(cand) >= r1:
+            cands.append((cand, act))
+    if cands:
+        cand, act = max(cands, key=lambda c: len(c[0]))
+        word = word[:-len(cand)] + ("" if act == "del" else act)
+    return word
+
 #: filter-zoo registry (filters.make_snowball_filter / <lang>_stemmed chains)
 SNOWBALL_STEMS = {
     "german": german_stem,
+    "german2": german2_stem,
     "french": french_stem,
     "spanish": spanish_stem,
     "italian": italian_stem,
     "portuguese": portuguese_stem,
+    "russian": russian_stem,
+    "danish": danish_stem,
+    "norwegian": norwegian_stem,
+    "swedish": swedish_stem,
 }
