@@ -491,6 +491,7 @@ def make_snowball_filter(lang: str) -> Filter:
 
 
 for _lang in ("german", "german2", "french", "spanish", "italian",
-              "portuguese", "russian", "danish", "norwegian", "swedish"):
+              "portuguese", "russian", "danish", "norwegian", "swedish",
+              "dutch"):
     CUSTOM_CHAINS[f"{_lang}_stemmed"] = CustomAnalyzer(
         [lowercase_filter, make_snowball_filter(_lang)])

@@ -1237,6 +1237,107 @@ def swedish_stem(word: str) -> str:
         word = word[:-len(cand)] + ("" if act == "del" else act)
     return word
 
+
+# --- Dutch (snowballstem.org dutch algorithm) -----------------------------
+
+_NL_VOWELS = "aeiouyè"
+_NL_UNACCENT = str.maketrans("äëïöüáéíóú", "aeiouaeiou")
+
+
+def dutch_stem(word: str) -> str:
+    """Snowball Dutch stemmer (DutchStemmer.java semantics)."""
+    word = word.translate(_NL_UNACCENT)
+    chars = list(word)
+    n = len(chars)
+    for i in range(n):
+        if chars[i] == "y" and (i == 0 or chars[i - 1] in _NL_VOWELS):
+            chars[i] = "Y"
+        elif chars[i] == "i" and 0 < i < n - 1 \
+                and chars[i - 1] in _NL_VOWELS \
+                and chars[i + 1] in _NL_VOWELS:
+            chars[i] = "I"
+    word = "".join(chars)
+
+    r1, r2 = _r_regions(word, _NL_VOWELS)
+    r1 = max(r1, min(3, len(word)))
+
+    def undouble(w: str) -> str:
+        return w[:-1] if w.endswith(("kk", "dd", "tt")) else w
+
+    def valid_s_end(w: str) -> bool:
+        return len(w) >= 1 and w[-1] not in _NL_VOWELS and w[-1] != "j"
+
+    def valid_en_end(w: str) -> bool:
+        return (len(w) >= 1 and w[-1] not in _NL_VOWELS
+                and not w.endswith("gem"))
+
+    # step 1: ONE among — longest suffix wins, then ITS condition is
+    # tested with no backtracking ('heden' matching but failing R1
+    # blocks the shorter 'en', exactly like the generated code)
+    suf = max((c for c in ("heden", "ene", "en", "se", "s")
+               if word.endswith(c)), key=len, default=None)
+    if suf == "heden":
+        if len(word) - 5 >= r1:
+            word = word[:-5] + "heid"
+    elif suf in ("ene", "en"):
+        base = word[:-len(suf)]
+        if len(word) - len(suf) >= r1 and valid_en_end(base):
+            word = undouble(base)
+    elif suf in ("se", "s"):
+        base = word[:-len(suf)]
+        if len(word) - len(suf) >= r1 and valid_s_end(base):
+            word = base
+
+    # step 2
+    e_removed = False
+    if word.endswith("e") and len(word) - 1 >= r1 \
+            and len(word) >= 2 and word[-2] not in _NL_VOWELS:
+        word = undouble(word[:-1])
+        e_removed = True
+
+    # step 3a
+    if word.endswith("heid") and len(word) - 4 >= r2 \
+            and (len(word) < 5 or word[-5] != "c"):
+        word = word[:-4]
+        if word.endswith("en"):
+            base = word[:-2]
+            if len(word) - 2 >= r1 and valid_en_end(base):
+                word = undouble(base)
+
+    # step 3b: d-suffixes
+    if word.endswith(("end", "ing")):
+        if len(word) - 3 >= r2:
+            word = word[:-3]
+            if word.endswith("ig") and len(word) - 2 >= r2 \
+                    and not word.endswith("eig"):
+                word = word[:-2]
+            else:
+                word = undouble(word)
+    elif word.endswith("ig"):
+        if len(word) - 2 >= r2 and not word.endswith("eig"):
+            word = word[:-2]
+    elif word.endswith("lijk"):
+        if len(word) - 4 >= r2:
+            word = word[:-4]
+            if word.endswith("e") and len(word) - 1 >= r1 \
+                    and len(word) >= 2 and word[-2] not in _NL_VOWELS:
+                word = undouble(word[:-1])
+    elif word.endswith("baar"):
+        if len(word) - 4 >= r2:
+            word = word[:-4]
+    elif word.endswith("bar"):
+        if len(word) - 3 >= r2 and e_removed:
+            word = word[:-3]
+
+    # step 4: undouble vowel — C v v C with the last C not I
+    if len(word) >= 4:
+        c1, v1, v2, c2 = word[-4], word[-3], word[-2], word[-1]
+        if (c1 not in _NL_VOWELS and c2 not in _NL_VOWELS and c2 != "I"
+                and v1 == v2 and v1 in "aeou"):
+            word = word[:-2] + word[-1]
+
+    return word.replace("I", "i").replace("Y", "y")
+
 #: filter-zoo registry (filters.make_snowball_filter / <lang>_stemmed chains)
 SNOWBALL_STEMS = {
     "german": german_stem,
@@ -1249,4 +1350,5 @@ SNOWBALL_STEMS = {
     "danish": danish_stem,
     "norwegian": norwegian_stem,
     "swedish": swedish_stem,
+    "dutch": dutch_stem,
 }
