@@ -492,6 +492,6 @@ def make_snowball_filter(lang: str) -> Filter:
 
 for _lang in ("german", "german2", "french", "spanish", "italian",
               "portuguese", "russian", "danish", "norwegian", "swedish",
-              "dutch"):
+              "dutch", "finnish"):
     CUSTOM_CHAINS[f"{_lang}_stemmed"] = CustomAnalyzer(
         [lowercase_filter, make_snowball_filter(_lang)])

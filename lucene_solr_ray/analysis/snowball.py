@@ -1338,6 +1338,183 @@ def dutch_stem(word: str) -> str:
 
     return word.replace("I", "i").replace("Y", "y")
 
+
+# --- Finnish (snowballstem.org finnish algorithm) --------------------------
+
+_FI_VOWELS = "aeiouyäö"
+_FI_LONGV = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_AEI = "aeiä"
+_FI_PARTICLE_END = _FI_VOWELS + "nt"
+
+_FI_CASE_SUFFIXES = (
+    # (suffix, case): cases mirror FinnishStemmer.java a_6 —
+    # "del" plain delete; "hXn" requires its own vowel before (abort on
+    # fail); "cv" = a/ä after consonant+vowel (abort); "e" = tta/ttä
+    # after e (abort); "n" = delete + LONG/ie extension; "VI"/"LONG"
+    # are MATCH-TIME conditions evaluated inside the R1 limit — failing
+    # them falls back to shorter entries ('n'), unlike command aborts
+    ("seen", "LONG"), ("siin", "VI"), ("tten", "VI"), ("den", "VI"),
+    # NOTE: the shipped among has NO hun/hyn entries — 'kuuhun' goes
+    # through the plain 'n' case (golden-pinned)
+    ("han", "hXn"), ("hen", "hXn"), ("hin", "hXn"), ("hon", "hXn"),
+    ("hän", "hXn"), ("hön", "hXn"),
+    ("lla", "del"), ("ssa", "del"), ("lta", "del"), ("sta", "del"),
+    ("tta", "e"), ("llä", "del"), ("ssä", "del"), ("ltä", "del"),
+    ("stä", "del"), ("ttä", "e"), ("lle", "del"), ("ine", "del"),
+    ("ksi", "del"), ("na", "del"), ("nä", "del"), ("ta", "del"),
+    ("tä", "del"), ("a", "cv"), ("ä", "cv"), ("n", "n"),
+)
+
+
+def finnish_stem(word: str) -> str:
+    """Snowball Finnish stemmer (FinnishStemmer.java semantics: R1/R2
+    setlimit amongs with parent-chain fallback during matching, command
+    aborts without fallback, ending_removed gating i- vs t-plural)."""
+    r1, r2 = _r_regions(word, _FI_VOWELS)
+    ending_removed = False
+
+    # --- particle etc (R1-limited among, command abort) ---
+    cand = max((c for c in ("kaan", "kään", "kin", "han", "hän", "ko",
+                            "kö", "pa", "pä", "sti")
+                if word.endswith(c) and len(word) - len(c) >= r1),
+               key=len, default=None)
+    if cand == "sti":
+        if len(word) - 3 >= r2:
+            word = word[:-3]
+    elif cand is not None:
+        p = len(word) - len(cand)
+        if p >= 1 and word[p - 1] in _FI_PARTICLE_END:
+            word = word[:p]
+
+    # --- possessive (R1-limited among, command abort) ---
+    cand = max((c for c in ("nsa", "nsä", "mme", "nne", "ni", "si",
+                            "an", "än", "en")
+                if word.endswith(c) and len(word) - len(c) >= r1),
+               key=len, default=None)
+    if cand is not None:
+        p = len(word) - len(cand)
+        if cand == "si":
+            if not (p >= 1 and word[p - 1] == "k"):
+                word = word[:p]
+        elif cand == "ni":
+            word = word[:p]
+            if word.endswith("kse"):
+                word = word[:-1] + "i"
+        elif cand in ("nsa", "nsä", "mme", "nne"):
+            word = word[:p]
+        elif cand == "an":
+            if word[:p].endswith(("lla", "ssa", "lta", "sta", "ta",
+                                  "na")):
+                word = word[:p]
+        elif cand == "än":
+            if word[:p].endswith(("llä", "ssä", "ltä", "stä", "tä",
+                                  "nä")):
+                word = word[:p]
+        elif cand == "en":
+            if word[:p].endswith(("lle", "ine")):
+                word = word[:p]
+
+    # --- case ending (R1-limited; VI/LONG are match-time conditions) ---
+    best = None
+    for suf, case in _FI_CASE_SUFFIXES:
+        if not word.endswith(suf):
+            continue
+        p = len(word) - len(suf)
+        if p < r1:
+            continue
+        if case == "VI":
+            # 'i' preceded by a V2 vowel (V2 excludes y), both inside
+            # the R1 limit
+            if not (p >= 2 and word[p - 1] == "i"
+                    and word[p - 2] in "aeiouäö" and p - 2 >= r1):
+                continue
+        elif case == "LONG":
+            if not (p >= 2 and word[p - 2:p] in _FI_LONGV
+                    and p - 2 >= r1):
+                continue
+        if best is None or len(suf) > len(best[0]):
+            best = (suf, case)
+    if best is not None:
+        suf, case = best
+        p = len(word) - len(suf)
+        if case in ("del", "VI", "LONG"):
+            word = word[:p]
+            ending_removed = True
+        elif case == "hXn":
+            if p >= 1 and word[p - 1] == suf[1]:
+                word = word[:p]
+                ending_removed = True
+        elif case == "cv":
+            if p >= 2 and word[p - 1] in _FI_VOWELS \
+                    and word[p - 2] not in _FI_VOWELS:
+                word = word[:p]
+                ending_removed = True
+        elif case == "e":
+            if p >= 1 and word[p - 1] == "e":
+                word = word[:p]
+                ending_removed = True
+        elif case == "n":
+            word = word[:p]
+            ending_removed = True
+            if word.endswith("ie") or word[-2:] in _FI_LONGV:
+                word = word[:-1]
+
+    # --- other endings (R2-limited among; mpX not after po) ---
+    cand = max((c for c in ("impi", "impa", "impä", "immi", "imma",
+                            "immä", "mpi", "mpa", "mpä", "mmi", "mma",
+                            "mmä", "eja", "ejä")
+                if word.endswith(c) and len(word) - len(c) >= r2),
+               key=len, default=None)
+    if cand is not None:
+        p = len(word) - len(cand)
+        if cand in ("mpi", "mpa", "mpä", "mmi", "mma", "mmä"):
+            if not (p >= 2 and word[p - 2:p] == "po"):
+                word = word[:p]
+        else:
+            word = word[:p]
+
+    # --- i-plural (if an ending was removed) else t-plural ---
+    if ending_removed:
+        if word.endswith(("i", "j")) and len(word) - 1 >= r1:
+            word = word[:-1]
+    else:
+        if word.endswith("t") and len(word) - 1 >= r1 \
+                and len(word) >= 2 and word[-2] in _FI_VOWELS:
+            word = word[:-1]
+            # then an R2-limited among over {imma, mma (not po)}
+            if word.endswith("imma") and len(word) - 4 >= r2:
+                word = word[:-4]
+            elif word.endswith("mma") and len(word) - 3 >= r2 \
+                    and not word[:-3].endswith("po"):
+                word = word[:-3]
+
+    # --- tidy (substeps a-d inside the R1 limit, e unrestricted) ---
+    # a) ends LONG -> drop one
+    if len(word) >= 2 and word[-2:] in _FI_LONGV \
+            and len(word) - 1 >= r1 and len(word) - 2 >= r1:
+        word = word[:-1]
+    # b) final a/e/i/ä preceded by a non-vowel -> drop it
+    if len(word) >= 2 and word[-1] in _FI_AEI \
+            and word[-2] not in _FI_VOWELS and len(word) - 1 >= r1 \
+            and len(word) - 2 >= r1:
+        word = word[:-1]
+    # c) oj / uj -> drop j
+    if word.endswith(("oj", "uj")) and len(word) - 1 >= r1 \
+            and len(word) - 2 >= r1:
+        word = word[:-1]
+    # d) jo -> drop o
+    if word.endswith("jo") and len(word) - 1 >= r1 \
+            and len(word) - 2 >= r1:
+        word = word[:-1]
+    # e) undouble the final consonant pair (vowels may follow)
+    i = len(word) - 1
+    while i >= 0 and word[i] in _FI_VOWELS:
+        i -= 1
+    if i >= 1 and word[i] not in _FI_VOWELS and word[i - 1] == word[i]:
+        word = word[:i] + word[i + 1:]
+    return word
+
+
 #: filter-zoo registry (filters.make_snowball_filter / <lang>_stemmed chains)
 SNOWBALL_STEMS = {
     "german": german_stem,
@@ -1351,4 +1528,5 @@ SNOWBALL_STEMS = {
     "norwegian": norwegian_stem,
     "swedish": swedish_stem,
     "dutch": dutch_stem,
+    "finnish": finnish_stem,
 }
