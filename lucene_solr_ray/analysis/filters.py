@@ -130,9 +130,24 @@ def _ends_cvc(word: str) -> bool:
 
 
 def porter_stem(word: str) -> str:
-    """Porter (1980) stemming algorithm, steps 1a-5b."""
+    """Porter (1980) stemming algorithm, steps 1a-5b, with Lucene
+    PorterStemmer's length guard (strings of length <= 2 pass through —
+    PorterStemmer.java stem(): ``k <= k0+1``). The Snowball-generated
+    porter variant has NO guard and stems 'as' -> 'a'; that variant is
+    ``snowball_porter_stem`` below, golden-validated against the
+    reference's porter vocabulary."""
     if len(word) <= 2:
         return word
+    return _porter_body(word)
+
+
+def snowball_porter_stem(word: str) -> str:
+    """org.tartarus.snowball.ext.PorterStemmer semantics (no length
+    guard) — full-vocabulary golden-validated."""
+    return _porter_body(word)
+
+
+def _porter_body(word: str) -> str:
     w = word
 
     # step 1a

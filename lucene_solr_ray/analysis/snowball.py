@@ -1530,3 +1530,9 @@ SNOWBALL_STEMS = {
     "dutch": dutch_stem,
     "finnish": finnish_stem,
 }
+
+# the Snowball porter variant lives in filters.py next to the 1980
+# original; registered here so the golden battery sweeps it too
+from .filters import snowball_porter_stem as _sp  # noqa: E402
+
+SNOWBALL_STEMS["porter"] = _sp

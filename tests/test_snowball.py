@@ -15,10 +15,16 @@ ZIP = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
 
 def _vocab(lang: str):
     with zipfile.ZipFile(ZIP) as z:
+        # splitlines, not split: the porter golden stems 's' to the
+        # EMPTY string, which split() would silently drop
         voc = io.TextIOWrapper(z.open(f"{lang}/voc.txt"),
-                               encoding="utf-8").read().split()
+                               encoding="utf-8").read().splitlines()
         out = io.TextIOWrapper(z.open(f"{lang}/output.txt"),
-                               encoding="utf-8").read().split()
+                               encoding="utf-8").read().splitlines()
+        while voc and voc[-1] == "":     # trailing blank lines only
+            voc.pop()
+        while out and len(out) > len(voc):
+            out.pop()
     assert len(voc) == len(out) and len(voc) > 10000
     return voc, out
 
