@@ -510,3 +510,7 @@ for _lang in ("german", "german2", "french", "spanish", "italian",
               "dutch", "finnish"):
     CUSTOM_CHAINS[f"{_lang}_stemmed"] = CustomAnalyzer(
         [lowercase_filter, make_snowball_filter(_lang)])
+# 'english_stemmed' (stop + Porter 1980) predates the snowball registry;
+# the Porter2 chain gets its own name
+CUSTOM_CHAINS["english_snowball_stemmed"] = CustomAnalyzer(
+    [lowercase_filter, make_stop_filter(), make_snowball_filter("english")])

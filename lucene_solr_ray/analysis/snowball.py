@@ -1515,6 +1515,191 @@ def finnish_stem(word: str) -> str:
     return word
 
 
+# --- English / Porter2 (snowballstem.org english algorithm) ---------------
+# (EnglishStemmer.java — the Snowball 'english' stemmer, distinct from
+# both porter variants; full-vocabulary golden-validated)
+
+_EN_VOWELS = "aeiouy"
+_EN_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_EN_LI_END = "cdeghkmnrt"
+
+_EN_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_EN_EXCEPTIONS2 = {"inning", "outing", "canning", "herring", "earring",
+                   "proceed", "exceed", "succeed"}
+
+
+def _short_syllable(w, i):
+    """True if a short syllable ends at index i (inclusive)."""
+    # (a) non-vowel, vowel, non-vowel(not wxY) ending at i
+    if i >= 2 and w[i] not in _EN_VOWELS and w[i] not in "wxY" \
+            and w[i - 1] in _EN_VOWELS and w[i - 2] not in _EN_VOWELS:
+        return True
+    # (b) vowel at start followed by non-vowel
+    if i == 1 and w[0] in _EN_VOWELS and w[1] not in _EN_VOWELS:
+        return True
+    return False
+
+
+def english_stem(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    if word in _EN_EXCEPTIONS:
+        return _EN_EXCEPTIONS[word]
+    if word.startswith("'"):
+        word = word[1:]
+    # y marking
+    chars = list(word)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _EN_VOWELS:
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    n = len(word)
+    # R1 with gener/commun/arsen exception
+    r1 = None
+    for pre in ("gener", "commun", "arsen"):
+        if word.startswith(pre):
+            r1 = len(pre)
+            break
+    if r1 is None:
+        r1 = n
+        for i in range(1, n):
+            if word[i] not in _EN_VOWELS and word[i - 1] in _EN_VOWELS:
+                r1 = i + 1
+                break
+    r2 = len(word)
+    for i in range(r1 + 1, len(word)):
+        if word[i] not in _EN_VOWELS and word[i - 1] in _EN_VOWELS:
+            r2 = i + 1
+            break
+
+    def in_r1(p): return p >= r1
+    def in_r2(p): return p >= r2
+
+    # step 0
+    for suf in ("'s'", "'s", "'"):
+        if word.endswith(suf):
+            word = word[:-len(suf)]
+            break
+
+    # step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith(("ied", "ies")):
+        word = word[:-3] + ("i" if len(word) - 3 > 1 else "ie")
+    elif word.endswith(("us", "ss")):
+        pass
+    elif word.endswith("s"):
+        if any(c in _EN_VOWELS for c in word[:-2]):
+            word = word[:-1]
+
+    if word in _EN_EXCEPTIONS2:
+        return word.replace("Y", "y")
+
+    # step 1b
+    suf = None
+    for c in ("eedly", "ingly", "edly", "eed", "ing", "ed"):
+        if word.endswith(c):
+            suf = c
+            break
+    if suf in ("eed", "eedly"):
+        if in_r1(len(word) - len(suf)):
+            word = word[:-len(suf)] + "ee"
+    elif suf is not None:
+        stem = word[:-len(suf)]
+        if any(c in _EN_VOWELS for c in stem):
+            word = stem
+            if word.endswith(("at", "bl", "iz")):
+                word += "e"
+            elif word.endswith(_EN_DOUBLES):
+                word = word[:-1]
+            elif _is_short(word, r1):
+                word += "e"
+
+    # step 1c
+    if len(word) >= 3 and word[-1] in "yY" \
+            and word[-2] not in _EN_VOWELS:
+        word = word[:-1] + "i"
+
+    # step 2 (R1)
+    step2 = (("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+             ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+             ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+             ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+             ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+             ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+             ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+             ("bli", "ble"), ("ogi", None), ("li", None))
+    for c, rep in step2:
+        if word.endswith(c):
+            p = len(word) - len(c)
+            if c == "ogi":
+                if in_r1(p) and p >= 1 and word[p - 1] == "l":
+                    word = word[:p] + "og"
+            elif c == "li":
+                if in_r1(p) and p >= 1 and word[p - 1] in _EN_LI_END:
+                    word = word[:p]
+            else:
+                if in_r1(p):
+                    word = word[:p] + rep
+            break
+
+    # step 3 (R1)
+    step3 = (("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+             ("icate", "ic"), ("iciti", "ic"), ("ative", None),
+             ("ical", "ic"), ("ness", ""), ("ful", ""))
+    for c, rep in step3:
+        if word.endswith(c):
+            p = len(word) - len(c)
+            if c == "ative":
+                if in_r2(p):
+                    word = word[:p]
+            elif in_r1(p):
+                word = word[:p] + rep
+            break
+
+    # step 4 (R2)
+    step4 = ("ement", "ance", "ence", "able", "ible", "ment", "ant",
+             "ent", "ism", "ate", "iti", "ous", "ive", "ize", "ion",
+             "al", "er", "ic")
+    for c in step4:
+        if word.endswith(c):
+            p = len(word) - len(c)
+            if c == "ion":
+                if in_r2(p) and p >= 1 and word[p - 1] in "st":
+                    word = word[:p]
+            elif in_r2(p):
+                word = word[:p]
+            break
+
+    # step 5
+    if word.endswith("e"):
+        p = len(word) - 1
+        if in_r2(p) or (in_r1(p) and not _ends_short_syllable(word[:-1])):
+            word = word[:p]
+    elif word.endswith("l"):
+        p = len(word) - 1
+        if in_r2(p) and p >= 1 and word[p - 1] == "l":
+            word = word[:p]
+
+    return word.replace("Y", "y")
+
+
+def _ends_short_syllable(w):
+    return _short_syllable(w, len(w) - 1) if w else False
+
+
+def _is_short(word, r1):
+    return r1 >= len(word) and _ends_short_syllable(word)
+
 #: filter-zoo registry (filters.make_snowball_filter / <lang>_stemmed chains)
 SNOWBALL_STEMS = {
     "german": german_stem,
@@ -1529,6 +1714,7 @@ SNOWBALL_STEMS = {
     "swedish": swedish_stem,
     "dutch": dutch_stem,
     "finnish": finnish_stem,
+    "english": english_stem,
 }
 
 # the Snowball porter variant lives in filters.py next to the 1980
