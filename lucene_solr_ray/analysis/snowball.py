@@ -1700,6 +1700,176 @@ def _ends_short_syllable(w):
 def _is_short(word, r1):
     return r1 >= len(word) and _ends_short_syllable(word)
 
+# --- Romanian (snowballstem.org romanian algorithm) ------------------------
+# (RomanianStemmer.java — step_0/combining/standard amongs match
+# unrestricted with the R1/R2 test applied to the matched suffix (no
+# backtracking); the verb among alone runs under the RV setlimit, with
+# its preceded-by condition also inside the limit; golden-validated)
+
+_RO_VOWELS = "aăâeiîou"   # a ă â e i î o u
+
+_RO_STEP0 = (
+    ("iilor", "i"), ("ilor", "i"), ("elor", "e"), ("ului", ""),
+    ("atei", "at"), ("aţia", "aţi"), ("aţie", "aţi"),
+    ("iile", "i"), ("ile", "ILE"), ("aua", "a"), ("iua", "i"),
+    ("iei", "i"), ("ele", "e"), ("ea", "e"), ("ii", "i"), ("ul", ""),
+)
+
+_RO_COMBO = []
+for grp, rep in (
+    (("abilitate", "abilitati", "abilităi", "abilităţi"),
+     "abil"),
+    (("ibilitate",), "ibil"),
+    (("ivitate", "ivitati", "ivităi", "ivităţi"), "iv"),
+    (("icitate", "icitati", "icităi", "icităţi",
+      "icatori", "icator", "icala", "icale", "icali", "icală",
+      "ical", "iciva", "icive", "icivi", "icivă", "iciv"), "ic"),
+    (("ativa", "ative", "ativi", "ativă", "ativ", "aţiune",
+      "atoare", "atori", "ator", "ătoare", "ători",
+      "ător"), "at"),
+    (("itiva", "itive", "itivi", "itivă", "itiv", "iţiune",
+      "itoare", "itori", "itor"), "it"),
+):
+    for g in grp:
+        _RO_COMBO.append((g, rep))
+
+_RO_STD_DEL = (
+    "abila", "abile", "abili", "abilă", "abil", "ibila", "ibile",
+    "ibili", "ibilă", "ibil", "oasa", "oasă", "oase", "osi",
+    "oşi", "os", "itate", "itati", "ităi", "ităţi",
+    "ata", "ată", "ati", "ate", "at", "uta", "ută", "uti",
+    "ute", "ut", "ita", "ită", "iti", "ite", "it", "anta",
+    "ante", "anti", "antă", "ant", "atori", "ator", "ica",
+    "ice", "ici", "ică", "ic", "iva", "ive", "ivi", "ivă",
+    "iv",
+)
+_RO_STD_IST = ("ista", "iste", "isti", "istă", "işti",
+               "isme", "ism", "ist")
+_RO_STD_IUNE = ("iune", "iuni")
+
+_RO_VERB_1 = (
+    "aserăţi", "iserăţi", "userăţi",
+    "âserăţi", "aserăm", "iserăm",
+    "userăm", "âserăm", "aseşi", "iseşi",
+    "useşi", "âseşi", "aseră", "iseră",
+    "useră", "âseră", "arăţi",
+    "irăţi", "urăţi", "ârăţi",
+    "eaţi", "iaţi", "eşte", "ăşte",
+    "eşti", "ăşti", "arăm", "irăm",
+    "urăm", "ârăm", "ească", "indu",
+    "ându", "ează", "esc", "ăsc", "ind", "ând",
+    "are", "ere", "ire", "âre", "ase", "ise", "use",
+    "âse", "eze", "eai", "iai", "aşi", "işi",
+    "uşi", "âşi", "eam", "iam", "asem", "isem",
+    "usem", "âsem", "ară", "iră", "ură",
+    "âră", "eau", "iau", "ea", "ia", "ai", "ui", "ezi",
+    "âi", "am", "au", "ez",
+)
+_RO_VERB_2 = (
+    "seserăţi", "seserăm", "seseşi", "seseră",
+    "serăţi", "seşi", "serăm", "sesem", "sese",
+    "seră", "aţi", "eţi", "iţi",
+    "âţi", "sei", "se", "em", "im", "âm", "ăm",
+)
+
+
+def romanian_stem(word: str) -> str:
+    # prelude: i/u between vowels -> I/U (live buffer)
+    chars = list(word)
+    n = len(chars)
+    for i in range(1, n - 1):
+        if chars[i] in "iu" and chars[i - 1] in _RO_VOWELS \
+                and chars[i + 1] in _RO_VOWELS:
+            chars[i] = chars[i].upper()
+    word = "".join(chars)
+    pv = _rv_es(word, _RO_VOWELS)
+    r1, r2 = _r_regions(word, _RO_VOWELS)
+
+    def in_r1(p): return p >= r1
+    def in_r2(p): return p >= r2
+    def in_rv(p): return p >= pv
+
+    # step 0: unrestricted longest match, then R1 test (no fallback)
+    best = max((s for s, _ in _RO_STEP0 if word.endswith(s)),
+               key=len, default=None)
+    if best is not None:
+        rep = dict(_RO_STEP0)[best]
+        p = len(word) - len(best)
+        if in_r1(p):
+            if rep == "ILE":
+                if not word[:p].endswith("ab"):
+                    word = word[:p] + "i"
+            else:
+                word = word[:p] + rep
+
+    # standard suffix: repeat combo, then the a_3 among in R2
+    removed = False
+    while True:
+        best = max((s for s, _ in _RO_COMBO if word.endswith(s)),
+                   key=len, default=None)
+        if best is None:
+            break
+        rep = dict(_RO_COMBO)[best]
+        p = len(word) - len(best)
+        if not in_r1(p):
+            break
+        word = word[:p] + rep
+        removed = True
+    all_std = ([(s, "del") for s in _RO_STD_DEL]
+               + [(s, "ist") for s in _RO_STD_IST]
+               + [(s, "iune") for s in _RO_STD_IUNE])
+    best = None
+    for s, act in all_std:
+        if word.endswith(s):
+            if best is None or len(s) > len(best[0]):
+                best = (s, act)
+    if best is not None:
+        s, act = best
+        p = len(word) - len(s)
+        if in_r2(p):
+            if act == "del":
+                word = word[:p]
+                removed = True
+            elif act == "ist":
+                word = word[:p] + "ist"
+                removed = True
+            elif act == "iune":
+                if p >= 1 and word[p - 1] == "ţ":
+                    word = word[:p - 1] + "t"
+                    removed = True
+
+    # verb suffix (only if nothing removed): RV-limited matching
+    if not removed:
+        cands = []
+        for s in _RO_VERB_1:
+            if word.endswith(s) and in_rv(len(word) - len(s)):
+                cands.append((s, 1))
+        for s in _RO_VERB_2:
+            if word.endswith(s) and in_rv(len(word) - len(s)):
+                cands.append((s, 2))
+        if cands:
+            s, case = max(cands, key=lambda c: len(c[0]))
+            p = len(word) - len(s)
+            if case == 1:
+                # preceded by a non-vowel or by 'u', the preceding char
+                # itself INSIDE the RV limit (the among runs under
+                # setlimit pV and the condition evaluates before the
+                # limit is restored)
+                if p - 1 >= pv and (word[p - 1] not in _RO_VOWELS
+                                    or word[p - 1] == "u"):
+                    word = word[:p]
+            else:
+                word = word[:p]
+
+    # vowel suffix: unrestricted longest of a/e/ie/i/ă, start in RV
+    best = max((s for s in ("ie", "a", "e", "i", "ă")
+                if word.endswith(s)), key=len, default=None)
+    if best is not None and in_rv(len(word) - len(best)):
+        word = word[:-len(best)]
+
+    # postlude
+    return word.replace("I", "i").replace("U", "u")
+
 #: filter-zoo registry (filters.make_snowball_filter / <lang>_stemmed chains)
 SNOWBALL_STEMS = {
     "german": german_stem,
@@ -1715,6 +1885,7 @@ SNOWBALL_STEMS = {
     "dutch": dutch_stem,
     "finnish": finnish_stem,
     "english": english_stem,
+    "romanian": romanian_stem,
 }
 
 # the Snowball porter variant lives in filters.py next to the 1980
