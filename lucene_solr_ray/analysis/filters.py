@@ -507,7 +507,7 @@ def make_snowball_filter(lang: str) -> Filter:
 
 for _lang in ("german", "german2", "french", "spanish", "italian",
               "portuguese", "russian", "danish", "norwegian", "swedish",
-              "dutch", "finnish", "romanian"):
+              "dutch", "finnish", "romanian", "hungarian"):
     CUSTOM_CHAINS[f"{_lang}_stemmed"] = CustomAnalyzer(
         [lowercase_filter, make_snowball_filter(_lang)])
 # 'english_stemmed' (stop + Porter 1980) predates the snowball registry;

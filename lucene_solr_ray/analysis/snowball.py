@@ -1870,6 +1870,154 @@ def romanian_stem(word: str) -> str:
     # postlude
     return word.replace("I", "i").replace("U", "u")
 
+# --- Hungarian (snowballstem.org hungarian algorithm) ----------------------
+# (HungarianStemmer.java — R1 starts after the first consonant following
+# the initial vowel run, counting cs/dzs/gy/ly/ny/sz/ty/zs digraphs
+# whole; nine R1-gated suffix families in fixed order; instrum/factive
+# require a double consonant before the suffix and undouble by removing
+# the second-to-last char; case deletions finish with the á/é -> a/e
+# v_ending; golden-validated on the full vocabulary)
+
+_HU_VOWELS = "aeiouáéíóõöúûü"
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = ("ccs", "ggy", "lly", "nny", "ssz", "tty", "zzs",
+               "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm",
+               "nn", "pp", "rr", "ss", "tt", "vv", "zz")
+
+_HU_CASE = ("képpen", "anként", "enként", "onként", "ként", "képp",
+            "ban", "ben", "nak", "nek", "val", "vel", "nál", "nél",
+            "ból", "ról", "tól", "bõl", "rõl", "tõl", "hez", "hoz",
+            "höz", "kor", "ért", "ba", "ra", "be", "re", "ig", "ul",
+            "ül", "an", "en", "on", "ön", "at", "et", "ot", "öt",
+            "vá", "vé", "n", "t")
+_HU_PLURAL = (("ák", "a"), ("ék", "e"), ("ök", ""), ("ak", ""),
+              ("ek", ""), ("ok", ""), ("k", ""))
+_HU_OWNED = (("áéi", "a"), ("ééi", "e"), ("aké", ""), ("eké", ""),
+             ("oké", ""), ("áké", "a"), ("éké", "e"), ("öké", ""),
+             ("éi", ""), ("ké", ""), ("éé", "e"), ("é", ""))
+_HU_SING = (("ájuk", "a"), ("éjük", "e"), ("unk", ""), ("ánk", "a"),
+            ("énk", "e"), ("ünk", ""), ("juk", ""), ("jük", ""),
+            ("ja", ""), ("je", ""), ("ad", ""), ("ed", ""),
+            ("od", ""), ("ád", "a"), ("éd", "e"), ("öd", ""),
+            ("nk", ""), ("uk", ""), ("ük", ""), ("am", ""),
+            ("em", ""), ("om", ""), ("ám", "a"), ("ém", "e"),
+            ("a", ""), ("d", ""), ("e", ""), ("m", ""), ("o", ""),
+            ("á", "a"), ("é", "e"))
+_HU_PLUR = (("jaitok", ""), ("jeitek", ""), ("jaink", ""),
+            ("jeink", ""), ("aitok", ""), ("áitok", "a"),
+            ("eitek", ""), ("éitek", "e"), ("itek", ""),
+            ("jaid", ""), ("jeid", ""), ("jaik", ""), ("jeik", ""),
+            ("jaim", ""), ("jeim", ""), ("aink", ""), ("áink", "a"),
+            ("eink", ""), ("éink", "e"), ("aid", ""), ("eid", ""),
+            ("áid", "a"), ("éid", "e"), ("jai", ""), ("jei", ""),
+            ("aik", ""), ("eik", ""), ("áik", "a"), ("éik", "e"),
+            ("ink", ""), ("aim", ""), ("eim", ""), ("áim", "a"),
+            ("éim", "e"), ("id", ""), ("ai", ""), ("ei", ""),
+            ("ái", "a"), ("éi", "e"), ("ik", ""), ("im", ""),
+            ("i", ""))
+
+
+def _hu_r1(word: str) -> int:
+    n = len(word)
+    if n == 0:
+        return 0
+    if word[0] in _HU_VOWELS:
+        # goto first consonant; digraph at that position counts whole
+        for i in range(1, n):
+            if word[i] not in _HU_VOWELS:
+                for d in _HU_DIGRAPHS:
+                    if word.startswith(d, i):
+                        return i + len(d)
+                return i + 1
+        return n
+    for i in range(1, n):
+        if word[i] in _HU_VOWELS:
+            return i + 1
+    return n
+
+
+def _hu_double(w: str) -> bool:
+    return w.endswith(_HU_DOUBLES)
+
+
+def _hu_undouble(w: str) -> str:
+    """Remove the second-to-last character (the generated undouble)."""
+    return w[:-2] + w[-1] if len(w) >= 2 else w
+
+
+def hungarian_stem(word: str) -> str:
+    r1 = _hu_r1(word)
+
+    def in_r1(p): return p >= r1
+
+    def v_ending(w: str) -> str:
+        if w.endswith("á") and len(w) - 1 >= r1:
+            return w[:-1] + "a"
+        if w.endswith("é") and len(w) - 1 >= r1:
+            return w[:-1] + "e"
+        return w
+
+    # instrum: al/el in R1, preceded by double; delete + undouble
+    for suf in ("al", "el"):
+        if word.endswith(suf) and in_r1(len(word) - 2):
+            base = word[:-2]
+            if _hu_double(base):
+                word = _hu_undouble(base)
+            break
+
+    # case: longest of a_4, R1, delete, then v_ending
+    suf = max((c for c in _HU_CASE if word.endswith(c)),
+              key=len, default=None)
+    if suf is not None and in_r1(len(word) - len(suf)):
+        word = v_ending(word[:-len(suf)])
+
+    # case_special: ánként->a, án->a, én->e (R1)
+    suf = max((c for c in ("ánként", "án", "én") if word.endswith(c)),
+              key=len, default=None)
+    if suf is not None and in_r1(len(word) - len(suf)):
+        word = word[:-len(suf)] + ("e" if suf == "én" else "a")
+
+    # case_other: astul/estül del, ástul->a, éstül->e, stul/stül del (R1)
+    suf = max((c for c in ("astul", "estül", "ástul", "éstül", "stul",
+                           "stül") if word.endswith(c)),
+              key=len, default=None)
+    if suf is not None and in_r1(len(word) - len(suf)):
+        rep = {"ástul": "a", "éstül": "e"}.get(suf, "")
+        word = word[:-len(suf)] + rep
+
+    # factive: á/é in R1 preceded by double; delete + undouble
+    for suf in ("á", "é"):
+        if word.endswith(suf) and in_r1(len(word) - 1):
+            base = word[:-1]
+            if _hu_double(base):
+                word = _hu_undouble(base)
+            break
+
+    # owned
+    suf = max((c for c, _ in _HU_OWNED if word.endswith(c)),
+              key=len, default=None)
+    if suf is not None and in_r1(len(word) - len(suf)):
+        word = word[:-len(suf)] + dict(_HU_OWNED)[suf]
+
+    # sing_owner
+    suf = max((c for c, _ in _HU_SING if word.endswith(c)),
+              key=len, default=None)
+    if suf is not None and in_r1(len(word) - len(suf)):
+        word = word[:-len(suf)] + dict(_HU_SING)[suf]
+
+    # plur_owner
+    suf = max((c for c, _ in _HU_PLUR if word.endswith(c)),
+              key=len, default=None)
+    if suf is not None and in_r1(len(word) - len(suf)):
+        word = word[:-len(suf)] + dict(_HU_PLUR)[suf]
+
+    # plural
+    suf = max((c for c, _ in _HU_PLURAL if word.endswith(c)),
+              key=len, default=None)
+    if suf is not None and in_r1(len(word) - len(suf)):
+        word = word[:-len(suf)] + dict(_HU_PLURAL)[suf]
+    return word
+
 #: filter-zoo registry (filters.make_snowball_filter / <lang>_stemmed chains)
 SNOWBALL_STEMS = {
     "german": german_stem,
@@ -1886,6 +2034,7 @@ SNOWBALL_STEMS = {
     "finnish": finnish_stem,
     "english": english_stem,
     "romanian": romanian_stem,
+    "hungarian": hungarian_stem,
 }
 
 # the Snowball porter variant lives in filters.py next to the 1980
