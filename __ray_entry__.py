@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": fulltext.bm25_topk_docs,
         "bm25_filtered_docs": fulltext.bm25_filtered_docs,
         "query_language_topk_docs": fulltext.query_language_topk_docs,
+        # QueryElevationComponent (editorial pinning; semantics
+        # pytest-verified, rows-only here)
+        "elevated_topk_docs": fulltext.elevated_topk_docs,
         "edismax_topk_docs": fulltext.edismax_topk_docs,
         "docfreq_boost_docs": fulltext.docfreq_boost_docs,
         "minhash_neardup": dedup.minhash_neardup,

@@ -255,3 +255,27 @@ def cluster_topk_docs(sf_dir: str, query: str = "table scan merge",
         "doc_id": pa.array([r[4] for r in rows], type=pa.int64()),
         "score": pa.array([r[5] for r in rows], type=pa.float64()),
     })
+
+
+def elevated_topk_docs(sf_dir: str, k: int = 8) -> pa.Table:
+    """QueryElevationComponent on the driver surface (rows-only; the
+    elevation semantics — config-order pinning, exclusion, force,
+    exclusive — are pytest-verified in tests/test_elevate.py): a fixed
+    query with two editorially elevated docs and one excluded doc."""
+    from ..search.elevate import ElevationConfig, elevated_search
+
+    idx = docs_index(sf_dir)
+    searcher = IndexSearcher(idx)
+    organic = [d for d, _ in searcher.search("hash join", k=6)]
+    cfg = ElevationConfig({"hash join": {
+        "elevate": [organic[-1], organic[-2]] if len(organic) >= 2 else [],
+        "exclude": [organic[0]] if organic else [],
+    }})
+    out = elevated_search(searcher, "hash join", cfg, k=k)
+    return pa.table({
+        "rank": pa.array(range(len(out)), type=pa.int64()),
+        "doc_id": pa.array([r["doc_id"] for r in out], type=pa.int64()),
+        "elevated": pa.array([bool(r["elevated"]) for r in out]),
+        "score": pa.array([round(float(r["score"]), 6) for r in out],
+                          type=pa.float64()),
+    })
