@@ -2018,6 +2018,204 @@ def hungarian_stem(word: str) -> str:
         word = word[:-len(suf)] + dict(_HU_PLURAL)[suf]
     return word
 
+# --- Lovins (1968) research stemmer (snowball lovins algorithm) ------------
+# (LovinsStemmer.java — 294 context-conditioned endings A..CC, the
+# longest ending whose condition passes wins; one undoubling; one
+# longest-match recode from the 34-rule respell table. Conditions read
+# the STEM (the part before the candidate ending); golden-validated on
+# the full vocabulary.)
+
+_LOVINS_ENDINGS = {
+    "alistically": "B", "arizability": "A", "izationally": "B",
+    "antialness": "A", "arisations": "A", "arizations": "A",
+    "entialness": "A", "allically": "C", "antaneous": "A",
+    "antiality": "A", "arisation": "A", "arization": "A",
+    "ationally": "B", "ativeness": "A", "eableness": "E",
+    "entations": "A", "entiality": "A", "entialize": "A",
+    "entiation": "A", "ionalness": "A", "istically": "A",
+    "itousness": "A", "izability": "A", "izational": "A",
+    "ableness": "A", "arizable": "A", "entation": "A", "entially": "A",
+    "eousness": "A", "ibleness": "A", "icalness": "A", "ionalism": "A",
+    "ionality": "A", "ionalize": "A", "iousness": "A", "izations": "A",
+    "lessness": "A", "ability": "A", "aically": "A", "alistic": "B",
+    "alities": "A", "ariness": "E", "aristic": "A", "arizing": "A",
+    "ateness": "A", "atingly": "A", "ational": "B", "atively": "A",
+    "ativism": "A", "elihood": "E", "encible": "A", "entally": "A",
+    "entials": "A", "entiate": "A", "entness": "A", "fulness": "A",
+    "ibility": "A", "icalism": "A", "icalist": "A", "icality": "A",
+    "icalize": "A", "ication": "G", "icianry": "A", "ination": "A",
+    "ingness": "A", "ionally": "A", "isation": "A", "ishness": "A",
+    "istical": "A", "iteness": "A", "iveness": "A", "ivistic": "A",
+    "ivities": "A", "ization": "F", "izement": "A", "oidally": "A",
+    "ousness": "A", "aceous": "A", "acious": "B", "action": "G",
+    "alness": "A", "ancial": "A", "ancies": "A", "ancing": "B",
+    "ariser": "A", "arized": "A", "arizer": "A", "atable": "A",
+    "ations": "B", "atives": "A", "eature": "Z", "efully": "A",
+    "encies": "A", "encing": "A", "ential": "A", "enting": "C",
+    "entist": "A", "eously": "A", "ialist": "A", "iality": "A",
+    "ialize": "A", "ically": "A", "icance": "A", "icians": "A",
+    "icists": "A", "ifully": "A", "ionals": "A", "ionate": "D",
+    "ioning": "A", "ionist": "A", "iously": "A", "istics": "A",
+    "izable": "E", "lessly": "A", "nesses": "A", "oidism": "A",
+    "acies": "A", "acity": "A", "aging": "B", "aical": "A", "alism": "B",
+    "alist": "A", "ality": "A", "alize": "A", "allic": "BB",
+    "anced": "B", "ances": "B", "antic": "C", "arial": "A", "aries": "A",
+    "arily": "A", "arity": "B", "arize": "A", "aroid": "A", "ately": "A",
+    "ating": "I", "ation": "B", "ative": "A", "ators": "A", "atory": "A",
+    "ature": "E", "early": "Y", "ehood": "A", "eless": "A", "elity": "A",
+    "ement": "A", "enced": "A", "ences": "A", "eness": "E", "ening": "E",
+    "ental": "A", "ented": "C", "ently": "A", "fully": "A", "ially": "A",
+    "icant": "A", "ician": "A", "icide": "A", "icism": "A", "icist": "A",
+    "icity": "A", "idine": "I", "iedly": "A", "ihood": "A", "inate": "A",
+    "iness": "A", "ingly": "B", "inism": "J", "inity": "CC",
+    "ional": "A", "ioned": "A", "ished": "A", "istic": "A", "ities": "A",
+    "itous": "A", "ively": "A", "ivity": "A", "izers": "F", "izing": "F",
+    "oidal": "A", "oides": "A", "otide": "A", "ously": "A", "able": "A",
+    "ably": "A", "ages": "B", "ally": "B", "ance": "B", "ancy": "B",
+    "ants": "B", "aric": "A", "arly": "K", "ated": "I", "ates": "A",
+    "atic": "B", "ator": "A", "ealy": "Y", "edly": "E", "eful": "A",
+    "eity": "A", "ence": "A", "ency": "A", "ened": "E", "enly": "E",
+    "eous": "A", "hood": "A", "ials": "A", "ians": "A", "ible": "A",
+    "ibly": "A", "ical": "A", "ides": "L", "iers": "A", "iful": "A",
+    "ines": "M", "ings": "N", "ions": "B", "ious": "A", "isms": "B",
+    "ists": "A", "itic": "H", "ized": "F", "izer": "F", "less": "A",
+    "lily": "A", "ness": "A", "ogen": "A", "ward": "A", "wise": "A",
+    "ying": "B", "yish": "A", "acy": "A", "age": "B", "aic": "A",
+    "als": "BB", "ant": "B", "ars": "O", "ary": "F", "ata": "A",
+    "ate": "A", "eal": "Y", "ear": "Y", "ely": "E", "ene": "E",
+    "ent": "C", "ery": "E", "ese": "A", "ful": "A", "ial": "A",
+    "ian": "A", "ics": "A", "ide": "L", "ied": "A", "ier": "A",
+    "ies": "P", "ily": "A", "ine": "M", "ing": "N", "ion": "Q",
+    "ish": "C", "ism": "B", "ist": "A", "ite": "AA", "ity": "A",
+    "ium": "A", "ive": "A", "ize": "F", "oid": "A", "one": "R",
+    "ous": "A", "'s": "A", "ae": "A", "al": "BB", "ar": "X", "as": "B",
+    "ed": "E", "en": "F", "es": "E", "ia": "A", "ic": "A", "is": "A",
+    "ly": "B", "on": "S", "or": "T", "s'": "A", "um": "U", "us": "V",
+    "yl": "R", "a": "A", "e": "A", "i": "A", "o": "A", "s": "W",
+    "y": "B",
+}
+_LOV_AA = ("d", "f", "ph", "th", "l", "er", "or", "es", "t")
+_LOV_DOUBLES = ("bb", "dd", "gg", "ll", "mm", "nn", "pp", "rr", "ss", "tt")
+_LOV_RESPELL = (
+    ("iev", "ief", None), ("uct", "uc", None), ("umpt", "um", None),
+    ("rpt", "rb", None), ("urs", "ur", None), ("istr", "ister", None),
+    ("metr", "meter", None), ("olv", "olut", None),
+    ("ul", "l", "aio"), ("bex", "bic", None), ("dex", "dic", None),
+    ("pex", "pic", None), ("tex", "tic", None), ("ax", "ac", None),
+    ("ex", "ec", None), ("ix", "ic", None), ("lux", "luc", None),
+    ("uad", "uas", None), ("vad", "vas", None), ("cid", "cis", None),
+    ("lid", "lis", None), ("erid", "eris", None),
+    ("pand", "pans", None), ("end", "ens", "s"), ("ond", "ons", None),
+    ("lud", "lus", None), ("rud", "rus", None), ("her", "hes", "pt"),
+    ("mit", "mis", None), ("ent", "ens", "m"), ("ert", "ers", None),
+    ("et", "es", "n"), ("yt", "ys", None), ("yz", "ys", None),
+)
+
+
+def _cond_ok(cond: str, stem: str) -> bool:
+    L = len(stem)
+    last = stem[-1] if L else ""
+    if cond == "A":
+        return L >= 2
+    if cond == "B":
+        return L >= 3
+    if cond == "C":
+        return L >= 4
+    if cond == "D":
+        return L >= 5
+    if cond == "E":
+        return L >= 2 and last != "e"
+    if cond == "F":
+        return L >= 3 and last != "e"
+    if cond == "G":
+        return L >= 3 and last == "f"
+    if cond == "H":
+        return L >= 2 and (last == "t" or stem.endswith("ll"))
+    if cond == "I":
+        return L >= 2 and last not in "oe"
+    if cond == "J":
+        return L >= 2 and last not in "ae"
+    if cond == "K":
+        return L >= 3 and (last in "li"
+                           or (last == "e" and L >= 3 and stem[-3] == "u"))
+    if cond == "L":
+        if L < 2 or last in "ux":
+            return L >= 2 and last not in "ux"
+        if last == "s" and (L < 2 or stem[-2] != "o"):
+            return False
+        return True
+    if cond == "M":
+        return L >= 2 and last not in "acem"
+    if cond == "N":
+        if L < 3:
+            return False
+        if stem[-3] == "s":
+            return L >= 4
+        return True
+    if cond == "O":
+        return L >= 2 and last in "li"
+    if cond == "P":
+        return L >= 2 and last != "c"
+    if cond == "Q":
+        return L >= 3 and last not in "ln"
+    if cond == "R":
+        return L >= 2 and last in "nr"
+    if cond == "S":
+        return L >= 2 and (stem.endswith("dr")
+                           or (last == "t" and not stem.endswith("tt")))
+    if cond == "T":
+        return L >= 2 and (last == "s"
+                           or (last == "t" and not stem.endswith("ot")))
+    if cond == "U":
+        return L >= 2 and last in "lmnr"
+    if cond == "V":
+        return L >= 2 and last == "c"
+    if cond == "W":
+        return L >= 2 and last not in "su"
+    if cond == "X":
+        return L >= 2 and (last in "li"
+                           or (last == "e" and L >= 3 and stem[-3] == "u"))
+    if cond == "Y":
+        return L >= 2 and stem.endswith("in")
+    if cond == "Z":
+        return L >= 2 and last != "f"
+    if cond == "AA":
+        return L >= 2 and stem.endswith(_LOV_AA)
+    if cond == "BB":
+        return (L >= 3 and not stem.endswith("met")
+                and not stem.endswith("ryst"))
+    if cond == "CC":
+        return L >= 2 and last == "l"
+    raise ValueError(cond)
+
+
+def lovins_stem(word: str) -> str:
+    # endings: longest whose condition passes
+    best = None
+    for end, cond in _LOVINS_ENDINGS.items():
+        if word.endswith(end):
+            stem = word[:-len(end)]
+            if _cond_ok(cond, stem):
+                if best is None or len(end) > len(best):
+                    best = end
+    if best is not None:
+        word = word[:-len(best)]
+    # undouble
+    if word.endswith(_LOV_DOUBLES):
+        word = word[:-1]
+    # respell (longest match once)
+    bm = None
+    for pat, rep, notpre in _LOV_RESPELL:
+        if word.endswith(pat):
+            if notpre and len(word) > len(pat) \
+                    and word[-len(pat) - 1] in notpre:
+                continue
+            if bm is None or len(pat) > len(bm[0]):
+                bm = (pat, rep)
+    if bm is not None:
+        word = word[:-len(bm[0])] + bm[1]
+    return word
+
 #: filter-zoo registry (filters.make_snowball_filter / <lang>_stemmed chains)
 SNOWBALL_STEMS = {
     "german": german_stem,
@@ -2035,6 +2233,7 @@ SNOWBALL_STEMS = {
     "english": english_stem,
     "romanian": romanian_stem,
     "hungarian": hungarian_stem,
+    "lovins": lovins_stem,
 }
 
 # the Snowball porter variant lives in filters.py next to the 1980
